@@ -1,0 +1,65 @@
+"""Model configuration — static (hashable) dataclasses.
+
+The reference reads a YAML config into a hierarchical Config object
+(infra/Config.h:32) whose groups are consumed by module init routines
+(e.g. Tendencies flags, ocn/Tendencies.h:11-30; Advection flux options,
+configs/Default.yml). Here each group is a frozen dataclass used as a
+static jit argument, so enable-flags become compile-time branches and XLA
+dead-code-eliminates disabled terms — the analogue of the reference's
+`Enabled` short-circuits, but resolved at compile time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from omega_tpu import constants
+
+
+@dataclasses.dataclass(frozen=True)
+class TendencyConfig:
+    """Mirrors the `Tendencies:` config group (configs/Default.yml)."""
+    thickness_flux_div: bool = True     # ThicknessFluxTendencyEnable
+    pv_advection: bool = True           # PVTendencyEnable
+    ke_gradient: bool = True            # KETendencyEnable
+    ssh_gradient: bool = True           # SSHTendencyEnable
+    velocity_diffusion: bool = True     # VelDiffTendencyEnable
+    visc_del2: float = 1.0e3            # ViscDel2 [m^2 s^-1]
+    velocity_hyperdiff: bool = True     # VelHyperDiffTendencyEnable
+    visc_del4: float = 1.2e11           # ViscDel4 [m^4 s^-1]
+    div_factor: float = 1.0             # DivFactor
+    wind_forcing: bool = False          # WindForcingTendencyEnable
+    density0: float = constants.RHO0_SEAWATER
+    bottom_drag: bool = False           # BottomDragTendencyEnable
+    bottom_drag_coeff: float = 0.0
+    tracer_horz_adv: bool = True        # TracerHorzAdvTendencyEnable
+    tracer_diffusion: bool = True       # TracerDiffTendencyEnable
+    eddy_diff2: float = 10.0            # EddyDiff2 [m^2 s^-1]
+    tracer_hyperdiff: bool = True       # TracerHyperDiffTendencyEnable
+    eddy_diff4: float = 0.0             # EddyDiff4 [m^4 s^-1]
+    use_custom_tendency: bool = False   # UseCustomTendency
+    manufactured_tendency: bool = False # ManufacturedSolutionTendency
+
+
+@dataclasses.dataclass(frozen=True)
+class ManufacturedConfig:
+    """Mirrors the `ManufacturedSolution:` config group."""
+    wavelength_x: float = 5.0e6
+    wavelength_y: float = 4.33013e6
+    amplitude: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Top-level static model configuration."""
+    nvertlayers: int = 1
+    ntracers: int = 2
+    # Advection group
+    flux_thickness_type: str = "center"   # center | upwind
+    flux_tracer_type: str = "center"      # center | upwind
+    # WindStress group
+    wind_interp_type: str = "isotropic"   # isotropic | anisotropic
+    tendencies: TendencyConfig = TendencyConfig()
+    manufactured: ManufacturedConfig = ManufacturedConfig()
+    gravity: float = constants.GRAVITY
