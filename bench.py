@@ -1,0 +1,109 @@
+"""Flagship single-chip benchmark.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol mirrors the reference's perf spec (doc/design/OmegaV0ShallowWater.md:
+681-692): inertia-gravity wave, full nonlinear terms, 100 identical layers,
+planar hex mesh, forward-backward stepping. Metric = grid-points * steps / s
+on one chip (grid-points = cells * layers). The reference publishes no
+absolute numbers (BASELINE.json published: {}), so vs_baseline is measured
+against a fixed HBM-bandwidth speed-of-light model for the FB step
+(see _roofline_estimate): 1.0 means running at the memory roofline.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _roofline_estimate(ncells, nedges, nvertices, nlayers, ntracers,
+                       bytes_per_el=4, hbm_gbps=800.0):
+    """Crude speed-of-light step time from unavoidable HBM traffic.
+
+    Counts each (element, layer) field the FB step must read or write at
+    least once, with gather amplification ignored (perfect cache of the
+    K-contiguous rows). v5e-class HBM ~800 GB/s.
+    """
+    # fields touched per step (read+write, very rough):
+    cell_fields = 6 + 3 * ntracers          # h, ssh, ke, div, del2div, tend...
+    edge_fields = 12 + 2 * ntracers         # u, fluxes, aux, tend
+    vert_fields = 5
+    elems = (cell_fields * ncells + edge_fields * nedges
+             + vert_fields * nvertices)
+    traffic = elems * nlayers * bytes_per_el * 2.0   # read + write-ish
+    return traffic / (hbm_gbps * 1e9)
+
+
+def main():
+    os.environ.setdefault("XLA_FLAGS", "")
+    import jax
+    import jax.numpy as jnp
+
+    from omega_tpu.core import ModelConfig, ModelState, TendencyConfig
+    from omega_tpu.mesh import planar_hex_mesh
+    from omega_tpu.stepping import forward_backward_step, run_steps
+
+    dtype = jnp.float32
+    nx = int(os.environ.get("OMEGA_BENCH_NX", 256))
+    nlayers = int(os.environ.get("OMEGA_BENCH_NLAYERS", 100))
+    ntracers = int(os.environ.get("OMEGA_BENCH_NTRACERS", 2))
+    nsteps = int(os.environ.get("OMEGA_BENCH_NSTEPS", 20))
+
+    mesh = planar_hex_mesh(nx, nx, dc=5000.0, f0=1e-4,
+                           bottom_depth=1000.0).astype(dtype)
+    mesh = mesh.device_put()
+    cfg = ModelConfig(nvertlayers=nlayers, ntracers=ntracers,
+                      tendencies=TendencyConfig(visc_del2=1.0e3,
+                                                visc_del4=1.2e11))
+
+    kx = 2 * np.pi / mesh.x_period
+    ky = 2 * np.pi / mesh.y_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell)) * np.sin(ky * np.asarray(mesh.y_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / nlayers,
+                    dtype) * jnp.ones((1, nlayers), dtype)
+    state = ModelState(
+        h=h, u=jnp.zeros((mesh.nedges, nlayers), dtype),
+        tracers=10.0 + jnp.zeros((ntracers, mesh.ncells, nlayers), dtype))
+
+    dt = 30.0
+
+    stepn = jax.jit(lambda s: run_steps(mesh, cfg, s, 0.0, dt, nsteps,
+                                        stepper=forward_backward_step))
+
+    # warmup / compile (timed separately, like the reference's first-step
+    # timer isolation, ocn/OceanRun.cpp:48-53)
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(stepn(state))
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(stepn(state))
+    elapsed = time.perf_counter() - t0
+
+    assert bool(jnp.isfinite(out.h).all()), "benchmark produced non-finite h"
+
+    step_time = elapsed / nsteps
+    gridpoints = mesh.ncells * nlayers
+    value = gridpoints * nsteps / elapsed
+
+    sol = _roofline_estimate(mesh.ncells, mesh.nedges, mesh.nvertices,
+                             nlayers, ntracers)
+    vs_baseline = sol / step_time   # 1.0 == HBM speed-of-light model
+
+    print(json.dumps({
+        "metric": "gridpoint_steps_per_sec_per_chip",
+        "value": value,
+        "unit": "cells*layers*steps/s",
+        "vs_baseline": vs_baseline,
+    }))
+    print(f"# ncells={mesh.ncells} nlayers={nlayers} ntracers={ntracers} "
+          f"step_time={step_time*1e3:.3f} ms compile={compile_s:.1f} s "
+          f"roofline_est={sol*1e3:.3f} ms device={jax.devices()[0]}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

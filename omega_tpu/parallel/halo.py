@@ -1,0 +1,47 @@
+"""Halo exchange as a shard_map collective.
+
+The reference packs per-neighbor device buffers, posts MPI_Irecv/Isend
+(device buffers under GPU-aware MPI), and unpacks in an MPI_Test polling
+loop (base/Halo.h:769-915). On TPU the equivalent is: pack owned boundary
+values with a static gather, move them over ICI with one XLA collective,
+and scatter into halo slots — XLA schedules the overlap, no polling loop.
+
+This round uses all_gather of the packed boundary buffers (simple, correct,
+O(S * boundary) traffic). A ppermute neighbor-ring variant and a Pallas
+async remote-copy variant (interior/boundary split for overlap) are the
+planned upgrades; the index lists are already per-neighbor-ready.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def exchange(x, send_idx, recv_src_shard, recv_src_slot, recv_dst,
+             axis_name: str = "x"):
+    """Refresh halo slots of a local element array.
+
+    x: (..., N_local, K) local array (element axis is -2)
+    send_idx: (NS,) local indices of owned elements to publish
+    recv_*:   (NH,) where to fetch each halo value and where to store it
+    """
+    buf = jnp.take(x, send_idx, axis=-2)                    # (..., NS, K)
+    # gather all shards' buffers over ICI; leading axis is the shard id
+    gathered = jax.lax.all_gather(buf, axis_name, axis=0)   # (S, ..., NS, K)
+    # select (src_shard, src_slot) pairs for our halo elements
+    vals = gathered[recv_src_shard]                         # (NH, ..., NS, K)
+    vals = jnp.take_along_axis(
+        vals, recv_src_slot.reshape((-1,) + (1,) * (vals.ndim - 1)), axis=-2)
+    # (NH, ..., 1, K) -> (..., NH, K)
+    vals = jnp.moveaxis(vals.squeeze(-2), 0, -2)
+    return _scatter(x, recv_dst, vals)
+
+
+def _scatter(x, dst, vals):
+    """x[..., dst, :] = vals keeping leading batch dims."""
+    if x.ndim == 2:
+        return x.at[dst].set(vals)
+    if x.ndim == 3:
+        return x.at[:, dst].set(vals)
+    raise ValueError(f"unsupported rank {x.ndim}")

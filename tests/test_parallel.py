@@ -1,0 +1,111 @@
+"""Distributed-correctness tests on a virtual 8-device CPU mesh.
+
+Analogue of the reference's HaloTest (global-ID oracle, exact equality,
+test/base/HaloTest.cpp:30-70) and the QU240 partition test
+(decomposition invariance: results identical across shard counts,
+doc/design/OmegaV0ShallowWater.md:57-59).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omega_tpu.core import ModelState
+from omega_tpu.mesh import planar_hex_mesh
+from omega_tpu.parallel import decompose, gather_state, make_sharded_step, shard_state
+from omega_tpu.parallel.sharded import default_device_mesh, make_halo_fn
+from omega_tpu.stepping import forward_backward_step, rk4_step, run_steps
+
+from test_model import _inertia_gravity_setup
+
+
+def _id_state(mesh, smesh, nlayers=2, ntracers=2):
+    """State filled with global-ID-derived values (the HaloTest oracle)."""
+    k = np.arange(nlayers)[None, :]
+    h = np.arange(mesh.ncells)[:, None] * 10.0 + k + 1.0
+    u = np.arange(mesh.nedges)[:, None] * 7.0 + k + 1.0
+    tr = np.stack([np.arange(mesh.ncells)[:, None] * (3.0 + l) + k + 1.0
+                   for l in range(ntracers)])
+    return ModelState(h=jnp.asarray(h * 1.0), u=jnp.asarray(u * 1.0),
+                      tracers=jnp.asarray(tr * 1.0))
+
+
+@pytest.mark.parametrize("nshards", [2, 8])
+def test_halo_exchange_id_oracle(nshards):
+    """Zero the halos, exchange, require exact equality with the ID oracle."""
+    mesh = planar_hex_mesh(16, 16, dc=1000.0)
+    smesh = decompose(mesh, nshards)
+    state = _id_state(mesh, smesh)
+    sstate = shard_state(smesh, state)
+
+    # corrupt all non-owned entries
+    def corrupt(x, owned_mask):
+        return jnp.where(jnp.asarray(owned_mask)[..., None] > 0, x, -9999.0)
+
+    corrupted = ModelState(
+        h=corrupt(sstate.h, smesh.owned_cell_mask),
+        u=corrupt(sstate.u, smesh.owned_edge_mask),
+        tracers=corrupt(sstate.tracers,
+                        np.asarray(smesh.owned_cell_mask)[:, None, :]),
+    )
+
+    dmesh = default_device_mesh(nshards)
+    from jax.sharding import PartitionSpec as P
+    pspec = P("x")
+    smesh_specs = jax.tree.map(lambda _: pspec, smesh)
+    state_specs = ModelState(h=pspec, u=pspec, tracers=pspec)
+
+    def fix(sm_stacked, st_stacked):
+        sm = jax.tree.map(lambda a: a[0], sm_stacked)
+        st = jax.tree.map(lambda a: a[0], st_stacked)
+        out = make_halo_fn(sm)(st)
+        return jax.tree.map(lambda a: a[None], out)
+
+    fixed = jax.jit(jax.shard_map(fix, mesh=dmesh,
+                                  in_specs=(smesh_specs, state_specs),
+                                  out_specs=state_specs))(smesh, corrupted)
+
+    # every real (non-dummy) local entry must now equal the oracle exactly
+    c_l2g = np.asarray(smesh.cell_local_to_global)
+    e_l2g = np.asarray(smesh.edge_local_to_global)
+    h_ref = np.asarray(state.h)
+    u_ref = np.asarray(state.u)
+    tr_ref = np.asarray(state.tracers)
+    for s in range(nshards):
+        cm = c_l2g[s] >= 0
+        em = e_l2g[s] >= 0
+        np.testing.assert_array_equal(np.asarray(fixed.h)[s][cm],
+                                      h_ref[c_l2g[s][cm]])
+        np.testing.assert_array_equal(np.asarray(fixed.u)[s][em],
+                                      u_ref[e_l2g[s][em]])
+        np.testing.assert_array_equal(np.asarray(fixed.tracers)[s][:, cm],
+                                      tr_ref[:, c_l2g[s][cm]])
+
+
+@pytest.mark.parametrize("stepper,nsteps", [(forward_backward_step, 6),
+                                            (rk4_step, 4)])
+def test_decomposition_invariance(stepper, nsteps):
+    """1-device vs 8-shard runs must agree on owned values."""
+    mesh, cfg, state = _inertia_gravity_setup(nx=16, dc=5000.0)
+    dt = 60.0
+
+    ref = run_steps(mesh, cfg, state, 0.0, dt, nsteps, stepper=stepper)
+
+    nshards = 8
+    smesh = decompose(mesh, nshards)
+    dmesh = default_device_mesh(nshards)
+    step = jax.jit(make_sharded_step(smesh, cfg, stepper, dmesh))
+    sstate = shard_state(smesh, state)
+    t = 0.0
+    for _ in range(nsteps):
+        sstate = step(sstate, t, dt)
+        t += dt
+    out = gather_state(smesh, sstate, mesh.ncells, mesh.nedges)
+
+    np.testing.assert_allclose(np.asarray(out.h), np.asarray(ref.h),
+                               rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(out.tracers), np.asarray(ref.tracers),
+                               rtol=1e-13, atol=1e-13)
