@@ -55,9 +55,12 @@ def main():
     mesh = planar_hex_mesh(nx, nx, dc=5000.0, f0=1e-4,
                            bottom_depth=1000.0).astype(dtype)
     mesh = mesh.device_put()
+    # hyperviscosity scaled for the 5 km mesh: the reference default
+    # ViscDel4=1.2e11 targets QU240-scale cells and is explicitly unstable
+    # here (dt*nu4*lambda_max^2 > 2); nu4 ~ dx^3 scaling gives ~1e9
     cfg = ModelConfig(nvertlayers=nlayers, ntracers=ntracers,
                       tendencies=TendencyConfig(visc_del2=1.0e3,
-                                                visc_del4=1.2e11))
+                                                visc_del4=1.0e9))
 
     kx = 2 * np.pi / mesh.x_period
     ky = 2 * np.pi / mesh.y_period

@@ -14,6 +14,18 @@ class OmegaError(RuntimeError):
     pass
 
 
+class ConfigError(OmegaError):
+    """Missing or mistyped configuration entry (infra/Config.h error codes)."""
+
+
+class FieldError(OmegaError):
+    """Unknown field / dimension / group, or metadata mismatch."""
+
+
+class IOError_(OmegaError):
+    """File / stream error (base/IO.h, infra/IOStream.h error paths)."""
+
+
 def abort_error(msg: str, *args) -> None:
     text = msg.format(*args) if args else msg
     get_logger().critical(text)
