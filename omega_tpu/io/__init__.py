@@ -1,0 +1,1 @@
+from omega_tpu.io.netcdf import NCFile, read_netcdf, write_netcdf

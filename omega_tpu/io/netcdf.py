@@ -1,0 +1,194 @@
+"""Low-level NetCDF file IO.
+
+The analogue of base/IO.h:50's thin typed wrapper over SCORPIO/PIO parallel
+NetCDF: open/create/close, dims, vars, global metadata, array read/write.
+Under JAX's single-controller model the PIO decomposition machinery
+(IO::createDecomp mapping local to global offsets) lives in the stream layer
+(omega_tpu.io.stream) which gathers owned shard entries before writing; this
+module is plain whole-array file access.
+
+Backends (no netCDF4 library in the image):
+  * read:  NetCDF classic / 64-bit offset via scipy.io.netcdf_file,
+           NetCDF4(=HDF5) via h5py — auto-detected from the magic bytes
+  * write: NetCDF3 64-bit offset via scipy (universally readable, including
+           by the reference's SCORPIO), or HDF5 via h5py with NetCDF4-style
+           dimension scales
+
+MPAS mesh files in the wild come in both flavors; both read paths return
+identical dicts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from omega_tpu.infra.errors import IOError_
+
+
+def _detect_format(path: str) -> str:
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic[:3] == b"CDF":
+        return "netcdf3"
+    if magic == b"\x89HDF\r\n\x1a\n":
+        return "hdf5"
+    raise IOError_(f"{path}: not a NetCDF file (magic {magic[:4]!r})")
+
+
+@dataclasses.dataclass
+class NCFile:
+    """In-memory image of a NetCDF file: dims, variables, attributes."""
+    dims: Dict[str, int]
+    variables: Dict[str, np.ndarray]
+    var_dims: Dict[str, Tuple[str, ...]]
+    var_attrs: Dict[str, Dict[str, Any]]
+    attrs: Dict[str, Any]
+
+    def get(self, name: str) -> np.ndarray:
+        if name not in self.variables:
+            raise IOError_(f"variable {name!r} not in file "
+                           f"(has {sorted(self.variables)[:20]}...)")
+        return self.variables[name]
+
+    def has(self, name: str) -> bool:
+        return name in self.variables
+
+
+def _decode(v):
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, np.ndarray) and v.ndim == 0:
+        return v.item()
+    return v
+
+
+def _read_scipy(path: str) -> NCFile:
+    from scipy.io import netcdf_file
+    with netcdf_file(path, "r", mmap=False) as f:
+        dims = {k: (v if v is not None else 0) for k, v in f.dimensions.items()}
+        variables, var_dims, var_attrs = {}, {}, {}
+        for name, var in f.variables.items():
+            data = np.array(var.data)   # copy out of the mmap
+            variables[name] = data
+            var_dims[name] = tuple(var.dimensions)
+            var_attrs[name] = {k: _decode(v) for k, v in var._attributes.items()}
+        attrs = {k: _decode(v) for k, v in f._attributes.items()}
+    # resolve the record dimension's actual length
+    for name, vdims in var_dims.items():
+        for ax, d in enumerate(vdims):
+            if dims.get(d, 0) == 0:
+                dims[d] = variables[name].shape[ax]
+    return NCFile(dims, variables, var_dims, var_attrs, attrs)
+
+
+def _read_h5py(path: str) -> NCFile:
+    import h5py
+    dims: Dict[str, int] = {}
+    variables, var_dims, var_attrs = {}, {}, {}
+    with h5py.File(path, "r") as f:
+        def attrs_of(obj):
+            out = {}
+            for k, v in obj.attrs.items():
+                if k.startswith(("_Netcdf", "CLASS", "NAME", "REFERENCE_LIST",
+                                 "DIMENSION_LIST")):
+                    continue
+                out[k] = _decode(v)
+            return out
+
+        for name, ds in f.items():
+            if not isinstance(ds, h5py.Dataset):
+                continue
+            is_dimscale = ds.attrs.get("CLASS", b"") == b"DIMENSION_SCALE"
+            if is_dimscale:
+                dims[name] = ds.shape[0] if ds.ndim else int(ds[()])
+                # pure coordinate stubs ("This is a netCDF dimension...")
+                nm = ds.attrs.get("NAME", b"")
+                if isinstance(nm, bytes) and nm.startswith(b"This is a netCDF dimension"):
+                    continue
+            vdims = []
+            if "DIMENSION_LIST" in ds.attrs:
+                for ref_list in ds.attrs["DIMENSION_LIST"]:
+                    ref = ref_list[0]
+                    vdims.append(f[ref].name.lstrip("/"))
+            variables[name] = ds[()]
+            var_dims[name] = tuple(vdims)
+            var_attrs[name] = attrs_of(ds)
+        attrs = attrs_of(f)
+    for name, vdims in var_dims.items():
+        for ax, d in enumerate(vdims):
+            dims.setdefault(d, variables[name].shape[ax])
+    return NCFile(dims, variables, var_dims, var_attrs, attrs)
+
+
+def read_netcdf(path: str) -> NCFile:
+    """Read a whole NetCDF file (any flavor) into memory."""
+    fmt = _detect_format(path)
+    return _read_scipy(path) if fmt == "netcdf3" else _read_h5py(path)
+
+
+def write_netcdf(path: str, *, dims: Dict[str, int],
+                 variables: Dict[str, np.ndarray],
+                 var_dims: Dict[str, Sequence[str]],
+                 var_attrs: Optional[Dict[str, Dict[str, Any]]] = None,
+                 attrs: Optional[Dict[str, Any]] = None,
+                 fmt: str = "netcdf3",
+                 unlimited: Optional[str] = None) -> None:
+    """Write a NetCDF file.
+
+    fmt='netcdf3': classic 64-bit-offset via scipy (interoperable with the
+    reference's SCORPIO readers). fmt='hdf5': NetCDF4-style HDF5 via h5py.
+    `unlimited` names the record dimension (e.g. 'Time').
+    """
+    var_attrs = var_attrs or {}
+    attrs = attrs or {}
+    if fmt == "netcdf3":
+        _write_scipy(path, dims, variables, var_dims, var_attrs, attrs,
+                     unlimited)
+    elif fmt == "hdf5":
+        _write_h5py(path, dims, variables, var_dims, var_attrs, attrs)
+    else:
+        raise IOError_(f"unknown NetCDF write format {fmt!r}")
+
+
+def _write_scipy(path, dims, variables, var_dims, var_attrs, attrs,
+                 unlimited):
+    from scipy.io import netcdf_file
+    with netcdf_file(path, "w", version=2) as f:   # version=2: 64-bit offset
+        for k, v in attrs.items():
+            setattr(f, k, v)
+        for name, length in dims.items():
+            f.createDimension(name, None if name == unlimited else int(length))
+        for name, data in variables.items():
+            data = np.asarray(data)
+            if data.dtype == np.float16:
+                data = data.astype(np.float32)
+            if data.dtype in (np.int8, np.uint8, np.bool_):
+                data = data.astype(np.int32)
+            if data.dtype == np.int64:
+                data = data.astype(np.int32)  # classic NetCDF has no int64
+            v = f.createVariable(name, data.dtype, tuple(var_dims[name]))
+            v[:] = data
+            for k, a in var_attrs.get(name, {}).items():
+                setattr(v, k, a)
+
+
+def _write_h5py(path, dims, variables, var_dims, var_attrs, attrs):
+    import h5py
+    with h5py.File(path, "w") as f:
+        for k, v in attrs.items():
+            f.attrs[k] = v
+        for name, length in dims.items():
+            if name in variables:
+                continue
+            ds = f.create_dataset(name, shape=(int(length),), dtype="f4")
+            ds.make_scale(name)
+        for name, data in variables.items():
+            ds = f.create_dataset(name, data=np.asarray(data))
+            for ax, d in enumerate(var_dims[name]):
+                if d in f and d != name:
+                    ds.dims[ax].attach_scale(f[d])
+            for k, a in var_attrs.get(name, {}).items():
+                ds.attrs[k] = a
