@@ -1,0 +1,339 @@
+"""Ocean model driver: init / run / finalize.
+
+Rewrite of the reference driver stack — ocnInit (ocn/OceanInit.cpp:78-202),
+ocnRun (ocn/OceanRun.cpp:16-70), ocnFinalize (ocn/OceanFinal.cpp:25-50) and
+the standalone main() (src/drivers/standalone/OceanDriver.cpp:17-72).
+
+`ocn_init` follows the reference's phase-ordered module init
+(initOmegaModules, OceanInit.cpp:107-202):
+  clock/calendar/steppers from TimeIntegration -> IO streams -> field and
+  dimension registries -> mesh (file or generator) -> tracers -> initial
+  state (InitialState stream, or RestartRead which resets the model clock
+  from SimulationTime metadata) -> device upload.
+
+`ocn_run` is the time loop: a jitted step advances the device state; the
+host clock advances in lock-step; `StreamManager.write_all` fires alarmed
+output once per step (OceanRun.cpp:62). To keep the device busy the loop
+runs jitted multi-step segments sized to the next host-side alarm ring.
+
+`ocn_finalize` flushes on-shutdown streams and returns the final state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from omega_tpu.core.config import ModelConfig, model_config_from_yaml
+from omega_tpu.core.state import ModelState
+from omega_tpu.core.tracers import (TracerSet, register_tracer_fields,
+                                    select_tracers)
+from omega_tpu.infra.config import Config, default_config
+from omega_tpu.infra.dimension import DimensionRegistry
+from omega_tpu.infra.errors import ConfigError, OmegaError
+from omega_tpu.infra.field import FieldRegistry
+from omega_tpu.infra.logging import get_logger
+from omega_tpu.infra.time_manager import (Alarm, Calendar, CalendarKind,
+                                          Clock, TimeInstant, TimeInterval)
+from omega_tpu.io.stream import StreamManager
+from omega_tpu.mesh.horz_mesh import HorzMesh
+from omega_tpu.stepping.steppers import make_stepper
+
+
+@dataclasses.dataclass
+class OceanModel:
+    """Everything ocn_run needs; the analogue of the reference's collection
+    of module singletons after initOmegaModules."""
+    config: Config
+    model_cfg: ModelConfig
+    mesh: HorzMesh
+    calendar: Calendar
+    clock: Clock
+    end_alarm: Alarm
+    streams: StreamManager
+    fields: FieldRegistry
+    dims: DimensionRegistry
+    tracers: TracerSet
+    stepper: Callable
+    dt: float
+    state: ModelState
+    sim_start: TimeInstant = None   # original simulation start (forcing t=0);
+                                    # survives restart via file metadata
+    directory: str = "."
+    step_count: int = 0
+
+
+_CAL_KINDS = {
+    "gregorian": CalendarKind.GREGORIAN,
+    "no leap": CalendarKind.NO_LEAP,
+    "noleap": CalendarKind.NO_LEAP,
+    "julian day": CalendarKind.JULIAN_DAY,
+    "360 day": CalendarKind.DAY_360,
+    "no calendar": CalendarKind.NO_CALENDAR,
+}
+
+
+def _build_mesh(cfg: Config, directory: str) -> HorzMesh:
+    """Mesh from file (Decomp::readMesh path) or built-in generator."""
+    if cfg.exists("Mesh"):
+        mc = cfg.get_group("Mesh")
+        if mc.exists("MeshFileName"):
+            import os
+            from omega_tpu.mesh.mpas_io import read_mpas_mesh
+            path = mc.get_str("MeshFileName")
+            if not path.startswith("/"):
+                path = os.path.join(directory, path)
+            return read_mpas_mesh(path)
+        if mc.exists("Generate"):
+            g = mc.get_group("Generate")
+            kind = g.get_str("Kind").lower()
+            if kind == "planar":
+                from omega_tpu.mesh.planar import planar_hex_mesh
+                return planar_hex_mesh(
+                    g.get_int("Nx"), g.get_int("Ny"),
+                    dc=g.get_float("Dc", 1000.0),
+                    f0=g.get_float("F0", 0.0),
+                    beta=g.get_float("Beta", 0.0),
+                    bottom_depth=g.get_float("BottomDepth", 1000.0))
+            if kind == "sphere":
+                from omega_tpu.mesh.spherical import spherical_icos_mesh
+                return spherical_icos_mesh(
+                    g.get_int("Subdivisions"),
+                    bottom_depth=g.get_float("BottomDepth", 4000.0),
+                    lloyd_iters=g.get_int("LloydIters", 0))
+            raise ConfigError(f"unknown mesh Generate Kind {kind!r}")
+    raise ConfigError("config needs a Mesh group with MeshFileName or "
+                      "Generate")
+
+
+def _register_fields(fields: FieldRegistry, dims: DimensionRegistry,
+                     mesh: HorzMesh, tracers: TracerSet, nvert: int) -> None:
+    """Dimensions + State/Restart field groups + tracer fields
+    (OceanState/Tracers field registration)."""
+    for name, length in (("NCells", mesh.ncells), ("NEdges", mesh.nedges),
+                         ("NVertices", mesh.nvertices),
+                         ("NVertLayers", nvert)):
+        if not dims.exists(name):
+            dims.create(name, length)
+
+    if not fields.exists("LayerThickness"):
+        fields.create("LayerThickness", description="Layer thickness",
+                      units="m", dim_names=("NCells", "NVertLayers"),
+                      time_dependent=True, valid_min=0.0)
+        fields.create("NormalVelocity",
+                      description="Velocity component normal to edge",
+                      units="m s-1", dim_names=("NEdges", "NVertLayers"),
+                      time_dependent=True)
+        fields.create("SshCell", description="Sea surface height", units="m",
+                      dim_names=("NCells",), time_dependent=True)
+    for gname in ("State", "Restart"):
+        if not fields.group_exists(gname):
+            fields.create_group(gname)
+    fields.add_to_group("State", "LayerThickness", "NormalVelocity")
+    register_tracer_fields(fields, tracers)
+    fields.add_to_group("Restart", "LayerThickness", "NormalVelocity",
+                        *tracers.names)
+    if not fields.exists("code"):
+        fields.create_meta("code", model="omega_tpu", version="0.1.0")
+    if not fields.exists("simulation"):
+        fields.create_meta("simulation")
+
+
+def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
+             config_file: Optional[str] = None) -> OceanModel:
+    """Phase-ordered model init (ocnInit, ocn/OceanInit.cpp:78-202)."""
+    if config is None:
+        config = (Config.read_all(config_file) if config_file
+                  else default_config())
+
+    # --- TimeStepper::init1: calendar, clock, alarms (TimeStepper.cpp:222)
+    ti = config.get_group("TimeIntegration")
+    cal_name = ti.get_str("CalendarType", "No Leap").lower()
+    if cal_name not in _CAL_KINDS:
+        raise ConfigError(f"unknown CalendarType {cal_name!r}")
+    calendar = Calendar(kind=_CAL_KINDS[cal_name])
+    dt_iv = TimeInterval.from_string(ti.get_str("TimeStep"))
+    start = TimeInstant.from_string(calendar, ti.get_str("StartTime"))
+    clock = Clock(start, dt_iv)
+
+    run_dur = ti.get("RunDuration", "none")
+    if isinstance(run_dur, str) and run_dur.lower() not in ("none", ""):
+        stop = start + TimeInterval.from_string(run_dur)
+    else:
+        stop = TimeInstant.from_string(calendar, ti.get_str("StopTime"))
+    end_alarm = Alarm("EndAlarm", ring_time=stop)
+    clock.attach_alarm(end_alarm)
+
+    # --- mesh, tracers, registries
+    mesh = _build_mesh(config, directory)
+    tr_groups = {}
+    if config.exists("Tracers"):
+        tg = config.get_group("Tracers")
+        tr_groups = {k: tg.get_list(k) for k in tg.keys()}
+    if not tr_groups:
+        tr_groups = {"Base": ["Temperature", "Salinity"]}
+    tracers = select_tracers(tr_groups)
+
+    nvert = 1
+    if config.exists("VertCoord"):
+        nvert = config.get_group("VertCoord").get_int("NVertLayers", 1)
+    model_cfg = model_config_from_yaml(config, nvert, tracers.ntracers)
+
+    fields = FieldRegistry()
+    dims = DimensionRegistry()
+    _register_fields(fields, dims, mesh, tracers, nvert)
+    fields.update_meta("simulation", StartTime=str(start),
+                       TimeStep=ti.get_str("TimeStep"))
+
+    # --- IO streams
+    streams_cfg = (config.get_group("IOStreams") if config.exists("IOStreams")
+                   else Config("IOStreams", {}))
+    streams = StreamManager(streams_cfg, clock, calendar, fields, dims,
+                            directory)
+    streams.validate_all()
+
+    # --- initial state: defaults, then InitialState / RestartRead streams
+    import jax.numpy as jnp
+    K = nvert
+    h0 = np.broadcast_to(np.asarray(mesh.bottom_depth)[:, None] / K,
+                         (mesh.ncells, K)).copy()
+    fields.attach("LayerThickness", h0)
+    fields.attach("NormalVelocity", np.zeros((mesh.nedges, K)))
+    for name in tracers.names:
+        fields.attach(name, np.zeros((mesh.ncells, K)))
+
+    meta = streams.read_on_startup(missing_ok_streams=("InitialState",))
+    sim_start = start
+    if "RestartRead" in meta and "SimulationTime" in meta["RestartRead"]:
+        # reset the model clock from restart metadata (OceanInit.cpp:163-177)
+        t_restart = TimeInstant.from_string(
+            calendar, str(meta["RestartRead"]["SimulationTime"]))
+        clock.set_current(t_restart)
+        get_logger().info("restart: clock reset to %s", t_restart)
+        # original simulation start (forcing time reference) travels in the
+        # restart file's StartTime attribute
+        if "StartTime" in meta["RestartRead"]:
+            sim_start = TimeInstant.from_string(
+                calendar, str(meta["RestartRead"]["StartTime"]))
+            fields.update_meta("simulation", StartTime=str(sim_start))
+
+    tr_data = np.stack([np.asarray(fields.get(n).data, np.float64)
+                        for n in tracers.names])
+    state = ModelState(
+        h=jnp.asarray(np.asarray(fields.get("LayerThickness").data,
+                                 np.float64)),
+        u=jnp.asarray(np.asarray(fields.get("NormalVelocity").data,
+                                 np.float64)),
+        tracers=jnp.asarray(tr_data))
+
+    stepper = make_stepper(ti.get_str("TimeStepper", "Forward-Backward"))
+    model = OceanModel(
+        config=config, model_cfg=model_cfg, mesh=mesh, calendar=calendar,
+        clock=clock, end_alarm=end_alarm, streams=streams, fields=fields,
+        dims=dims, tracers=tracers, stepper=stepper,
+        dt=float(dt_iv.total_seconds()), state=state, sim_start=sim_start,
+        directory=directory)
+    _attach_state(model)
+    return model
+
+
+def _attach_state(model: OceanModel) -> None:
+    """Re-attach current state arrays to their fields (the per-step Field
+    re-attachment of OceanState::updateTimeLevels, OceanState.cpp:333-365).
+    Arrays stay on device; numpy materialization happens only on write."""
+    model.fields.attach("LayerThickness", model.state.h)
+    model.fields.attach("NormalVelocity", model.state.u)
+    ssh = np.asarray(model.state.h).sum(-1) - np.asarray(model.mesh.bottom_depth)
+    model.fields.attach("SshCell", ssh)
+    for i, name in enumerate(model.tracers.names):
+        model.fields.attach(name, model.state.tracers[i])
+    model.fields.update_meta("simulation",
+                             SimulationTime=str(model.clock.get_current_time()))
+
+
+def _steps_until_next_alarm(model: OceanModel, max_chunk: int = 512) -> int:
+    """Size the jitted multi-step segment: stop at the next alarm ring so
+    host IO happens at exactly the right step."""
+    from fractions import Fraction
+    now = model.clock.get_current_time()
+    dt = model.clock.step.seconds
+    horizon = max_chunk
+    for alarm in model.clock.alarms:
+        if alarm.stopped or alarm.is_ringing():
+            continue
+        nxt = alarm.next_ring
+        if nxt.elapsed <= now.elapsed:
+            continue
+        nsteps = -((now.elapsed - nxt.elapsed) // dt)   # ceil division
+        horizon = min(horizon, int(nsteps))
+    return max(1, horizon)
+
+
+def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
+    """Time loop until EndAlarm rings (ocnRun, ocn/OceanRun.cpp:16-70)."""
+    import jax
+
+    from omega_tpu.stepping.steppers import run_steps
+
+    mesh, cfg = model.mesh, model.model_cfg
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
+    def segment(state, t0, nsteps):
+        return run_steps(mesh, cfg, state, t0, model.dt, nsteps,
+                         stepper=model.stepper)
+
+    log = get_logger()
+
+    while not model.end_alarm.is_ringing():
+        n = _steps_until_next_alarm(model)
+        t0 = model.clock.get_current_time().seconds_since(model.sim_start)
+        model.state = segment(model.state, t0, n)
+        for _ in range(n):
+            model.clock.advance()
+        model.step_count += n
+        _attach_state(model)
+        model.streams.write_all()
+        for alarm in model.clock.alarms:
+            if alarm.is_ringing() and alarm is not model.end_alarm:
+                alarm.reset(model.clock.get_current_time())
+        if progress_every and model.step_count % progress_every < n:
+            log.info("step %d complete, clock %s", model.step_count,
+                     model.clock.get_current_time())
+    return model
+
+
+def ocn_finalize(model: OceanModel) -> ModelState:
+    """Flush shutdown streams and return final state (ocnFinalize)."""
+    import jax
+    model.state = jax.block_until_ready(model.state)
+    _attach_state(model)
+    model.streams.finalize()
+    get_logger().info("ocn_finalize: %d steps, final time %s",
+                      model.step_count, model.clock.get_current_time())
+    return model.state
+
+
+def main(argv=None) -> int:
+    """Standalone driver (src/drivers/standalone/OceanDriver.cpp:17-72):
+    read omega.yml next to the executable, init, run to completion."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="omega-tpu",
+                                description="TPU-native ocean model driver")
+    p.add_argument("--config", default="omega.yml",
+                   help="YAML config file (default: ./omega.yml)")
+    p.add_argument("--dir", default=".", help="run directory")
+    args = p.parse_args(argv)
+
+    model = ocn_init(config_file=args.config, directory=args.dir)
+    ocn_run(model, progress_every=100)
+    ocn_finalize(model)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,220 @@
+"""Driver + IOStream end-to-end tests.
+
+Mirrors the reference's StandaloneDriverTest (ocnInit -> steps ->
+ocnFinalize) plus the restart/pointer-file chaining contract of
+infra/IOStream.h:28-59,129-134: job 1 writes restarts via a pointer file,
+job 2 dereferences it, resets the clock from SimulationTime, and continues
+bit-exactly as an unbroken run.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+import yaml
+
+from omega_tpu.driver import ocn_init, ocn_run, ocn_finalize
+from omega_tpu.infra.config import Config
+from omega_tpu.io.netcdf import read_netcdf
+
+
+def _base_config(tmp, stop="0001-01-01_01:00:00", streams=None,
+                 start="0001-01-01_00:00:00"):
+    doc = {
+        "Omega": {
+            "TimeIntegration": {
+                "CalendarType": "No Leap",
+                "TimeStepper": "Forward-Backward",
+                "TimeStep": "0000_00:01:00",
+                "StartTime": start,
+                "StopTime": stop,
+                "RunDuration": "none",
+            },
+            "Mesh": {"Generate": {"Kind": "planar", "Nx": 8, "Ny": 8,
+                                  "Dc": 25000.0, "F0": 1.0e-4,
+                                  "BottomDepth": 1000.0}},
+            "VertCoord": {"NVertLayers": 3},
+            "Tracers": {"Base": ["Temperature", "Salinity"]},
+            "Tendencies": {
+                "ThicknessFluxTendencyEnable": True,
+                "PVTendencyEnable": True,
+                "KETendencyEnable": True,
+                "SSHTendencyEnable": True,
+                "VelDiffTendencyEnable": False,
+                "VelHyperDiffTendencyEnable": False,
+                "TracerHorzAdvTendencyEnable": True,
+                "TracerDiffTendencyEnable": False,
+                "TracerHyperDiffTendencyEnable": False,
+            },
+            "IOStreams": streams or {},
+        }
+    }
+    path = os.path.join(tmp, "omega.yml")
+    with open(path, "w") as f:
+        yaml.safe_dump(doc, f)
+    return path
+
+
+def _perturb(model):
+    """Put a wave in the initial SSH so the run does something."""
+    mesh = model.mesh
+    kx = 2 * np.pi / mesh.x_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell))
+    K = model.model_cfg.nvertlayers
+    h = np.asarray(model.state.h) + ssh[:, None] / K
+    model.state = model.state._replace(h=jnp.asarray(h))
+    return model
+
+
+def test_driver_smoke(tmp_path):
+    """ocn_init -> ocn_run -> ocn_finalize on a generated mesh."""
+    tmp = str(tmp_path)
+    cfg_path = _base_config(tmp, stop="0001-01-01_00:30:00")
+    model = ocn_init(config_file=cfg_path, directory=tmp)
+    assert model.model_cfg.nvertlayers == 3
+    assert model.tracers.ntracers == 2
+    model = _perturb(model)
+    vol0 = float(np.sum(np.asarray(model.mesh.area_cell)[:, None]
+                        * np.asarray(model.state.h)))
+    model = ocn_run(model)
+    state = ocn_finalize(model)
+    assert model.step_count == 30
+    assert str(model.clock.get_current_time()) == "0001-01-01_00:30:00"
+    vol1 = float(np.sum(np.asarray(model.mesh.area_cell)[:, None]
+                        * np.asarray(state.h)))
+    assert abs(vol1 - vol0) / vol0 < 1e-13
+    assert np.abs(np.asarray(state.u)).max() > 0
+
+
+def test_history_stream_output(tmp_path):
+    """History stream writes on its alarm cadence with CF metadata and
+    SimulationTime; file count matches the alarm schedule."""
+    tmp = str(tmp_path)
+    streams = {
+        "History": {
+            "UsePointerFile": False,
+            "Filename": "ocn.hist.$SimTime",
+            "Mode": "write",
+            "IfExists": "replace",
+            "Precision": "double",
+            "Freq": 10,
+            "FreqUnits": "minutes",
+            "UseStartEnd": False,
+            "Contents": ["State", "SshCell", "Tracers"],
+        },
+    }
+    cfg_path = _base_config(tmp, stop="0001-01-01_00:30:00", streams=streams)
+    model = _perturb(ocn_init(config_file=cfg_path, directory=tmp))
+    model = ocn_run(model)
+    ocn_finalize(model)
+
+    hist = sorted(f for f in os.listdir(tmp) if f.startswith("ocn.hist."))
+    assert len(hist) == 3        # minutes 10, 20, 30
+    nc = read_netcdf(os.path.join(tmp, hist[-1]))
+    assert nc.attrs["SimulationTime"].startswith("0001-01-01_00:30:00")
+    assert nc.var_attrs["LayerThickness"]["units"] == "m"
+    assert nc.has("Temperature") and nc.has("SshCell")
+    h = nc.get("LayerThickness")
+    assert h.shape == (1, model.mesh.ncells, 3)
+    np.testing.assert_allclose(h[0], np.asarray(model.state.h), rtol=1e-12)
+
+
+def test_restart_chain_bit_exact(tmp_path):
+    """Job 1 (0-30 min) writes restarts through a pointer file; job 2
+    restarts and continues to 60 min. Must equal an unbroken 60-min run
+    bit for bit (restart fidelity, SURVEY.md section 5)."""
+    streams_w = {
+        "RestartWrite": {
+            "UsePointerFile": True,
+            "PointerFilename": "ocn.pointer",
+            "Filename": "ocn.restart.$Y-$M-$D_$h.$m.$s",
+            "Mode": "write",
+            "IfExists": "replace",
+            "Precision": "double",
+            "Freq": 30,
+            "FreqUnits": "minutes",
+            "UseStartEnd": False,
+            "Contents": ["Restart"],
+        },
+        "RestartRead": {
+            "UsePointerFile": True,
+            "PointerFilename": "ocn.pointer",
+            "Mode": "read",
+            "Precision": "double",
+            "Freq": 1,
+            "FreqUnits": "OnStartup",
+            "UseStartEnd": True,
+            "StartTime": "0001-01-01_00:00:01",
+            "EndTime": "9999-12-31_00:00:00",
+            "Contents": ["Restart"],
+        },
+    }
+
+    # --- unbroken 60-minute reference run
+    tmp_ref = str(tmp_path / "ref")
+    os.makedirs(tmp_ref)
+    cfg = _base_config(tmp_ref, stop="0001-01-01_01:00:00")
+    m_ref = _perturb(ocn_init(config_file=cfg, directory=tmp_ref))
+    m_ref = ocn_run(m_ref)
+    ref_state = ocn_finalize(m_ref)
+
+    # --- job 1: 0 -> 30 min, writes restart
+    tmp1 = str(tmp_path / "chain")
+    os.makedirs(tmp1)
+    cfg1 = _base_config(tmp1, stop="0001-01-01_00:30:00", streams=streams_w)
+    m1 = _perturb(ocn_init(config_file=cfg1, directory=tmp1))
+    m1 = ocn_run(m1)
+    ocn_finalize(m1)
+    assert os.path.exists(os.path.join(tmp1, "ocn.pointer"))
+    restart_files = [f for f in os.listdir(tmp1) if "restart" in f]
+    assert len(restart_files) == 1
+
+    # --- job 2: continuation config (StartTime advanced past the stream
+    # window start, the E3SM resubmission pattern), reads pointer
+    cfg2 = _base_config(tmp1, stop="0001-01-01_01:00:00", streams=streams_w,
+                        start="0001-01-01_00:30:00")
+    m2 = ocn_init(config_file=cfg2, directory=tmp1)   # no perturb: restart
+    # forcing time reference recovered from restart metadata
+    assert str(m2.sim_start) == "0001-01-01_00:00:00"
+    assert str(m2.clock.get_current_time()) == "0001-01-01_00:30:00"
+    m2 = ocn_run(m2)
+    state2 = ocn_finalize(m2)
+    assert str(m2.clock.get_current_time()) == "0001-01-01_01:00:00"
+
+    np.testing.assert_array_equal(np.asarray(state2.h),
+                                  np.asarray(ref_state.h))
+    np.testing.assert_array_equal(np.asarray(state2.u),
+                                  np.asarray(ref_state.u))
+    np.testing.assert_array_equal(np.asarray(state2.tracers),
+                                  np.asarray(ref_state.tracers))
+
+
+def test_start_end_window(tmp_path):
+    """UseStartEnd: start inclusive, end exclusive (IOStream.h:136-140)."""
+    tmp = str(tmp_path)
+    streams = {
+        "Highfreq": {
+            "Filename": "ocn.hifreq.$SimTime",
+            "Mode": "write",
+            "IfExists": "replace",
+            "Freq": 10,
+            "FreqUnits": "minutes",
+            "UseStartEnd": True,
+            "StartTime": "0001-01-01_00:15:00",
+            "EndTime": "0001-01-01_00:30:00",
+            "Contents": ["SshCell"],
+        },
+    }
+    cfg_path = _base_config(tmp, stop="0001-01-01_00:40:00", streams=streams)
+    model = _perturb(ocn_init(config_file=cfg_path, directory=tmp))
+    model = ocn_run(model)
+    ocn_finalize(model)
+    files = [f for f in os.listdir(tmp) if f.startswith("ocn.hifreq")]
+    # rings at 10 (before window), 20 (in), 30 (== end, excluded), 40 (after)
+    assert len(files) == 1
+    assert "00.20.00" in files[0].replace(":", ".")
