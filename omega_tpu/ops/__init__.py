@@ -6,3 +6,4 @@ from omega_tpu.ops.trisk import (
     interp_cell_to_edge_aniso,
     interp_cell_to_edge_iso,
 )
+from omega_tpu.ops.tridiag import thomas, pcr, diffusion_solve
