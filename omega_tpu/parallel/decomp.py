@@ -42,25 +42,37 @@ def _morton_key(x, y, bits=16):
     return key
 
 
-def partition_cells(mesh: HorzMesh, nshards: int, method: str = "sfc") -> np.ndarray:
+def _norm_coords(mesh: HorzMesh):
+    """Cell coordinates normalized to [0, 1)^2 (cylindrical on the sphere)."""
+    if mesh.on_sphere:
+        x = (np.asarray(mesh.lon_cell) % (2 * np.pi)) / (2 * np.pi)
+        y = (np.asarray(mesh.lat_cell) + np.pi / 2) / np.pi
+    else:
+        x = np.asarray(mesh.x_cell) / max(mesh.x_period, 1e-30)
+        y = np.asarray(mesh.y_cell) / max(mesh.y_period, 1e-30)
+    return x % 1.0, np.clip(y, 0.0, 1.0 - 1e-12)
+
+
+def partition_cells(mesh: HorzMesh, nshards: int,
+                    method: str = "hilbert") -> np.ndarray:
     """Assign an owning shard to every cell.
 
-    "sfc": sort cells along a Morton curve of (x, y) (or (lon, lat) on the
-    sphere) and cut into equal contiguous chunks — the METIS-free stand-in
-    for base/Decomp.cpp:968 with good locality on quasi-uniform meshes.
+    "hilbert": Hilbert space-filling-curve chunking via the native C++
+    partitioner (omega_tpu.parallel.native; numpy fallback built in) —
+    the METIS-free stand-in for base/Decomp.cpp:968 with good locality.
+    "sfc": Morton (Z-order) curve, pure numpy.
     "stripe": contiguous global-id ranges (useful for tests).
     """
     C = mesh.ncells
+    if method == "hilbert":
+        from omega_tpu.parallel import native
+        x, y = _norm_coords(mesh)
+        return native.partition_geom(x, y, nshards)
     if method == "stripe":
         order = np.arange(C)
     elif method == "sfc":
-        if mesh.on_sphere:
-            x = (np.asarray(mesh.lon_cell) % (2 * np.pi)) / (2 * np.pi)
-            y = (np.asarray(mesh.lat_cell) + np.pi / 2) / np.pi
-        else:
-            x = np.asarray(mesh.x_cell) / max(mesh.x_period, 1e-30)
-            y = np.asarray(mesh.y_cell) / max(mesh.y_period, 1e-30)
-        order = np.argsort(_morton_key(x % 1.0, y % 1.0), kind="stable")
+        x, y = _norm_coords(mesh)
+        order = np.argsort(_morton_key(x, y), kind="stable")
     else:
         raise ValueError(f"unknown partition method {method!r}")
     owner = np.empty(C, np.int64)
@@ -125,7 +137,7 @@ def _halo_layers(owned, cells_on_cell, n_edges_on_cell, width):
 
 
 def decompose(mesh: HorzMesh, nshards: int, *, halo_width: int = HALO_WIDTH,
-              method: str = "sfc") -> ShardedMesh:
+              method: str = "hilbert") -> ShardedMesh:
     """Build the full sharded mesh from a global HorzMesh (host-side)."""
     C, E, V, M, D = (mesh.ncells, mesh.nedges, mesh.nvertices,
                      mesh.max_edges, mesh.vertex_degree)
@@ -147,12 +159,15 @@ def decompose(mesh: HorzMesh, nshards: int, *, halo_width: int = HALO_WIDTH,
     owner_edge = owner_cell[g["cells_on_edge"][:, 0]]
     owner_vertex = owner_cell[g["cells_on_vertex"][:, 0]]
 
+    from omega_tpu.parallel import native
+    all_halos = native.halo_layers(g["cells_on_cell"],
+                                   g["n_edges_on_cell"].astype(np.int32),
+                                   owner_cell, nshards, halo_width)
+
     shards = []
     for s in range(nshards):
-        owned_cells = np.where(owner_cell == s)[0]
-        halo = _halo_layers(owned_cells, g["cells_on_cell"],
-                            g["n_edges_on_cell"], halo_width)
-        local_cells = np.concatenate([owned_cells] + halo)
+        owned_cells, halo = all_halos[s]
+        local_cells = np.concatenate([owned_cells] + list(halo))
 
         # edges/vertices incident to any local cell
         valid = (np.arange(M)[None, :] <
