@@ -62,9 +62,7 @@ class TracerAux(NamedTuple):
 def thickness_aux_edge(mesh: HorzMesh, cfg: ModelConfig, h, u) -> ThicknessAux:
     """FluxLayerThickEdge / MeanLayerThickEdge / SshCell
     (auxiliaryVars/LayerThicknessAux.h:12-92)."""
-    c0 = mesh.cells_on_edge[:, 0]
-    c1 = mesh.cells_on_edge[:, 1]
-    h0, h1 = h[c0], h[c1]
+    h0, h1 = trisk.cell_pair_on_edge(mesh, h)
     mean_h = 0.5 * (h0 + h1)
     if cfg.flux_thickness_type == "center":
         flux_h = mean_h
@@ -79,22 +77,20 @@ def thickness_aux_edge(mesh: HorzMesh, cfg: ModelConfig, h, u) -> ThicknessAux:
 def vorticity_aux(mesh: HorzMesh, h, u) -> VorticityAux:
     """Relative/normalized vorticities (auxiliaryVars/VorticityAuxVars.h:12-95)."""
     rel_vort = trisk.curl_vertex(mesh, u)                        # (V, K)
-    h_vertex = jnp.einsum("vd,vdk->vk", mesh.w_kite_frac,
-                          h[mesh.cells_on_vertex])               # (V, K)
+    h_vertex = trisk.cell_to_vertex_kite(mesh, h)                # (V, K)
     inv_hv = 1.0 / h_vertex
     nrv_v = rel_vort * inv_hv
     npv_v = mesh.f_vertex[:, None] * inv_hv
-    v0 = mesh.vertices_on_edge[:, 0]
-    v1 = mesh.vertices_on_edge[:, 1]
-    nrv_e = 0.5 * (nrv_v[v0] + nrv_v[v1])
-    npv_e = 0.5 * (npv_v[v0] + npv_v[v1])
+    nrv_0, nrv_1 = trisk.vertex_pair_on_edge(mesh, nrv_v)
+    npv_0, npv_1 = trisk.vertex_pair_on_edge(mesh, npv_v)
+    nrv_e = 0.5 * (nrv_0 + nrv_1)
+    npv_e = 0.5 * (npv_0 + npv_1)
     return VorticityAux(rel_vort, nrv_v, npv_v, nrv_e, npv_e)
 
 
 def kinetic_aux(mesh: HorzMesh, u) -> KineticAux:
     """KE and velocity divergence at cells (auxiliaryVars/KineticAuxVars.h:12-60)."""
-    ke = jnp.einsum("cj,cjk->ck", mesh.w_ke_cell,
-                    jnp.square(u)[mesh.edges_on_cell])
+    ke = trisk.ke_cell(mesh, u)
     div = trisk.div_cell(mesh, u)
     return KineticAux(ke_cell=ke, div_cell=div)
 
@@ -107,12 +103,12 @@ def del2_aux(mesh: HorzMesh, div_cell, rel_vort_vertex) -> Del2Aux:
     the grad-div part of Del2Edge (VelocityDel2AuxVars.h:40-45) and the
     dv >= 0.25*dc floor on the vorticity difference.
     """
-    c0, c1 = mesh.cells_on_edge[:, 0], mesh.cells_on_edge[:, 1]
-    w0, w1 = mesh.vertices_on_edge[:, 0], mesh.vertices_on_edge[:, 1]
+    d0, d1 = trisk.cell_pair_on_edge(mesh, div_cell)
+    rv0, rv1 = trisk.vertex_pair_on_edge(mesh, rel_vort_vertex)
     inv_dc = (1.0 / mesh.dc_edge)[:, None]
     inv_dv = (1.0 / jnp.maximum(mesh.dv_edge, 0.25 * mesh.dc_edge))[:, None]
-    grad_div = (div_cell[c1] - div_cell[c0]) * inv_dc
-    curl_vort = -(rel_vort_vertex[w1] - rel_vort_vertex[w0]) * inv_dv
+    grad_div = (d1 - d0) * inv_dc
+    curl_vort = -(rv1 - rv0) * inv_dv
     del2_edge = mesh.edge_mask[:, None] * grad_div + curl_vort
 
     del2_div = trisk.div_cell(mesh, del2_edge)
@@ -154,20 +150,19 @@ def _weighted_cell_laplacian(mesh: HorzMesh, edge_factor, field):
     TracerDiffOnCell and TracerHyperDiffOnCell (TendencyTerms.h:386-492).
     `field` is (..., C, K); `edge_factor` broadcasts against (E, K).
     """
-    c0, c1 = mesh.cells_on_edge[:, 0], mesh.cells_on_edge[:, 1]
-    grad = jnp.take(field, c1, axis=-2) - jnp.take(field, c0, axis=-2)
-    g = (mesh.edge_mask * mesh.dv_edge / mesh.dc_edge)[:, None] * edge_factor * grad
-    w = -mesh.edge_sign_on_cell / mesh.area_cell[:, None]      # (C, M)
-    ge = jnp.take(g, mesh.edges_on_cell, axis=-2)              # (..., C, M, K)
-    return jnp.einsum("cj,...cjk->...ck", w, ge)
+    f0, f1 = trisk.cell_pair_on_edge(mesh, field)
+    g = (mesh.edge_mask * mesh.dv_edge / mesh.dc_edge)[:, None] \
+        * edge_factor * (f1 - f0)
+    return trisk.edge_to_cell_signed(mesh, g)
 
 
 def tracer_aux(mesh: HorzMesh, cfg: ModelConfig, h, u, tracers,
                mean_h_edge) -> TracerAux:
     """HTracersEdge and Del2TracersCell (auxiliaryVars/TracerAuxVars.h:13-108)."""
-    c0, c1 = mesh.cells_on_edge[:, 0], mesh.cells_on_edge[:, 1]
-    htr0 = h[c0] * jnp.take(tracers, c0, axis=1)   # (L, E, K)
-    htr1 = h[c1] * jnp.take(tracers, c1, axis=1)
+    h0, h1 = trisk.cell_pair_on_edge(mesh, h)
+    tr0, tr1 = trisk.cell_pair_on_edge(mesh, tracers)
+    htr0 = h0 * tr0                                # (L, E, K)
+    htr1 = h1 * tr1
     if cfg.flux_tracer_type == "center":
         h_tr_edge = 0.5 * (htr0 + htr1)
     elif cfg.flux_tracer_type == "upwind":

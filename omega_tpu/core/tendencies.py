@@ -79,22 +79,19 @@ def velocity_tendency(mesh: HorzMesh, cfg: ModelConfig,
     if tc.ssh_gradient:
         tend = tend - mask * cfg.gravity * trisk.grad_edge(mesh, mom.thickness.ssh_cell)
 
-    c0, c1 = mesh.cells_on_edge[:, 0], mesh.cells_on_edge[:, 1]
-    v0, v1 = mesh.vertices_on_edge[:, 0], mesh.vertices_on_edge[:, 1]
     inv_dc = (1.0 / mesh.dc_edge)[:, None]
     inv_dv = (1.0 / mesh.dv_edge)[:, None]
 
     if tc.velocity_diffusion:
-        div = mom.kinetic.div_cell
-        rv = mom.vorticity.rel_vort_vertex
-        del2u = ((div[c1] - div[c0]) * inv_dc - (rv[v1] - rv[v0]) * inv_dv)
+        d0, d1 = trisk.cell_pair_on_edge(mesh, mom.kinetic.div_cell)
+        rv0, rv1 = trisk.vertex_pair_on_edge(mesh, mom.vorticity.rel_vort_vertex)
+        del2u = ((d1 - d0) * inv_dc - (rv1 - rv0) * inv_dv)
         tend = tend + mask * tc.visc_del2 * mesh.mesh_scaling_del2[:, None] * del2u
 
     if tc.velocity_hyperdiff:
-        d2d = mom.del2.del2_div_cell
-        d2rv = mom.del2.del2_rvort_vertex
-        del2u = (tc.div_factor * (d2d[c1] - d2d[c0]) * inv_dc
-                 - (d2rv[v1] - d2rv[v0]) * inv_dv)
+        d0, d1 = trisk.cell_pair_on_edge(mesh, mom.del2.del2_div_cell)
+        rv0, rv1 = trisk.vertex_pair_on_edge(mesh, mom.del2.del2_rvort_vertex)
+        del2u = (tc.div_factor * (d1 - d0) * inv_dc - (rv1 - rv0) * inv_dv)
         tend = tend - mask * tc.visc_del4 * mesh.mesh_scaling_del4[:, None] * del2u
 
     if tc.wind_forcing and mom.normal_stress_edge is not None:
@@ -103,8 +100,8 @@ def velocity_tendency(mesh: HorzMesh, cfg: ModelConfig,
         tend = tend.at[:, 0].add(top)
 
     if tc.bottom_drag:
-        ke = mom.kinetic.ke_cell
-        speed = jnp.sqrt(ke[c0, -1] + ke[c1, -1])
+        ke0, ke1 = trisk.cell_pair_on_edge(mesh, mom.kinetic.ke_cell[:, -1:])
+        speed = jnp.sqrt(ke0[:, 0] + ke1[:, 0])
         drag = (mask[:, 0] * tc.bottom_drag_coeff * speed * u[:, -1]
                 / mom.thickness.mean_h_edge[:, -1])
         tend = tend.at[:, -1].add(-drag)
@@ -140,9 +137,7 @@ def compute_tracer_tendency(mesh, cfg, h, u, tracers, mean_h_edge, t):
 
     if tc.tracer_horz_adv:
         flux = tr_aux.h_tracers_edge * (mask * u)
-        adv = jnp.einsum("cj,lcjk->lck", mesh.w_div_cell,
-                         jnp.take(flux, mesh.edges_on_cell, axis=1))
-        tend = tend - adv
+        tend = tend - trisk.div_cell(mesh, flux)
 
     if tc.tracer_diffusion:
         tend = tend + tc.eddy_diff2 * auxmod._weighted_cell_laplacian(

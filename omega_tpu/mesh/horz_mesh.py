@@ -49,7 +49,8 @@ import numpy as np
         "w_div_cell", "w_ke_cell", "w_curl_vertex", "w_kite_frac",
     ],
     meta_fields=["ncells", "nedges", "nvertices", "max_edges", "vertex_degree",
-                 "on_sphere", "sphere_radius", "x_period", "y_period"],
+                 "on_sphere", "sphere_radius", "x_period", "y_period",
+                 "structured_nx", "structured_ny", "structured_dc"],
 )
 @dataclasses.dataclass(frozen=True)
 class HorzMesh:
@@ -68,6 +69,12 @@ class HorzMesh:
     sphere_radius: float = 0.0
     x_period: float = 0.0
     y_period: float = 0.0
+    # non-zero when the mesh is the uniform doubly periodic hex grid of
+    # planar_hex_mesh: enables the gather-free roll-based operator path
+    # (ops/structured.py); 0 for unstructured/sharded meshes
+    structured_nx: int = 0
+    structured_ny: int = 0
+    structured_dc: float = 0.0
 
     # --- cell arrays ---
     x_cell: jax.Array = None           # (C,)

@@ -236,5 +236,15 @@ def planar_hex_mesh(nx: int, ny: int, dc: float = 1.0, *,
         f_vertex=f_vertex, cells_on_vertex=cells_on_vertex,
         edges_on_vertex=edges_on_vertex, kite_areas_on_vertex=kites,
     )
-    return finalize_mesh(raw, ncells=C, nedges=E, nvertices=V, max_edges=M,
+    mesh = finalize_mesh(raw, ncells=C, nedges=E, nvertices=V, max_edges=M,
                          vertex_degree=D, x_period=Lx, y_period=Ly)
+    # mark the regular (ny, nx) structure so operators can take the
+    # gather-free roll path (ops/structured.py), and build the shift
+    # tables eagerly while the arrays are still host numpy (inside jit
+    # the mesh leaves are tracers and tables can only be cache hits)
+    import dataclasses as _dc
+    mesh = _dc.replace(mesh, structured_nx=nx, structured_ny=ny,
+                       structured_dc=float(dc))
+    from omega_tpu.ops import trisk
+    trisk.warm_structured(mesh)
+    return mesh

@@ -1,0 +1,196 @@
+"""Gather-free stencil execution on uniform doubly periodic hex meshes.
+
+TPU gathers of (element, K) rows run ~10-15x slower than streaming reads
+(measured on v5e: 2.7-5.7 ms per gathered operator at 256^2 x 100 vs
+~0.2 ms for an elementwise sweep). On the uniform planar hex mesh every
+stencil neighbor is a FIXED lattice displacement, so each gather can be
+replaced by jnp.roll shifts — pure streaming, fused by XLA.
+
+The machinery is derived, not hand-coded: `_decompose` inspects an actual
+connectivity array (e.g. edges_on_cell) of the generated mesh and factors
+every (destination-type, slot) entry into
+
+    (source type t, row shift dj, column shift for even rows di_e,
+     column shift for odd rows di_o)
+
+verifying uniformity across all elements (the odd-row stagger of the
+offset hex layout makes di parity-dependent). Weights are likewise
+verified uniform per slot and reduced to scalars. Any mesh whose
+connectivity does not factor this way simply fails detection and stays on
+the gather path, so correctness never depends on the generator details.
+
+Element ids follow the planar generator: cell c = j*nx + i, edges
+3c + {0,1,2} (E/NE/NW), vertices 2c + {0,1} (mesh/planar.py:93-200).
+Canonical internal layout: (..., ny, nx, T, K) with T = ids per cell.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import Callable, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_NPER = {"cell": 1, "edge": 3, "vertex": 2}
+
+_DISABLED = os.environ.get("OMEGA_STRUCTURED", "1") in ("0", "false", "no")
+
+
+def enabled(mesh) -> bool:
+    return (not _DISABLED and getattr(mesh, "structured_nx", 0) > 0
+            and mesh.structured_ny % 2 == 0)
+
+
+# ----------------------------------------------------------------------
+# table derivation (host-side numpy, cached per mesh size + stencil name)
+
+def _wrap(d, n):
+    """Displacement folded to the symmetric range (-n/2, n/2]."""
+    return (d + n // 2) % n - n // 2
+
+
+def _decompose(idx: np.ndarray, dst_class: str, src_class: str,
+               nx: int, ny: int,
+               weights: Optional[np.ndarray]) -> Optional[list]:
+    """Factor a (N_dst, S) index map into per-(t_dst, slot) shift tuples.
+
+    Returns [(t_dst, t_src, dj, di_e, di_o, w_scalar), ...] or None if the
+    map is not uniform (not a structured mesh stencil)."""
+    pd, ps = _NPER[dst_class], _NPER[src_class]
+    N, S = idx.shape
+    C = nx * ny
+    if N != C * pd:
+        return None
+    d = np.arange(N)
+    c_dst = d // pd
+    i_dst, j_dst = c_dst % nx, c_dst // nx
+    t_dst = d % pd
+    out = []
+    for s in range(S):
+        tgt = idx[:, s]
+        t_src = tgt % ps
+        c_src = tgt // ps
+        i_src, j_src = c_src % nx, c_src // nx
+        dj = _wrap(j_src - j_dst, ny)
+        di = _wrap(i_src - i_dst, nx)
+        for t in range(pd):
+            sel = t_dst == t
+            if not sel.any():
+                return None
+            if weights is not None and np.all(weights[sel, s] == 0.0):
+                continue    # padded slot (e.g. edgesOnEdge beyond nEdgesOnEdge)
+            ts = t_src[sel]
+            if (ts != ts[0]).any():
+                return None
+            djs = dj[sel]
+            if (djs != djs[0]).any():
+                return None
+            even = sel & (j_dst % 2 == 0)
+            odd = sel & (j_dst % 2 == 1)
+            di_e = di[even]
+            di_o = di[odd]
+            if (di_e != di_e[0]).any() or (di_o != di_o[0]).any():
+                return None
+            if abs(int(djs[0])) > 2 or abs(int(di_e[0])) > 2 \
+                    or abs(int(di_o[0])) > 2:
+                return None
+            w = 1.0
+            if weights is not None:
+                ws = weights[sel, s]
+                if not np.allclose(ws, ws[0], rtol=0, atol=0):
+                    return None
+                w = float(ws[0])
+            out.append((t, int(ts[0]), int(djs[0]), int(di_e[0]),
+                        int(di_o[0]), w))
+    return out
+
+
+_TABLE_CACHE: dict = {}
+
+
+def stencil_table(mesh, name: str, idx, dst_class: str,
+                  src_class: str, weights=None):
+    """Cached table for a named stencil of a structured mesh. `idx` and
+    `weights` may be attribute names or arrays; cache key is mesh size +
+    grid spacing + stencil name (weights are pure functions of dc on the
+    uniform mesh, so same-size different-spacing meshes must not collide).
+
+    Tables are built from host numpy arrays — planar_hex_mesh warms the
+    cache at construction. Inside jit the mesh leaves are tracers, so a
+    cache miss there falls back to the gather path (returns a None table)
+    rather than erroring."""
+    key = (mesh.structured_nx, mesh.structured_ny, mesh.structured_dc, name)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    if isinstance(idx, str):
+        idx = getattr(mesh, idx)
+    import jax.core
+    if isinstance(idx, jax.core.Tracer) or isinstance(
+            getattr(mesh, "dc_edge"), jax.core.Tracer):
+        return (None, dst_class, src_class)
+    idx = np.asarray(idx)
+    if idx.ndim == 1:
+        idx = idx[:, None]
+    if isinstance(weights, str):
+        weights = getattr(mesh, weights)
+    w = None if weights is None else np.asarray(weights)
+    tab = _decompose(idx, dst_class, src_class,
+                     mesh.structured_nx, mesh.structured_ny, w)
+    _TABLE_CACHE[key] = (tab, dst_class, src_class)
+    return _TABLE_CACHE[key]
+
+
+# ----------------------------------------------------------------------
+# execution
+
+def _to_grid(f, nper: int, nx: int, ny: int):
+    """(..., N, K) -> (..., ny, nx, T, K)."""
+    return f.reshape(f.shape[:-2] + (ny, nx, nper) + f.shape[-1:])
+
+
+def _from_grid(g):
+    """(..., ny, nx, T, K) -> (..., N, K)."""
+    ny, nx, T, K = g.shape[-4:]
+    return g.reshape(g.shape[:-4] + (ny * nx * T, K))
+
+
+def _shift(F, dj: int, di_e: int, di_o: int):
+    """out[..., j, i, :] = F[..., (j+dj) % ny, (i+di(j)) % nx, :]
+    with di depending on the parity of the DESTINATION row j.
+    F: (..., ny, nx, K); row axis -3, column axis -2."""
+    G = jnp.roll(F, -dj, axis=-3) if dj else F
+    if di_e == di_o:
+        return jnp.roll(G, -di_e, axis=-2) if di_e else G
+    Ge = G[..., 0::2, :, :]
+    Go = G[..., 1::2, :, :]
+    if di_e:
+        Ge = jnp.roll(Ge, -di_e, axis=-2)
+    if di_o:
+        Go = jnp.roll(Go, -di_o, axis=-2)
+    return _interleave(Ge, Go)
+
+
+def _interleave(even, odd):
+    """Rows [e0, o0, e1, o1, ...]: (..., ny/2, nx, K) x2 -> (..., ny, nx, K)."""
+    st = jnp.stack([even, odd], axis=-3)          # (..., ny/2, 2, nx, K)
+    return st.reshape(st.shape[:-4] + (st.shape[-4] * 2,) + st.shape[-2:])
+
+
+def apply_stencil(mesh, table, field, src_weight=None):
+    """Compute out[d] = sum_s w_{t,s} * field[idx[d, s]] via rolls.
+
+    field: (..., N_src, K). Returns (..., N_dst, K)."""
+    tab, dst_class, src_class = table
+    nx, ny = mesh.structured_nx, mesh.structured_ny
+    ps, pd = _NPER[src_class], _NPER[dst_class]
+    G = _to_grid(field, ps, nx, ny)               # (..., ny, nx, ps, K)
+    parts: List = [None] * pd
+    for (t_dst, t_src, dj, di_e, di_o, w) in tab:
+        src = G[..., t_src, :]                    # (..., ny, nx, K)
+        term = _shift(src, dj, di_e, di_o)
+        term = term * w if w != 1.0 else term
+        parts[t_dst] = term if parts[t_dst] is None else parts[t_dst] + term
+    out = jnp.stack(parts, axis=-2)               # (..., ny, nx, pd, K)
+    return _from_grid(out)

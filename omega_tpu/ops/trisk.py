@@ -2,78 +2,201 @@
 
 The reference implements these as per-element Kokkos functors with inner
 neighbor loops (ocn/HorzOperators.h:9-187). Here every operator is a
-whole-array weighted gather: neighbor indices are static (C, M) int32 arrays
-(padded entries point at element 0 with weight 0), the vertical dimension K
-rides the TPU lane axis, and XLA fuses gather + multiply + reduce into a
-single HBM-bandwidth-bound sweep.
+whole-array weighted gather: neighbor indices are static (C, M) int32
+arrays (padded entries point at element 0 with weight 0), the vertical
+dimension K rides the TPU lane axis, and XLA fuses gather + multiply +
+reduce into one HBM sweep.
 
-Field shape conventions: cell fields (C, K), edge fields (E, K),
-vertex fields (V, K). Operators are linear maps between element classes.
+Two execution paths, numerically equivalent:
+  * gather path — general unstructured MPAS meshes
+  * roll path   — uniform planar hex meshes (ops/structured.py): every
+    neighbor access becomes a lattice shift; ~10x faster on TPU where
+    row gathers fall off the streaming path
+
+Besides the five classic operators, this module exposes the gather
+PRIMITIVES the aux-var/tendency layers build on (cell/vertex pairs on
+edges, kite-weighted cell->vertex, signed edge->cell sums), so the whole
+hot path inherits the fast path on structured meshes.
+
+Field shape conventions: cell fields (..., C, K), edge fields (..., E, K),
+vertex fields (..., V, K). Operators are linear maps between classes.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from omega_tpu.mesh.horz_mesh import HorzMesh
+from omega_tpu.ops import structured
 
 
 def _gather_sum(weights, idx, field):
-    """sum_j weights[n, j] * field[idx[n, j], k] -> (n, K)."""
-    return jnp.einsum("nj,njk->nk", weights, field[idx])
+    """sum_j weights[n, j] * field[..., idx[n, j], k] -> (..., n, K)."""
+    g = jnp.take(field, idx, axis=-2)            # (..., N, M, K)
+    return jnp.einsum("nj,...njk->...nk", weights, g)
 
 
-def div_cell(mesh: HorzMesh, vec_edge: jnp.ndarray) -> jnp.ndarray:
+def _take(field, idx):
+    return jnp.take(field, idx, axis=-2)
+
+
+def _struct(mesh, name, idx, dst, src, weights=None):
+    """Structured stencil table, or None when unavailable."""
+    if not structured.enabled(mesh):
+        return None
+    tab, _, _ = table = structured.stencil_table(mesh, name, idx, dst, src,
+                                                 weights)
+    return table if tab is not None else None
+
+
+def warm_structured(mesh: HorzMesh) -> bool:
+    """Eagerly build every stencil table for a structured mesh while its
+    arrays are host numpy (called by the planar generator). Returns True
+    when the roll path is fully available."""
+    if not structured.enabled(mesh):
+        return False
+    w_signed = -np.asarray(mesh.edge_sign_on_cell) / np.asarray(
+        mesh.area_cell)[:, None]
+    specs = [
+        ("div", mesh.edges_on_cell, "cell", "edge", mesh.w_div_cell),
+        ("ke", mesh.edges_on_cell, "cell", "edge", mesh.w_ke_cell),
+        ("signed_div", mesh.edges_on_cell, "cell", "edge", w_signed),
+        ("curl", mesh.edges_on_vertex, "vertex", "edge", mesh.w_curl_vertex),
+        ("kite", mesh.cells_on_vertex, "vertex", "cell", mesh.w_kite_frac),
+        ("tang", mesh.edges_on_edge, "edge", "edge", mesh.weights_on_edge),
+        ("c0", mesh.cells_on_edge[:, 0], "edge", "cell", None),
+        ("c1", mesh.cells_on_edge[:, 1], "edge", "cell", None),
+        ("v0", mesh.vertices_on_edge[:, 0], "edge", "vertex", None),
+        ("v1", mesh.vertices_on_edge[:, 1], "edge", "vertex", None),
+    ]
+    ok = True
+    for name, idx, dst, src, w in specs:
+        tab, _, _ = structured.stencil_table(mesh, name, idx, dst, src, w)
+        ok = ok and tab is not None
+    return ok
+
+
+# ----------------------------------------------------------------------
+# primitives
+
+def cell_pair_on_edge(mesh: HorzMesh, f):
+    """(f[cellsOnEdge[:,0]], f[cellsOnEdge[:,1]]) for a cell field."""
+    t0 = _struct(mesh, "c0", mesh.cells_on_edge[:, 0], "edge", "cell")
+    if t0 is not None:
+        t1 = _struct(mesh, "c1", mesh.cells_on_edge[:, 1], "edge", "cell")
+        return (structured.apply_stencil(mesh, t0, f),
+                structured.apply_stencil(mesh, t1, f))
+    return _take(f, mesh.cells_on_edge[:, 0]), _take(f, mesh.cells_on_edge[:, 1])
+
+
+def vertex_pair_on_edge(mesh: HorzMesh, f):
+    """(f[verticesOnEdge[:,0]], f[verticesOnEdge[:,1]]) for a vertex field."""
+    t0 = _struct(mesh, "v0", mesh.vertices_on_edge[:, 0], "edge", "vertex")
+    if t0 is not None:
+        t1 = _struct(mesh, "v1", mesh.vertices_on_edge[:, 1], "edge", "vertex")
+        return (structured.apply_stencil(mesh, t0, f),
+                structured.apply_stencil(mesh, t1, f))
+    return (_take(f, mesh.vertices_on_edge[:, 0]),
+            _take(f, mesh.vertices_on_edge[:, 1]))
+
+
+def cell_to_vertex_kite(mesh: HorzMesh, f):
+    """Kite-area-fraction interpolation of a cell field to vertices
+    (h_vertex of VorticityAuxVars.h:36-48)."""
+    t = _struct(mesh, "kite", mesh.cells_on_vertex, "vertex", "cell",
+                mesh.w_kite_frac)
+    if t is not None:
+        return structured.apply_stencil(mesh, t, f)
+    return _gather_sum(mesh.w_kite_frac, mesh.cells_on_vertex, f)
+
+
+def edge_to_cell_signed(mesh: HorzMesh, g):
+    """sum_e -sign(c,e)/A_c * g[e]: the shared edge->cell accumulation of
+    the tracer laplacian/diffusion terms (TracerAuxVars.h:70-105)."""
+    w = -np.asarray(mesh.edge_sign_on_cell) / np.asarray(
+        mesh.area_cell)[:, None]
+    t = _struct(mesh, "signed_div", mesh.edges_on_cell, "cell", "edge", w)
+    if t is not None:
+        return structured.apply_stencil(mesh, t, g)
+    return _gather_sum(jnp.asarray(w, g.dtype), mesh.edges_on_cell, g)
+
+
+def ke_cell(mesh: HorzMesh, u):
+    """Kinetic energy at cells: sum_e w_ke * u_e^2 (KineticAuxVars.h:12-60)."""
+    u2 = jnp.square(u)
+    t = _struct(mesh, "ke", mesh.edges_on_cell, "cell", "edge",
+                mesh.w_ke_cell)
+    if t is not None:
+        return structured.apply_stencil(mesh, t, u2)
+    return _gather_sum(mesh.w_ke_cell, mesh.edges_on_cell, u2)
+
+
+# ----------------------------------------------------------------------
+# classic TRiSK operators
+
+def div_cell(mesh: HorzMesh, vec_edge):
     """Divergence of an edge-normal vector field at cell centers.
 
     div(c) = -(1/A_c) sum_e sign(c,e) dv_e u_e   (HorzOperators.h:9-42)
     """
+    t = _struct(mesh, "div", mesh.edges_on_cell, "cell", "edge",
+                mesh.w_div_cell)
+    if t is not None:
+        return structured.apply_stencil(mesh, t, vec_edge)
     return _gather_sum(mesh.w_div_cell, mesh.edges_on_cell, vec_edge)
 
 
-def grad_edge(mesh: HorzMesh, scalar_cell: jnp.ndarray) -> jnp.ndarray:
+def grad_edge(mesh: HorzMesh, scalar_cell):
     """Normal gradient of a cell scalar on edges (HorzOperators.h:44-66)."""
-    c0 = mesh.cells_on_edge[:, 0]
-    c1 = mesh.cells_on_edge[:, 1]
+    f0, f1 = cell_pair_on_edge(mesh, scalar_cell)
     inv_dc = (1.0 / mesh.dc_edge)[:, None]
-    return inv_dc * (scalar_cell[c1] - scalar_cell[c0])
+    return inv_dc * (f1 - f0)
 
 
-def curl_vertex(mesh: HorzMesh, vec_edge: jnp.ndarray) -> jnp.ndarray:
+def curl_vertex(mesh: HorzMesh, vec_edge):
     """Relative vorticity (curl) of an edge-normal field at vertices.
 
     curl(v) = (1/A_v) sum_e sign(v,e) dc_e u_e   (HorzOperators.h:68-102)
     """
+    t = _struct(mesh, "curl", mesh.edges_on_vertex, "vertex", "edge",
+                mesh.w_curl_vertex)
+    if t is not None:
+        return structured.apply_stencil(mesh, t, vec_edge)
     return _gather_sum(mesh.w_curl_vertex, mesh.edges_on_vertex, vec_edge)
 
 
-def tangential_edge(mesh: HorzMesh, vec_edge: jnp.ndarray) -> jnp.ndarray:
+def tangential_edge(mesh: HorzMesh, vec_edge):
     """Tangential velocity reconstruction on edges via TRiSK weights.
 
     t(e) = sum_{e'} w(e,e') u(e')   (HorzOperators.h:104-133)
     """
+    t = _struct(mesh, "tang", mesh.edges_on_edge, "edge", "edge",
+                mesh.weights_on_edge)
+    if t is not None:
+        return structured.apply_stencil(mesh, t, vec_edge)
     return _gather_sum(mesh.weights_on_edge, mesh.edges_on_edge, vec_edge)
 
 
-def interp_cell_to_edge_aniso(mesh: HorzMesh, scalar_cell: jnp.ndarray) -> jnp.ndarray:
+def interp_cell_to_edge_aniso(mesh: HorzMesh, scalar_cell):
     """Two-cell average onto edges (HorzOperators.h:158-164)."""
-    c0 = mesh.cells_on_edge[:, 0]
-    c1 = mesh.cells_on_edge[:, 1]
-    return 0.5 * (scalar_cell[c0] + scalar_cell[c1])
+    f0, f1 = cell_pair_on_edge(mesh, scalar_cell)
+    return 0.5 * (f0 + f1)
 
 
-def interp_cell_to_edge_iso(mesh: HorzMesh, scalar_cell: jnp.ndarray) -> jnp.ndarray:
+def interp_cell_to_edge_iso(mesh: HorzMesh, scalar_cell):
     """Kite-area-weighted interpolation onto edges (HorzOperators.h:166-183).
 
     Averages over the cells of both end vertices with kite-area weights.
     """
-    voe = mesh.vertices_on_edge                      # (E, 2)
-    kites = mesh.kite_areas_on_vertex                # (V, D)
-    cov = mesh.cells_on_vertex                       # (V, D)
-    k_e = kites[voe]                                 # (E, 2, D)
-    vals = scalar_cell[cov[voe]]                     # (E, 2, D, K?) or (E,2,D)
-    if vals.ndim == 3:
-        accum = jnp.einsum("eld,eld->e", k_e, vals)
-        return accum / jnp.sum(k_e, axis=(1, 2))
-    accum = jnp.einsum("eld,eldk->ek", k_e, vals)
-    return accum / jnp.sum(k_e, axis=(1, 2))[:, None]
+    was_1d = scalar_cell.ndim == 1
+    f = scalar_cell[:, None] if was_1d else scalar_cell
+    # per-vertex kite-weighted numerator: w_kite_frac = kites/areaTri, so
+    # num_v = interp_v * areaTri; denominator is the vertex kite sum
+    # (== areaTri on interior vertices)
+    ksum = jnp.sum(mesh.kite_areas_on_vertex, axis=1, keepdims=True)  # (V,1)
+    num_v = cell_to_vertex_kite(mesh, f) * mesh.area_triangle[:, None]
+    num0, num1 = vertex_pair_on_edge(mesh, num_v)
+    den0, den1 = vertex_pair_on_edge(mesh, ksum)
+    out = (num0 + num1) / (den0 + den1)
+    return out[:, 0] if was_1d else out
