@@ -126,9 +126,9 @@ def stencil_table(mesh, name: str, idx, dst_class: str,
         return _TABLE_CACHE[key]
     if isinstance(idx, str):
         idx = getattr(mesh, idx)
-    import jax.core
-    if isinstance(idx, jax.core.Tracer) or isinstance(
-            getattr(mesh, "dc_edge"), jax.core.Tracer):
+    if not isinstance(idx, np.ndarray):
+        # traced / device arrays (inside jit): lookup-only, no build —
+        # warm_structured populates the cache at mesh construction
         return (None, dst_class, src_class)
     idx = np.asarray(idx)
     if idx.ndim == 1:

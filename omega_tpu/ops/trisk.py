@@ -114,12 +114,17 @@ def cell_to_vertex_kite(mesh: HorzMesh, f):
 def edge_to_cell_signed(mesh: HorzMesh, g):
     """sum_e -sign(c,e)/A_c * g[e]: the shared edge->cell accumulation of
     the tracer laplacian/diffusion terms (TracerAuxVars.h:70-105)."""
-    w = -np.asarray(mesh.edge_sign_on_cell) / np.asarray(
-        mesh.area_cell)[:, None]
-    t = _struct(mesh, "signed_div", mesh.edges_on_cell, "cell", "edge", w)
-    if t is not None:
-        return structured.apply_stencil(mesh, t, g)
-    return _gather_sum(jnp.asarray(w, g.dtype), mesh.edges_on_cell, g)
+    if structured.enabled(mesh):
+        w_np = None
+        if isinstance(mesh.edge_sign_on_cell, np.ndarray):
+            w_np = -np.asarray(mesh.edge_sign_on_cell) / np.asarray(
+                mesh.area_cell)[:, None]
+        t = _struct(mesh, "signed_div", mesh.edges_on_cell, "cell", "edge",
+                    w_np)
+        if t is not None:
+            return structured.apply_stencil(mesh, t, g)
+    w = -mesh.edge_sign_on_cell / mesh.area_cell[:, None]
+    return _gather_sum(w.astype(g.dtype), mesh.edges_on_cell, g)
 
 
 def ke_cell(mesh: HorzMesh, u):

@@ -3,19 +3,40 @@
 The reference packs per-neighbor device buffers, posts MPI_Irecv/Isend
 (device buffers under GPU-aware MPI), and unpacks in an MPI_Test polling
 loop (base/Halo.h:769-915). On TPU the equivalent is: pack owned boundary
-values with a static gather, move them over ICI with one XLA collective,
-and scatter into halo slots — XLA schedules the overlap, no polling loop.
+values with a static gather, move them over ICI with XLA collectives, and
+scatter into halo slots — XLA schedules the overlap, no polling loop.
 
-This round uses all_gather of the packed boundary buffers (simple, correct,
-O(S * boundary) traffic). A ppermute neighbor-ring variant and a Pallas
-async remote-copy variant (interior/boundary split for overlap) are the
-planned upgrades; the index lists are already per-neighbor-ready.
+Two variants:
+  * `exchange`           — all_gather of the packed boundary buffers
+                           (simple; O(S * boundary) traffic)
+  * `exchange_permute`   — one `ppermute` per distinct neighbor rank
+                           distance, sending each pair exactly its
+                           boundary (the MPI_Isend/Irecv analogue; traffic
+                           O(boundary)); index lists precomputed on host
+                           by sharded.build_permute_lists, exactly like
+                           Halo::generateExchangeLists (base/Halo.cpp:455)
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def exchange_permute(x, plists, axis_name: str = "x"):
+    """Neighbor-pair halo refresh via ppermute rings.
+
+    plists: sequence of (d, send_idx (Nd,), recv_dst (Nd,)) — this shard's
+    rows of the per-distance exchange lists. For distance d the shard
+    sends to rank (r+d) % S and receives from (r-d) % S; padded slots
+    target the dummy trailing row.
+    """
+    for (d, nshards, send_idx, recv_dst) in plists:
+        buf = jnp.take(x, send_idx, axis=-2)
+        perm = [(s, (s + d) % nshards) for s in range(nshards)]
+        got = jax.lax.ppermute(buf, axis_name, perm)
+        x = _scatter(x, recv_dst, got)
+    return x
 
 
 def exchange(x, send_idx, recv_src_shard, recv_src_slot, recv_dst,

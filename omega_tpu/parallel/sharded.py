@@ -58,10 +58,76 @@ def gather_state(smesh: ShardedMesh, sstate: ModelState,
     return ModelState(h=jnp.asarray(h), u=jnp.asarray(u), tracers=jnp.asarray(tr))
 
 
-def make_halo_fn(sm: ShardedMesh, axis_name: str = "x") -> Callable:
+def build_permute_lists(smesh: ShardedMesh, kind: str):
+    """Per-neighbor-distance exchange lists for ppermute halos (host side;
+    the analogue of Halo::generateExchangeLists, base/Halo.cpp:455-600).
+
+    kind: 'cell' | 'edge'. Returns a list of
+      (d, send_idx (S, Nd), recv_dst (S, Nd))
+    — for rank distance d, shard s sends rows send_idx[s] to (s+d) % S and
+    scatters what it receives from (s-d) % S into recv_dst[s]. The send
+    order is exactly the receiver's recv order, so no slot indirection is
+    needed on the wire. Padded entries use each shard's dummy row.
+    """
+    S = smesh.nshards
+    if kind == "cell":
+        send_glob = np.asarray(smesh.cell_send_idx)
+        rsrc = np.asarray(smesh.cell_recv_src_shard)
+        rslot = np.asarray(smesh.cell_recv_src_slot)
+        rdst = np.asarray(smesh.cell_recv_dst)
+    else:
+        send_glob = np.asarray(smesh.edge_send_idx)
+        rsrc = np.asarray(smesh.edge_recv_src_shard)
+        rslot = np.asarray(smesh.edge_recv_src_slot)
+        rdst = np.asarray(smesh.edge_recv_dst)
+    dummy = send_glob.max() if send_glob.size else 0
+    n_local = np.asarray(smesh.cell_local_to_global if kind == "cell"
+                         else smesh.edge_local_to_global).shape[1]
+    dummy_row = n_local - 1
+
+    # distance -> per-src (send rows, per-dst recv rows)
+    per_d: dict = {}
+    for dst in range(S):
+        # real (non-dummy-targeting) halo entries of this shard
+        real = rdst[dst] != dummy_row
+        srcs = rsrc[dst][real]
+        slots = rslot[dst][real]
+        dsts = rdst[dst][real]
+        for src in np.unique(srcs):
+            d = int((dst - src) % S)
+            if d == 0:
+                continue
+            sel = srcs == src
+            pd = per_d.setdefault(d, {})
+            # receiver order defines the wire order
+            pd[int(src)] = (send_glob[src][slots[sel]], dsts[sel])
+    out = []
+    for d in sorted(per_d):
+        pd = per_d[d]
+        nd = max(len(v[0]) for v in pd.values())
+        send = np.full((S, nd), dummy_row, np.int32)
+        recv = np.full((S, nd), dummy_row, np.int32)
+        for src, (s_rows, _) in pd.items():
+            send[src, :len(s_rows)] = s_rows
+        for src, (_, r_rows) in pd.items():
+            dst = (src + d) % S
+            recv[dst, :len(r_rows)] = r_rows
+        out.append((d, send, recv))
+    return out
+
+
+def make_halo_fn(sm: ShardedMesh, axis_name: str = "x",
+                 cell_plists=None, edge_plists=None) -> Callable:
     """Per-shard halo exchange for a ModelState (call inside shard_map with
-    an *unstacked* ShardedMesh pytree)."""
+    an *unstacked* ShardedMesh pytree). When per-distance permute lists
+    are provided (each entry already unstacked to this shard's row), uses
+    neighbor ppermutes; otherwise falls back to all_gather."""
     def halo_fn(st: ModelState) -> ModelState:
+        if cell_plists is not None:
+            h = halo_mod.exchange_permute(st.h, cell_plists, axis_name)
+            u = halo_mod.exchange_permute(st.u, edge_plists, axis_name)
+            tr = halo_mod.exchange_permute(st.tracers, cell_plists, axis_name)
+            return ModelState(h=h, u=u, tracers=tr)
         h = halo_mod.exchange(st.h, sm.cell_send_idx, sm.cell_recv_src_shard,
                               sm.cell_recv_src_slot, sm.cell_recv_dst, axis_name)
         u = halo_mod.exchange(st.u, sm.edge_send_idx, sm.edge_recv_src_shard,
@@ -74,30 +140,53 @@ def make_halo_fn(sm: ShardedMesh, axis_name: str = "x") -> Callable:
 
 
 def make_sharded_step(smesh: ShardedMesh, cfg: ModelConfig, stepper,
-                      device_mesh: Mesh, axis_name: str = "x"):
+                      device_mesh: Mesh, axis_name: str = "x",
+                      halo_impl: str = "permute"):
     """Build a jittable sharded step: (sharded ModelState, t, dt) -> state.
 
     The same pure stepper used on a single device runs inside shard_map on
-    each local mesh; its `halo` callback is the ICI exchange.
+    each local mesh; its `halo` callback is the ICI exchange
+    (halo_impl: 'permute' = per-neighbor ppermute rings, 'allgather').
     """
     pspec = P(axis_name)
     smesh_specs = jax.tree.map(lambda _: pspec, smesh)
     state_specs = ModelState(h=pspec, u=pspec, tracers=pspec)
 
-    def local_step(sm_stacked, state_stacked, t, dt):
+    S = smesh.nshards
+    if halo_impl == "permute":
+        cell_pl = build_permute_lists(smesh, "cell")
+        edge_pl = build_permute_lists(smesh, "edge")
+    else:
+        cell_pl = edge_pl = []
+    cell_meta = [d for (d, _, _) in cell_pl]
+    edge_meta = [d for (d, _, _) in edge_pl]
+    cell_data = tuple(jnp.asarray(x) for (_, s, r) in cell_pl for x in (s, r))
+    edge_data = tuple(jnp.asarray(x) for (_, s, r) in edge_pl for x in (s, r))
+
+    def local_step(sm_stacked, cell_d, edge_d, state_stacked, t, dt):
         sm = jax.tree.map(lambda a: a[0], sm_stacked)
         st = jax.tree.map(lambda a: a[0], state_stacked)
-        halo_fn = make_halo_fn(sm, axis_name)
+        if halo_impl == "permute":
+            cpl = [(cell_meta[i], S, cell_d[2 * i][0], cell_d[2 * i + 1][0])
+                   for i in range(len(cell_meta))]
+            epl = [(edge_meta[i], S, edge_d[2 * i][0], edge_d[2 * i + 1][0])
+                   for i in range(len(edge_meta))]
+            halo_fn = make_halo_fn(sm, axis_name, cpl, epl)
+        else:
+            halo_fn = make_halo_fn(sm, axis_name)
         out = stepper(sm.mesh, cfg, st, t, dt, halo_fn)
         return jax.tree.map(lambda a: a[None], out)
 
     sharded = jax.shard_map(
         local_step, mesh=device_mesh,
-        in_specs=(smesh_specs, state_specs, P(), P()),
+        in_specs=(smesh_specs,
+                  tuple(pspec for _ in cell_data),
+                  tuple(pspec for _ in edge_data),
+                  state_specs, P(), P()),
         out_specs=state_specs)
 
     def step(state, t, dt):
-        return sharded(smesh, state, t, dt)
+        return sharded(smesh, cell_data, edge_data, state, t, dt)
 
     return step
 
