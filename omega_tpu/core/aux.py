@@ -163,7 +163,9 @@ def tracer_aux(mesh: HorzMesh, cfg: ModelConfig, h, u, tracers,
     tr0, tr1 = trisk.cell_pair_on_edge(mesh, tracers)
     htr0 = h0 * tr0                                # (L, E, K)
     htr1 = h1 * tr1
-    if cfg.flux_tracer_type == "center":
+    if cfg.flux_tracer_type in ("center", "fct"):
+        # fct computes its own limited flux (core/fct.py); the centered
+        # value here only feeds the del2 diagnostics
         h_tr_edge = 0.5 * (htr0 + htr1)
     elif cfg.flux_tracer_type == "upwind":
         h_tr_edge = jnp.where(u > 0, htr0,

@@ -127,17 +127,33 @@ def compute_velocity_tendency(mesh, cfg, h_thick, u, t, wind_stress=None):
     return velocity_tendency(mesh, cfg, mom, u, t), mom
 
 
-def compute_tracer_tendency(mesh, cfg, h, u, tracers, mean_h_edge, t):
+def compute_tracer_tendency(mesh, cfg, h, u, tracers, mean_h_edge, t,
+                            h_new=None, dt=None, flux_h_edge=None):
     """Wrapper mirroring Tendencies::computeTracerTendencies
-    (Tendencies.cpp:540-580)."""
+    (Tendencies.cpp:540-580). With FluxTracerType 'fct' (an omega_tpu
+    extension beyond the reference's center/upwind options) the advective
+    term is Zalesak flux-corrected and needs the updated thickness h_new
+    and dt (available in the forward-backward stepper)."""
     tc = cfg.tendencies
     tr_aux = auxmod.tracer_aux(mesh, cfg, h, u, tracers, mean_h_edge)
     tend = jnp.zeros_like(tracers)
     mask = mesh.edge_mask[:, None]
 
     if tc.tracer_horz_adv:
-        flux = tr_aux.h_tracers_edge * (mask * u)
-        tend = tend - trisk.div_cell(mesh, flux)
+        if cfg.flux_tracer_type == "fct":
+            if h_new is None or dt is None:
+                raise ValueError(
+                    "FluxTracerType 'fct' requires the thickness-first "
+                    "update order of the forward-backward stepper")
+            from omega_tpu.core import fct
+            if flux_h_edge is None:
+                flux_h_edge = auxmod.thickness_aux_edge(
+                    mesh, cfg, h, u).flux_h_edge
+            tend = tend + fct.fct_tracer_tendency(
+                mesh, h, h_new, u, tracers, dt, flux_h_edge)
+        else:
+            flux = tr_aux.h_tracers_edge * (mask * u)
+            tend = tend - trisk.div_cell(mesh, flux)
 
     if tc.tracer_diffusion:
         tend = tend + tc.eddy_diff2 * auxmod._weighted_cell_laplacian(

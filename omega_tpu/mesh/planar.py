@@ -130,10 +130,14 @@ def planar_hex_mesh(nx: int, ny: int, dc: float = 1.0, *,
     # CCW order starting from E: E, NE, NW, W, SW, SE
     cells_on_cell = np.stack([nbr_E, nbr_NE, nbr_NW, nbr_W, nbr_SW, nbr_SE], 1)
 
-    # --- edges: cell c owns E edge (3c), NE edge (3c+1), NW edge (3c+2) ---
-    e_E = 3 * cells
-    e_NE = 3 * cells + 1
-    e_NW = 3 * cells + 2
+    # --- edges: cell c owns E edge (c), NE edge (C+c), NW edge (2C+c).
+    # CLASS-MAJOR numbering (type-contiguous blocks): on TPU this makes
+    # per-type slices of (E, K) fields free reshapes instead of strided
+    # interleaves, which is what keeps the structured roll path at
+    # streaming bandwidth (ops/structured.py) ---
+    e_E = cells
+    e_NE = C + cells
+    e_NW = 2 * C + cells
     cells_on_edge = np.zeros((E, 2), np.int64)
     cells_on_edge[e_E] = np.stack([cells, nbr_E], 1)
     cells_on_edge[e_NE] = np.stack([cells, nbr_NE], 1)
@@ -157,12 +161,13 @@ def planar_hex_mesh(nx: int, ny: int, dc: float = 1.0, *,
     # edges of cell, CCW from E edge:
     # [E(c), NE(c), NW(c), E-of-W(c), NE-of-SW(c), NW-of-SE(c)]
     edges_on_cell = np.stack(
-        [e_E, e_NE, e_NW, 3 * nbr_W, 3 * nbr_SW + 1, 3 * nbr_SE + 2], 1)
+        [e_E, e_NE, e_NW, nbr_W, C + nbr_SW, 2 * C + nbr_SE], 1)
 
-    # --- vertices: cell c owns v0 = 2c (circumcenter of c,E,NE at
-    # c+(dc/2, dc/(2*sqrt3))) and v1 = 2c+1 (of c,NE,NW at c+(0, dc/sqrt3)) ---
-    v0 = 2 * cells
-    v1 = 2 * cells + 1
+    # --- vertices (class-major like edges): cell c owns v0 = c
+    # (circumcenter of c,E,NE at c+(dc/2, dc/(2*sqrt3))) and v1 = C+c
+    # (of c,NE,NW at c+(0, dc/sqrt3)) ---
+    v0 = cells
+    v1 = C + cells
     x_vertex = np.zeros(V)
     y_vertex = np.zeros(V)
     x_vertex[v0] = x_cell + dc / 2
@@ -181,23 +186,23 @@ def planar_hex_mesh(nx: int, ny: int, dc: float = 1.0, *,
     #   [v0(c) 30deg, v1(c) 90deg, v0(W) 150deg, v1(SW) 210deg,
     #    v0(SW) 270deg, v1(SE) 330deg]
     vertices_on_cell = np.stack(
-        [v0, v1, 2 * nbr_W, 2 * nbr_SW + 1, 2 * nbr_SW, 2 * nbr_SE + 1], 1)
+        [v0, v1, nbr_W, C + nbr_SW, nbr_SW, C + nbr_SE], 1)
 
     # verticesOnEdge (tangent = z x normal points vertex0 -> vertex1):
     #   E edge:  v0 = v1-of-SE(c) (below), v1 = v0-of-c (above)   [tangent +y]
     #   NE edge: v0 = v0-of-c,   v1 = v1-of-c
     #   NW edge: v0 = v1-of-c,   v1 = v0-of-W(c)
     vertices_on_edge = np.zeros((E, 2), np.int64)
-    vertices_on_edge[e_E] = np.stack([2 * nbr_SE + 1, v0], 1)
+    vertices_on_edge[e_E] = np.stack([C + nbr_SE, v0], 1)
     vertices_on_edge[e_NE] = np.stack([v0, v1], 1)
-    vertices_on_edge[e_NW] = np.stack([v1, 2 * nbr_W], 1)
+    vertices_on_edge[e_NW] = np.stack([v1, nbr_W], 1)
 
     # edgesOnVertex:
     #   v0(c): E(c), NE(c), NW-of-E(c)
     #   v1(c): NE(c), NW(c), E-of-NW(c)
     edges_on_vertex = np.zeros((V, D), np.int64)
-    edges_on_vertex[v0] = np.stack([e_E, e_NE, 3 * nbr_E + 2], 1)
-    edges_on_vertex[v1] = np.stack([e_NE, e_NW, 3 * nbr_NW], 1)
+    edges_on_vertex[v0] = np.stack([e_E, e_NE, 2 * C + nbr_E], 1)
+    edges_on_vertex[v1] = np.stack([e_NE, e_NW, nbr_NW], 1)
 
     # --- exact geometry for the uniform CVT hex mesh ---
     a = dc / SQRT3                    # hexagon side = dv

@@ -19,9 +19,12 @@ verified uniform per slot and reduced to scalars. Any mesh whose
 connectivity does not factor this way simply fails detection and stays on
 the gather path, so correctness never depends on the generator details.
 
-Element ids follow the planar generator: cell c = j*nx + i, edges
-3c + {0,1,2} (E/NE/NW), vertices 2c + {0,1} (mesh/planar.py:93-200).
-Canonical internal layout: (..., ny, nx, T, K) with T = ids per cell.
+Element ids follow the planar generator's CLASS-MAJOR scheme: cell
+c = j*nx + i, edges t*C + c for t in {E, NE, NW}, vertices t*C + c
+(mesh/planar.py:133-170). Class-major numbering makes the canonical
+internal layout (..., T, ny, nx, K) a free reshape of (..., N, K), so
+per-type slices and output stacks stay contiguous — no relayouts on TPU
+(type-minor interleaves cost ~50x the roll itself).
 """
 
 from __future__ import annotations
@@ -64,14 +67,14 @@ def _decompose(idx: np.ndarray, dst_class: str, src_class: str,
     if N != C * pd:
         return None
     d = np.arange(N)
-    c_dst = d // pd
+    c_dst = d % C          # class-major: id = t*C + c
     i_dst, j_dst = c_dst % nx, c_dst // nx
-    t_dst = d % pd
+    t_dst = d // C
     out = []
     for s in range(S):
         tgt = idx[:, s]
-        t_src = tgt % ps
-        c_src = tgt // ps
+        t_src = tgt // C
+        c_src = tgt % C
         i_src, j_src = c_src % nx, c_src // nx
         dj = _wrap(j_src - j_dst, ny)
         di = _wrap(i_src - i_dst, nx)
@@ -146,14 +149,14 @@ def stencil_table(mesh, name: str, idx, dst_class: str,
 # execution
 
 def _to_grid(f, nper: int, nx: int, ny: int):
-    """(..., N, K) -> (..., ny, nx, T, K)."""
-    return f.reshape(f.shape[:-2] + (ny, nx, nper) + f.shape[-1:])
+    """(..., N, K) -> (..., T, ny, nx, K) — free for class-major ids."""
+    return f.reshape(f.shape[:-2] + (nper, ny, nx) + f.shape[-1:])
 
 
 def _from_grid(g):
-    """(..., ny, nx, T, K) -> (..., N, K)."""
-    ny, nx, T, K = g.shape[-4:]
-    return g.reshape(g.shape[:-4] + (ny * nx * T, K))
+    """(..., T, ny, nx, K) -> (..., N, K)."""
+    T, ny, nx, K = g.shape[-4:]
+    return g.reshape(g.shape[:-4] + (T * ny * nx, K))
 
 
 def _shift(F, dj: int, di_e: int, di_o: int):
@@ -185,12 +188,12 @@ def apply_stencil(mesh, table, field, src_weight=None):
     tab, dst_class, src_class = table
     nx, ny = mesh.structured_nx, mesh.structured_ny
     ps, pd = _NPER[src_class], _NPER[dst_class]
-    G = _to_grid(field, ps, nx, ny)               # (..., ny, nx, ps, K)
+    G = _to_grid(field, ps, nx, ny)               # (..., ps, ny, nx, K)
     parts: List = [None] * pd
     for (t_dst, t_src, dj, di_e, di_o, w) in tab:
-        src = G[..., t_src, :]                    # (..., ny, nx, K)
+        src = G[..., t_src, :, :, :]              # (..., ny, nx, K)
         term = _shift(src, dj, di_e, di_o)
         term = term * w if w != 1.0 else term
         parts[t_dst] = term if parts[t_dst] is None else parts[t_dst] + term
-    out = jnp.stack(parts, axis=-2)               # (..., ny, nx, pd, K)
+    out = jnp.stack(parts, axis=-4)               # (..., pd, ny, nx, K)
     return _from_grid(out)

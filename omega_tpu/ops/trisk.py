@@ -58,7 +58,12 @@ def warm_structured(mesh: HorzMesh) -> bool:
         return False
     w_signed = -np.asarray(mesh.edge_sign_on_cell) / np.asarray(
         mesh.area_cell)[:, None]
+    w_div = np.asarray(mesh.w_div_cell)
     specs = [
+        ("div_pos", mesh.edges_on_cell, "cell", "edge",
+         np.maximum(w_div, 0.0)),
+        ("div_neg", mesh.edges_on_cell, "cell", "edge",
+         np.maximum(-w_div, 0.0)),
         ("div", mesh.edges_on_cell, "cell", "edge", mesh.w_div_cell),
         ("ke", mesh.edges_on_cell, "cell", "edge", mesh.w_ke_cell),
         ("signed_div", mesh.edges_on_cell, "cell", "edge", w_signed),
@@ -69,7 +74,8 @@ def warm_structured(mesh: HorzMesh) -> bool:
         ("c1", mesh.cells_on_edge[:, 1], "edge", "cell", None),
         ("v0", mesh.vertices_on_edge[:, 0], "edge", "vertex", None),
         ("v1", mesh.vertices_on_edge[:, 1], "edge", "vertex", None),
-    ]
+    ] + [(f"coc{j}", np.asarray(mesh.cells_on_cell)[:, j], "cell", "cell",
+          None) for j in range(mesh.cells_on_cell.shape[1])]
     ok = True
     for name, idx, dst, src, w in specs:
         tab, _, _ = structured.stencil_table(mesh, name, idx, dst, src, w)
@@ -135,6 +141,56 @@ def ke_cell(mesh: HorzMesh, u):
     if t is not None:
         return structured.apply_stencil(mesh, t, u2)
     return _gather_sum(mesh.w_ke_cell, mesh.edges_on_cell, u2)
+
+
+def _signed_div_part(mesh: HorzMesh, g, positive: bool):
+    name = "div_pos" if positive else "div_neg"
+    if structured.enabled(mesh):
+        w_np = None
+        if isinstance(mesh.w_div_cell, np.ndarray):
+            w_np = np.maximum(np.asarray(mesh.w_div_cell)
+                              * (1.0 if positive else -1.0), 0.0)
+        t = _struct(mesh, name, mesh.edges_on_cell, "cell", "edge", w_np)
+        if t is not None:
+            return structured.apply_stencil(mesh, t, g)
+    w = jnp.maximum(mesh.w_div_cell * (1.0 if positive else -1.0), 0.0)
+    return _gather_sum(w.astype(g.dtype), mesh.edges_on_cell, g)
+
+
+def div_cell_pos(mesh: HorzMesh, g):
+    """sum_j max(w_div, 0) * g[eoc] — the outgoing-flux part of the
+    divergence, used by the FCT limiter budgets."""
+    return _signed_div_part(mesh, g, True)
+
+
+def div_cell_neg(mesh: HorzMesh, g):
+    """sum_j max(-w_div, 0) * g[eoc] — the incoming-flux part."""
+    return _signed_div_part(mesh, g, False)
+
+
+def cell_neighbor_extrema(mesh: HorzMesh, f):
+    """(max, min) of a cell field over each cell and its edge neighbors —
+    the local bounds used by the Zalesak FCT limiter."""
+    if structured.enabled(mesh):
+        coc = mesh.cells_on_cell
+        tabs = [structured.stencil_table(
+            mesh, f"coc{j}",
+            coc[:, j] if isinstance(coc, np.ndarray) else coc,
+            "cell", "cell", None) for j in range(coc.shape[1])]
+        if all(t[0] is not None for t in tabs):
+            fmax = fmin = f
+            for t in tabs:
+                g = structured.apply_stencil(mesh, t, f)
+                fmax = jnp.maximum(fmax, g)
+                fmin = jnp.minimum(fmin, g)
+            return fmax, fmin
+    nbr = jnp.take(f, mesh.cells_on_cell, axis=-2)   # (..., C, M, K)
+    valid = (jnp.arange(mesh.cells_on_cell.shape[1])[None, :]
+             < mesh.n_edges_on_cell[:, None])[..., None]
+    big = jnp.asarray(jnp.finfo(f.dtype).max, f.dtype)
+    fmax = jnp.maximum(f, jnp.max(jnp.where(valid, nbr, -big), axis=-2))
+    fmin = jnp.minimum(f, jnp.min(jnp.where(valid, nbr, big), axis=-2))
+    return fmax, fmin
 
 
 # ----------------------------------------------------------------------

@@ -38,7 +38,8 @@ def forward_backward_step(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
     h_new = h + dt * dh
 
     dtr, _ = tend_mod.compute_tracer_tendency(
-        mesh, cfg, h, u, tr, thick_aux.mean_h_edge, t)
+        mesh, cfg, h, u, tr, thick_aux.mean_h_edge, t, h_new=h_new, dt=dt,
+        flux_h_edge=thick_aux.flux_h_edge)
     tr_new = (tr * h[None] + dt * dtr) / h_new[None]
 
     du, _ = tend_mod.compute_velocity_tendency(
