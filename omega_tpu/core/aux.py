@@ -70,7 +70,11 @@ def thickness_aux_edge(mesh: HorzMesh, cfg: ModelConfig, h, u) -> ThicknessAux:
         flux_h = jnp.where(u > 0, h0, jnp.where(u < 0, h1, jnp.maximum(h0, h1)))
     else:
         raise ValueError(cfg.flux_thickness_type)
-    ssh = h - mesh.bottom_depth[:, None]
+    if cfg.ssh_formulation == "column":
+        ssh = (jnp.sum(h, axis=-1, keepdims=True)
+               - trisk.col(mesh, "bottom_depth"))
+    else:   # "stacked": reference parity (LayerThicknessAuxVars.h:71)
+        ssh = h - trisk.col(mesh, "bottom_depth")
     return ThicknessAux(flux_h_edge=flux_h, mean_h_edge=mean_h, ssh_cell=ssh)
 
 
@@ -80,7 +84,7 @@ def vorticity_aux(mesh: HorzMesh, h, u) -> VorticityAux:
     h_vertex = trisk.cell_to_vertex_kite(mesh, h)                # (V, K)
     inv_hv = 1.0 / h_vertex
     nrv_v = rel_vort * inv_hv
-    npv_v = mesh.f_vertex[:, None] * inv_hv
+    npv_v = trisk.col(mesh, "f_vertex") * inv_hv
     nrv_0, nrv_1 = trisk.vertex_pair_on_edge(mesh, nrv_v)
     npv_0, npv_1 = trisk.vertex_pair_on_edge(mesh, npv_v)
     nrv_e = 0.5 * (nrv_0 + nrv_1)
@@ -105,11 +109,14 @@ def del2_aux(mesh: HorzMesh, div_cell, rel_vort_vertex) -> Del2Aux:
     """
     d0, d1 = trisk.cell_pair_on_edge(mesh, div_cell)
     rv0, rv1 = trisk.vertex_pair_on_edge(mesh, rel_vort_vertex)
-    inv_dc = (1.0 / mesh.dc_edge)[:, None]
-    inv_dv = (1.0 / jnp.maximum(mesh.dv_edge, 0.25 * mesh.dc_edge))[:, None]
-    grad_div = (d1 - d0) * inv_dc
+    dc_c = trisk.col(mesh, "dc_edge")
+    dv_c = trisk.col(mesh, "dv_edge")
+    inv_dv = 1.0 / (jnp.maximum(dv_c, 0.25 * dc_c) if not (
+        isinstance(dv_c, float) and isinstance(dc_c, float))
+        else max(dv_c, 0.25 * dc_c))
+    grad_div = (d1 - d0) / dc_c
     curl_vort = -(rv1 - rv0) * inv_dv
-    del2_edge = mesh.edge_mask[:, None] * grad_div + curl_vort
+    del2_edge = trisk.col(mesh, "edge_mask") * grad_div + curl_vort
 
     del2_div = trisk.div_cell(mesh, del2_edge)
     del2_rvort = trisk.curl_vertex(mesh, del2_edge)
@@ -151,8 +158,9 @@ def _weighted_cell_laplacian(mesh: HorzMesh, edge_factor, field):
     `field` is (..., C, K); `edge_factor` broadcasts against (E, K).
     """
     f0, f1 = trisk.cell_pair_on_edge(mesh, field)
-    g = (mesh.edge_mask * mesh.dv_edge / mesh.dc_edge)[:, None] \
-        * edge_factor * (f1 - f0)
+    geo = (trisk.col(mesh, "edge_mask") * trisk.col(mesh, "dv_edge")
+           / trisk.col(mesh, "dc_edge"))
+    g = geo * edge_factor * (f1 - f0)
     return trisk.edge_to_cell_signed(mesh, g)
 
 

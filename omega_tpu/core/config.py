@@ -57,7 +57,13 @@ class ModelConfig:
     ntracers: int = 2
     # Advection group
     flux_thickness_type: str = "center"   # center | upwind
-    flux_tracer_type: str = "center"      # center | upwind
+    flux_tracer_type: str = "center"      # center | upwind | fct
+    # SSH semantics: "stacked" = per-layer ssh_k = h_k - depth (the
+    # reference's current stacked-shallow-water behavior,
+    # LayerThicknessAuxVars.h:67-81 "Temporary for stacked shallow water");
+    # "column" = true free surface ssh = sum_k h_k - depth (the layered-
+    # ocean formulation, required by the split-explicit stepper)
+    ssh_formulation: str = "stacked"
     # WindStress group
     wind_interp_type: str = "isotropic"   # isotropic | anisotropic
     tendencies: TendencyConfig = TendencyConfig()
@@ -110,5 +116,6 @@ def model_config_from_yaml(cfg, nvertlayers: int, ntracers: int) -> ModelConfig:
                           if adv else "Center").lower(),
         wind_interp_type=(ws.get_str("InterpType", "Isotropic")
                           if ws else "Isotropic").lower(),
+        ssh_formulation=str(cfg.get("SshFormulation", "Stacked")).lower(),
         tendencies=tc, manufactured=mc,
     )

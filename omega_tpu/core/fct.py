@@ -50,7 +50,7 @@ def fct_tracer_tendency(mesh: HorzMesh, h_old, h_new, u, tracers, dt,
     flux_h_edge: the FluxLayerThickEdge used in the thickness update, so
     that div(mass_flux) reproduces (h_old - h_new)/dt exactly."""
     eps = jnp.asarray(1e-30, h_old.dtype)
-    mass_flux = mesh.edge_mask[:, None] * flux_h_edge * u
+    mass_flux = trisk.col(mesh, "edge_mask") * flux_h_edge * u
     f_lo, f_hi = _edge_fluxes(mesh, mass_flux, u, tracers)
 
     # low-order (monotone) provisional solution

@@ -61,7 +61,7 @@ def velocity_tendency(mesh: HorzMesh, cfg: ModelConfig,
     """Momentum RHS (TendencyTerms.h:70-340, Tendencies.cpp:301-425)."""
     tc = cfg.tendencies
     K = u.shape[-1]
-    mask = mesh.edge_mask[:, None]
+    mask = trisk.col(mesh, "edge_mask")
     tend = jnp.zeros((mesh.nedges, K), u.dtype)
 
     if tc.pv_advection:
@@ -79,20 +79,22 @@ def velocity_tendency(mesh: HorzMesh, cfg: ModelConfig,
     if tc.ssh_gradient:
         tend = tend - mask * cfg.gravity * trisk.grad_edge(mesh, mom.thickness.ssh_cell)
 
-    inv_dc = (1.0 / mesh.dc_edge)[:, None]
-    inv_dv = (1.0 / mesh.dv_edge)[:, None]
+    inv_dc = 1.0 / trisk.col(mesh, "dc_edge")
+    inv_dv = 1.0 / trisk.col(mesh, "dv_edge")
 
     if tc.velocity_diffusion:
         d0, d1 = trisk.cell_pair_on_edge(mesh, mom.kinetic.div_cell)
         rv0, rv1 = trisk.vertex_pair_on_edge(mesh, mom.vorticity.rel_vort_vertex)
         del2u = ((d1 - d0) * inv_dc - (rv1 - rv0) * inv_dv)
-        tend = tend + mask * tc.visc_del2 * mesh.mesh_scaling_del2[:, None] * del2u
+        tend = tend + mask * tc.visc_del2 * \
+            trisk.col(mesh, "mesh_scaling_del2") * del2u
 
     if tc.velocity_hyperdiff:
         d0, d1 = trisk.cell_pair_on_edge(mesh, mom.del2.del2_div_cell)
         rv0, rv1 = trisk.vertex_pair_on_edge(mesh, mom.del2.del2_rvort_vertex)
         del2u = (tc.div_factor * (d1 - d0) * inv_dc - (rv1 - rv0) * inv_dv)
-        tend = tend - mask * tc.visc_del4 * mesh.mesh_scaling_del4[:, None] * del2u
+        tend = tend - mask * tc.visc_del4 * \
+            trisk.col(mesh, "mesh_scaling_del4") * del2u
 
     if tc.wind_forcing and mom.normal_stress_edge is not None:
         top = (mask[:, 0] * mom.normal_stress_edge
@@ -137,7 +139,7 @@ def compute_tracer_tendency(mesh, cfg, h, u, tracers, mean_h_edge, t,
     tc = cfg.tendencies
     tr_aux = auxmod.tracer_aux(mesh, cfg, h, u, tracers, mean_h_edge)
     tend = jnp.zeros_like(tracers)
-    mask = mesh.edge_mask[:, None]
+    mask = trisk.col(mesh, "edge_mask")
 
     if tc.tracer_horz_adv:
         if cfg.flux_tracer_type == "fct":
@@ -157,11 +159,12 @@ def compute_tracer_tendency(mesh, cfg, h, u, tracers, mean_h_edge, t,
 
     if tc.tracer_diffusion:
         tend = tend + tc.eddy_diff2 * auxmod._weighted_cell_laplacian(
-            mesh, mesh.mesh_scaling_del2[:, None] * mean_h_edge, tracers)
+            mesh, trisk.col(mesh, "mesh_scaling_del2") * mean_h_edge, tracers)
 
     if tc.tracer_hyperdiff:
         tend = tend - tc.eddy_diff4 * auxmod._weighted_cell_laplacian(
-            mesh, mesh.mesh_scaling_del4[:, None], tr_aux.del2_tracers_cell)
+            mesh, trisk.col(mesh, "mesh_scaling_del4"),
+            tr_aux.del2_tracers_cell)
 
     return tend, tr_aux
 

@@ -112,6 +112,39 @@ def _decompose(idx: np.ndarray, dst_class: str, src_class: str,
 
 _TABLE_CACHE: dict = {}
 
+# per-element mesh arrays that collapse to scalars on the uniform mesh —
+# broadcasting an (N, 1) column against (N, K) measures ~60x slower than a
+# scalar multiply on v5e (the op can't stay fused), so the hot path asks
+# for these via trisk.col()
+_UNIFORM_ATTRS = ("dc_edge", "dv_edge", "edge_mask", "mesh_scaling_del2",
+                  "mesh_scaling_del4", "f_edge", "f_vertex", "f_cell",
+                  "bottom_depth", "area_cell", "area_triangle")
+
+
+def warm_uniform_scalars(mesh) -> None:
+    """Record which per-element arrays are spatially uniform (host side,
+    called with numpy arrays at mesh construction)."""
+    key = (mesh.structured_nx, mesh.structured_ny, mesh.structured_dc,
+           "__scalars__")
+    if key in _TABLE_CACHE:
+        return
+    out = {}
+    for attr in _UNIFORM_ATTRS:
+        arr = getattr(mesh, attr)
+        if isinstance(arr, np.ndarray) and arr.size and np.ptp(arr) == 0.0:
+            out[attr] = float(arr.flat[0])
+    _TABLE_CACHE[key] = out
+
+
+def uniform_scalar(mesh, attr: str):
+    """The scalar value of a uniform per-element array, or None."""
+    if not enabled(mesh):
+        return None
+    key = (mesh.structured_nx, mesh.structured_ny, mesh.structured_dc,
+           "__scalars__")
+    scalars = _TABLE_CACHE.get(key)
+    return None if scalars is None else scalars.get(attr)
+
 
 def stencil_table(mesh, name: str, idx, dst_class: str,
                   src_class: str, weights=None):

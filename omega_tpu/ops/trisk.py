@@ -50,6 +50,17 @@ def _struct(mesh, name, idx, dst, src, weights=None):
     return table if tab is not None else None
 
 
+def col(mesh: HorzMesh, attr: str):
+    """Per-element column of a mesh array for broadcasting against
+    (..., N, K) fields: a plain python scalar when the array is uniform on
+    a structured mesh (keeps the multiply fused — (N, 1) broadcasts fall
+    off the fused path on TPU), else the (N, 1) column."""
+    sc = structured.uniform_scalar(mesh, attr)
+    if sc is not None:
+        return sc
+    return getattr(mesh, attr)[:, None]
+
+
 def warm_structured(mesh: HorzMesh) -> bool:
     """Eagerly build every stencil table for a structured mesh while its
     arrays are host numpy (called by the planar generator). Returns True
@@ -80,6 +91,7 @@ def warm_structured(mesh: HorzMesh) -> bool:
     for name, idx, dst, src, w in specs:
         tab, _, _ = structured.stencil_table(mesh, name, idx, dst, src, w)
         ok = ok and tab is not None
+    structured.warm_uniform_scalars(mesh)
     return ok
 
 
@@ -211,8 +223,7 @@ def div_cell(mesh: HorzMesh, vec_edge):
 def grad_edge(mesh: HorzMesh, scalar_cell):
     """Normal gradient of a cell scalar on edges (HorzOperators.h:44-66)."""
     f0, f1 = cell_pair_on_edge(mesh, scalar_cell)
-    inv_dc = (1.0 / mesh.dc_edge)[:, None]
-    return inv_dc * (f1 - f0)
+    return (f1 - f0) / col(mesh, "dc_edge")
 
 
 def curl_vertex(mesh: HorzMesh, vec_edge):

@@ -5,3 +5,7 @@ from omega_tpu.stepping.steppers import (
     make_stepper,
     run_steps,
 )
+from omega_tpu.stepping.split import (
+    split_forward_backward_step,
+    make_split_stepper,
+)

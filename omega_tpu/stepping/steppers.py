@@ -110,6 +110,14 @@ _STEPPERS = {
 }
 
 
+def _split_stepper(*args, **kw):
+    from omega_tpu.stepping.split import split_forward_backward_step
+    return split_forward_backward_step(*args, **kw)
+
+
+_STEPPERS["splitexplicit"] = _split_stepper
+
+
 def make_stepper(name: str):
     key = name.lower().replace(" ", "").replace("_", "").replace("-", "")
     for k, fn in _STEPPERS.items():
