@@ -195,23 +195,20 @@ def _from_grid(g):
 def _shift(F, dj: int, di_e: int, di_o: int):
     """out[..., j, i, :] = F[..., (j+dj) % ny, (i+di(j)) % nx, :]
     with di depending on the parity of the DESTINATION row j.
-    F: (..., ny, nx, K); row axis -3, column axis -2."""
+    F: (..., ny, nx, K); row axis -3, column axis -2.
+
+    The parity-dependent column shift is expressed as an elementwise
+    select between the two rolled variants rather than strided slices +
+    stack: the select stays inside XLA fusions (measured ~100x cheaper in
+    context on v5e than the slice/stack interleave)."""
     G = jnp.roll(F, -dj, axis=-3) if dj else F
     if di_e == di_o:
         return jnp.roll(G, -di_e, axis=-2) if di_e else G
-    Ge = G[..., 0::2, :, :]
-    Go = G[..., 1::2, :, :]
-    if di_e:
-        Ge = jnp.roll(Ge, -di_e, axis=-2)
-    if di_o:
-        Go = jnp.roll(Go, -di_o, axis=-2)
-    return _interleave(Ge, Go)
-
-
-def _interleave(even, odd):
-    """Rows [e0, o0, e1, o1, ...]: (..., ny/2, nx, K) x2 -> (..., ny, nx, K)."""
-    st = jnp.stack([even, odd], axis=-3)          # (..., ny/2, 2, nx, K)
-    return st.reshape(st.shape[:-4] + (st.shape[-4] * 2,) + st.shape[-2:])
+    ny = F.shape[-3]
+    even_rows = (jnp.arange(ny) % 2 == 0)[:, None, None]
+    a = jnp.roll(G, -di_e, axis=-2) if di_e else G
+    b = jnp.roll(G, -di_o, axis=-2) if di_o else G
+    return jnp.where(even_rows, a, b)
 
 
 def apply_stencil(mesh, table, field, src_weight=None):
