@@ -43,6 +43,16 @@ class TendencyConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class VertMixConfig:
+    """Implicit vertical mixing (the Omega-1 use of the tridiagonal
+    solvers, base/TriDiagSolvers.h; config group `VertMix:`)."""
+    enabled: bool = False
+    kappa_tracer: float = 1.0e-5     # vertical tracer diffusivity [m^2/s]
+    kappa_momentum: float = 1.0e-4   # vertical viscosity [m^2/s]
+    method: str = "pcr"              # pcr | thomas
+
+
+@dataclasses.dataclass(frozen=True)
 class ManufacturedConfig:
     """Mirrors the `ManufacturedSolution:` config group."""
     wavelength_x: float = 5.0e6
@@ -66,6 +76,7 @@ class ModelConfig:
     ssh_formulation: str = "stacked"
     # WindStress group
     wind_interp_type: str = "isotropic"   # isotropic | anisotropic
+    vert_mix: VertMixConfig = VertMixConfig()
     tendencies: TendencyConfig = TendencyConfig()
     manufactured: ManufacturedConfig = ManufacturedConfig()
     gravity: float = constants.GRAVITY
@@ -103,6 +114,15 @@ def model_config_from_yaml(cfg, nvertlayers: int, ntracers: int) -> ModelConfig:
     ws = cfg.get_group("WindStress") if cfg.exists("WindStress") else None
     man = cfg.get_group("ManufacturedSolution") \
         if cfg.exists("ManufacturedSolution") else None
+    vm = VertMixConfig()
+    if cfg.exists("VertMix"):
+        v = cfg.get_group("VertMix")
+        vm = VertMixConfig(
+            enabled=v.get_bool("Enabled", False),
+            kappa_tracer=v.get_float("KappaTracer", 1.0e-5),
+            kappa_momentum=v.get_float("KappaMomentum", 1.0e-4),
+            method=v.get_str("Method", "pcr").lower(),
+        )
     mc = ManufacturedConfig(
         wavelength_x=man.get_float("WavelengthX", 5.0e6) if man else 5.0e6,
         wavelength_y=man.get_float("WavelengthY", 4.33013e6) if man else 4.33013e6,
@@ -117,5 +137,5 @@ def model_config_from_yaml(cfg, nvertlayers: int, ntracers: int) -> ModelConfig:
         wind_interp_type=(ws.get_str("InterpType", "Isotropic")
                           if ws else "Isotropic").lower(),
         ssh_formulation=str(cfg.get("SshFormulation", "Stacked")).lower(),
-        tendencies=tc, manufactured=mc,
+        vert_mix=vm, tendencies=tc, manufactured=mc,
     )

@@ -96,15 +96,17 @@ def velocity_tendency(mesh: HorzMesh, cfg: ModelConfig,
         tend = tend - mask * tc.visc_del4 * \
             trisk.col(mesh, "mesh_scaling_del4") * del2u
 
+    mask0 = mask if isinstance(mask, (int, float)) else mask[:, 0]
+
     if tc.wind_forcing and mom.normal_stress_edge is not None:
-        top = (mask[:, 0] * mom.normal_stress_edge
+        top = (mask0 * mom.normal_stress_edge
                / (tc.density0 * mom.thickness.mean_h_edge[:, 0]))
         tend = tend.at[:, 0].add(top)
 
     if tc.bottom_drag:
         ke0, ke1 = trisk.cell_pair_on_edge(mesh, mom.kinetic.ke_cell[:, -1:])
         speed = jnp.sqrt(ke0[:, 0] + ke1[:, 0])
-        drag = (mask[:, 0] * tc.bottom_drag_coeff * speed * u[:, -1]
+        drag = (mask0 * tc.bottom_drag_coeff * speed * u[:, -1]
                 / mom.thickness.mean_h_edge[:, -1])
         tend = tend.at[:, -1].add(-drag)
 

@@ -61,6 +61,7 @@ class OceanModel:
     state: ModelState
     sim_start: TimeInstant = None   # original simulation start (forcing t=0);
                                     # survives restart via file metadata
+    wind_stress: object = None      # optional (zonal, merid) cell fields
     directory: str = "."
     step_count: int = 0
 
@@ -229,12 +230,24 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
         tracers=jnp.asarray(tr_data))
 
     stepper = make_stepper(ti.get_str("TimeStepper", "Forward-Backward"))
+
+    # constant wind-stress forcing from config (WindStress group; the
+    # reference reads stress fields through forcing streams — constant
+    # fields cover the standalone test cases)
+    wind = None
+    if config.exists("WindStress"):
+        wsg = config.get_group("WindStress")
+        if wsg.exists("ConstantZonal") or wsg.exists("ConstantMeridional"):
+            import jax.numpy as _jnp
+            tz = wsg.get_float("ConstantZonal", 0.0)
+            tm = wsg.get_float("ConstantMeridional", 0.0)
+            wind = (tz * _jnp.ones(mesh.ncells), tm * _jnp.ones(mesh.ncells))
     model = OceanModel(
         config=config, model_cfg=model_cfg, mesh=mesh, calendar=calendar,
         clock=clock, end_alarm=end_alarm, streams=streams, fields=fields,
         dims=dims, tracers=tracers, stepper=stepper,
         dt=float(dt_iv.total_seconds()), state=state, sim_start=sim_start,
-        directory=directory)
+        wind_stress=wind, directory=directory)
     _attach_state(model)
     return model
 
@@ -284,7 +297,8 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
     @partial(jax.jit, static_argnums=2)
     def segment(state, t0, nsteps):
         return run_steps(mesh, cfg, state, t0, model.dt, nsteps,
-                         stepper=model.stepper)
+                         stepper=model.stepper,
+                         wind_stress=model.wind_stress)
 
     log = get_logger()
 

@@ -252,8 +252,11 @@ def tangential_edge(mesh: HorzMesh, vec_edge):
 
 def interp_cell_to_edge_aniso(mesh: HorzMesh, scalar_cell):
     """Two-cell average onto edges (HorzOperators.h:158-164)."""
-    f0, f1 = cell_pair_on_edge(mesh, scalar_cell)
-    return 0.5 * (f0 + f1)
+    was_1d = scalar_cell.ndim == 1
+    f = scalar_cell[:, None] if was_1d else scalar_cell
+    f0, f1 = cell_pair_on_edge(mesh, f)
+    out = 0.5 * (f0 + f1)
+    return out[:, 0] if was_1d else out
 
 
 def interp_cell_to_edge_iso(mesh: HorzMesh, scalar_cell):

@@ -29,6 +29,26 @@ Halo = Callable[[ModelState], ModelState]
 _identity: Halo = lambda s: s
 
 
+def _mix(mesh, cfg, state, dt):
+    """Operator-split backward-Euler vertical mixing applied after the
+    horizontal update (the implicit stage the reference's tridiagonal
+    solvers exist for, base/TriDiagSolvers.h:28-35). Unconditionally
+    stable; conserves h-weighted tracer columns exactly."""
+    vm = cfg.vert_mix
+    if not vm.enabled or cfg.nvertlayers < 2:
+        return state
+    from omega_tpu.core import vmix
+    from omega_tpu.ops import trisk
+    h, u, tr = state
+    kt = vm.kappa_tracer * jnp.ones_like(h[..., :-1])
+    tr_new = vmix.implicit_vmix(h[None], kt[None], dt, tr, method=vm.method)
+    h0, h1 = trisk.cell_pair_on_edge(mesh, h)
+    h_edge = 0.5 * (h0 + h1)
+    km = vm.kappa_momentum * jnp.ones_like(h_edge[..., :-1])
+    u_new = vmix.implicit_vmix(h_edge, km, dt, u, method=vm.method)
+    return ModelState(h=h, u=u_new, tracers=tr_new)
+
+
 def forward_backward_step(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
                           t, dt, halo: Halo = _identity,
                           wind_stress=None) -> ModelState:
@@ -46,7 +66,8 @@ def forward_backward_step(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
         mesh, cfg, h_new, u, t + dt, wind_stress)
     u_new = u + dt * du
 
-    return halo(ModelState(h=h_new, u=u_new, tracers=tr_new))
+    out = _mix(mesh, cfg, ModelState(h=h_new, u=u_new, tracers=tr_new), dt)
+    return halo(out)
 
 
 def rk2_step(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
@@ -65,7 +86,8 @@ def rk2_step(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
     u_new = u + dt * k2.du
     tr_new = (tr * h[None] + dt * k2.dtr) / h_new[None]
 
-    return halo(ModelState(h=h_new, u=u_new, tracers=tr_new))
+    out = _mix(mesh, cfg, ModelState(h=h_new, u=u_new, tracers=tr_new), dt)
+    return halo(out)
 
 
 _RKA = (0.0, 0.5, 0.5, 1.0)
@@ -100,7 +122,8 @@ def rk4_step(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
         tr_acc = tr_acc + _RKB[stage] * dt * k.dtr
 
     tr_new = tr_acc / h_acc[None]
-    return halo(ModelState(h=h_acc, u=u_acc, tracers=tr_new))
+    out = _mix(mesh, cfg, ModelState(h=h_acc, u=u_acc, tracers=tr_new), dt)
+    return halo(out)
 
 
 _STEPPERS = {
