@@ -35,6 +35,7 @@ from omega_tpu.infra.dimension import DimensionRegistry
 from omega_tpu.infra.errors import ConfigError, OmegaError
 from omega_tpu.infra.field import FieldRegistry
 from omega_tpu.infra.logging import get_logger
+from omega_tpu.infra.timers import Timers
 from omega_tpu.infra.time_manager import (Alarm, Calendar, CalendarKind,
                                           Clock, TimeInstant, TimeInterval)
 from omega_tpu.io.stream import StreamManager
@@ -59,6 +60,7 @@ class OceanModel:
     stepper: Callable
     dt: float
     state: ModelState
+    timers: Timers = None
     sim_start: TimeInstant = None   # original simulation start (forcing t=0);
                                     # survives restart via file metadata
     wind_stress: object = None      # optional (zonal, merid) cell fields
@@ -136,6 +138,18 @@ def _register_fields(fields: FieldRegistry, dims: DimensionRegistry,
     register_tracer_fields(fields, tracers)
     fields.add_to_group("Restart", "LayerThickness", "NormalVelocity",
                         *tracers.names)
+    if not fields.exists("PressureMid"):
+        fields.create("PressureMid", description="Pressure at layer midpoint",
+                      units="Pa", dim_names=("NCells", "NVertLayers"),
+                      time_dependent=True)
+        fields.create("ZMid", description="Geometric height of layer midpoint",
+                      units="m", dim_names=("NCells", "NVertLayers"),
+                      time_dependent=True)
+        fields.create("SpecVol", description="Specific volume",
+                      units="m3 kg-1", dim_names=("NCells", "NVertLayers"),
+                      time_dependent=True)
+        fields.create_group("Diagnostics")
+        fields.add_to_group("Diagnostics", "PressureMid", "ZMid", "SpecVol")
     if not fields.exists("code"):
         fields.create_meta("code", model="omega_tpu", version="0.1.0")
     if not fields.exists("simulation"):
@@ -148,6 +162,12 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
     if config is None:
         config = (Config.read_all(config_file) if config_file
                   else default_config())
+
+    # --- Pacer-style timers from the Timing group (ocn/OceanInit.cpp:46-76)
+    timing = config.get_group("Timing") if config.exists("Timing") else None
+    timers = Timers(level=timing.get_int("Level", 2) if timing else 2,
+                    auto_fence=bool(timing.get("AutoFence", False))
+                    if timing else False)
 
     # --- TimeStepper::init1: calendar, clock, alarms (TimeStepper.cpp:222)
     ti = config.get_group("TimeIntegration")
@@ -247,9 +267,45 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
         clock=clock, end_alarm=end_alarm, streams=streams, fields=fields,
         dims=dims, tracers=tracers, stepper=stepper,
         dt=float(dt_iv.total_seconds()), state=state, sim_start=sim_start,
-        wind_stress=wind, directory=directory)
+        wind_stress=wind, timers=timers, directory=directory)
     _attach_state(model)
     return model
+
+
+def _wants_diagnostics(model) -> bool:
+    for s in model.streams.streams.values():
+        if s.spec.mode == "write" and any(
+                c in ("Diagnostics", "PressureMid", "ZMid", "SpecVol")
+                for c in s.spec.contents):
+            return True
+    return False
+
+
+def _attach_diagnostics(model: OceanModel) -> None:
+    """EOS + vertical-coordinate diagnostics (Eos::computeSpecVol,
+    VertCoord::computePressure/computeZHeight) for streamed output."""
+    import jax.numpy as jnp
+    from omega_tpu import constants
+    from omega_tpu.core import eos as eos_mod
+    from omega_tpu.core import vert_coord
+
+    h = model.state.h
+    rho0 = constants.RHO0_SEAWATER
+    p_int, p_mid = vert_coord.compute_pressure(
+        h, jnp.zeros(model.mesh.ncells), rho0)
+    it = model.tracers.get_index("Temperature")
+    isal = model.tracers.get_index("Salinity")
+    ec = eos_mod.EosConfig.from_yaml(model.config)
+    if it >= 0 and isal >= 0:
+        sv = eos_mod.compute_spec_vol(ec, model.state.tracers[it],
+                                      model.state.tracers[isal], p_mid)
+    else:
+        sv = jnp.full_like(h, 1.0 / rho0)
+    z_int, z_mid = vert_coord.compute_z_height(h, sv, model.mesh.bottom_depth,
+                                               rho0)
+    model.fields.attach("PressureMid", p_mid)
+    model.fields.attach("ZMid", z_mid)
+    model.fields.attach("SpecVol", sv)
 
 
 def _attach_state(model: OceanModel) -> None:
@@ -262,6 +318,8 @@ def _attach_state(model: OceanModel) -> None:
     model.fields.attach("SshCell", ssh)
     for i, name in enumerate(model.tracers.names):
         model.fields.attach(name, model.state.tracers[i])
+    if _wants_diagnostics(model):
+        _attach_diagnostics(model)
     model.fields.update_meta("simulation",
                              SimulationTime=str(model.clock.get_current_time()))
 
@@ -302,15 +360,18 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
 
     log = get_logger()
 
+    tm = model.timers
     while not model.end_alarm.is_ringing():
         n = _steps_until_next_alarm(model)
         t0 = model.clock.get_current_time().seconds_since(model.sim_start)
-        model.state = segment(model.state, t0, n)
+        with tm.scope("ocnRun/doStep", 1, fence_on=None):
+            model.state = segment(model.state, t0, n)
         for _ in range(n):
             model.clock.advance()
         model.step_count += n
-        _attach_state(model)
-        model.streams.write_all()
+        with tm.scope("ocnRun/io", 1):
+            _attach_state(model)
+            model.streams.write_all()
         for alarm in model.clock.alarms:
             if alarm.is_ringing() and alarm is not model.end_alarm:
                 alarm.reset(model.clock.get_current_time())
@@ -328,6 +389,9 @@ def ocn_finalize(model: OceanModel) -> ModelState:
     model.streams.finalize()
     get_logger().info("ocn_finalize: %d steps, final time %s",
                       model.step_count, model.clock.get_current_time())
+    if model.timers is not None and model.timers.totals:
+        # the Pacer timing print at shutdown (OceanDriver.cpp:65)
+        get_logger().info("timing report:\n%s", model.timers.report())
     return model.state
 
 
