@@ -82,9 +82,15 @@ def main():
     out = jax.block_until_ready(stepn(state))
     compile_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(stepn(state))
-    elapsed = time.perf_counter() - t0
+    # min over repetitions: the device is reached through a shared tunnel
+    # whose latency/contention varies, and min is the contention-robust
+    # statistic for the device-side cost
+    reps = int(os.environ.get("OMEGA_BENCH_REPS", 5))
+    elapsed = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(stepn(state))
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     assert bool(jnp.isfinite(out.h).all()), "benchmark produced non-finite h"
 

@@ -1,0 +1,115 @@
+"""Space-filling-curve renumbering of unstructured meshes.
+
+SURVEY.md hard part (a): TRiSK gathers on TPU live or die by index
+locality. This module permutes cells, edges, and vertices of a HorzMesh
+along a Hilbert curve (cells), with edges/vertices renumbered by their
+first adjacent cell — the same locality-sorted, degree-padded layout seed
+the reference gets from its CPU VecLength blocking (SURVEY.md section
+2.6) and METIS partition locality.
+
+Applying this to a loaded MPAS mesh keeps all operator results identical
+up to the permutation (tested) while tightening the index windows every
+gather touches — on sphere meshes the windowed Pallas kernels
+(ops/pallas_gather.py) depend on it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from omega_tpu.mesh.horz_mesh import HorzMesh, finalize_mesh
+
+
+def sfc_permutations(mesh: HorzMesh):
+    """(cell_perm, edge_perm, vertex_perm): new order -> old index."""
+    from omega_tpu.parallel import native
+    from omega_tpu.parallel.decomp import _norm_coords
+
+    x, y = _norm_coords(mesh)
+    keys = native.hilbert_keys(x, y)
+    cell_perm = np.argsort(keys, kind="stable")
+    cell_rank = np.empty_like(cell_perm)
+    cell_rank[cell_perm] = np.arange(mesh.ncells)
+
+    # edges/vertices ordered by (rank of first adjacent cell, old id)
+    coe = np.asarray(mesh.cells_on_edge)
+    cov = np.asarray(mesh.cells_on_vertex)
+    edge_perm = np.lexsort((np.arange(mesh.nedges), cell_rank[coe[:, 0]]))
+    vertex_perm = np.lexsort((np.arange(mesh.nvertices),
+                              cell_rank[cov[:, 0]]))
+    return cell_perm, edge_perm, vertex_perm
+
+
+def reorder_mesh(mesh: HorzMesh) -> HorzMesh:
+    """Return an equivalent HorzMesh with SFC-local element numbering."""
+    cp, ep, vp = sfc_permutations(mesh)
+    C, E, V = mesh.ncells, mesh.nedges, mesh.nvertices
+    cr = np.empty(C, np.int64); cr[cp] = np.arange(C)
+    er = np.empty(E, np.int64); er[ep] = np.arange(E)
+    vr = np.empty(V, np.int64); vr[vp] = np.arange(V)
+
+    def remap(idx, rank):
+        idx = np.asarray(idx, np.int64)
+        out = rank[np.maximum(idx, 0)]
+        return np.where(idx >= 0, out, -1)
+
+    a = lambda n: np.asarray(getattr(mesh, n))
+    n_eoc = a("n_edges_on_cell")[cp]
+    M = mesh.max_edges
+    pad_c = np.arange(M)[None, :] >= n_eoc[:, None]
+
+    raw = dict(
+        x_cell=a("x_cell")[cp], y_cell=a("y_cell")[cp],
+        lon_cell=a("lon_cell")[cp], lat_cell=a("lat_cell")[cp],
+        area_cell=a("area_cell")[cp], f_cell=a("f_cell")[cp],
+        bottom_depth=a("bottom_depth")[cp],
+        n_edges_on_cell=n_eoc,
+        edges_on_cell=np.where(pad_c, -1, remap(a("edges_on_cell")[cp], er)),
+        cells_on_cell=np.where(pad_c, -1, remap(a("cells_on_cell")[cp], cr)),
+        vertices_on_cell=np.where(pad_c, -1,
+                                  remap(a("vertices_on_cell")[cp], vr)),
+        x_edge=a("x_edge")[ep], y_edge=a("y_edge")[ep],
+        lon_edge=a("lon_edge")[ep], lat_edge=a("lat_edge")[ep],
+        dc_edge=a("dc_edge")[ep], dv_edge=a("dv_edge")[ep],
+        angle_edge=a("angle_edge")[ep], f_edge=a("f_edge")[ep],
+        cells_on_edge=remap(a("cells_on_edge")[ep], cr),
+        vertices_on_edge=remap(a("vertices_on_edge")[ep], vr),
+        n_edges_on_edge=a("n_edges_on_edge")[ep],
+        edges_on_edge=remap(a("edges_on_edge")[ep], er),
+        weights_on_edge=a("weights_on_edge")[ep],
+        mesh_scaling_del2=a("mesh_scaling_del2")[ep],
+        mesh_scaling_del4=a("mesh_scaling_del4")[ep],
+        x_vertex=a("x_vertex")[vp], y_vertex=a("y_vertex")[vp],
+        lon_vertex=a("lon_vertex")[vp], lat_vertex=a("lat_vertex")[vp],
+        area_triangle=a("area_triangle")[vp], f_vertex=a("f_vertex")[vp],
+        cells_on_vertex=remap(a("cells_on_vertex")[vp], cr),
+        edges_on_vertex=remap(a("edges_on_vertex")[vp], er),
+        kite_areas_on_vertex=a("kite_areas_on_vertex")[vp],
+    )
+    return finalize_mesh(raw, ncells=C, nedges=E, nvertices=V,
+                         max_edges=M, vertex_degree=mesh.vertex_degree,
+                         on_sphere=mesh.on_sphere,
+                         sphere_radius=mesh.sphere_radius,
+                         x_period=mesh.x_period, y_period=mesh.y_period)
+
+
+def gather_window_stats(mesh: HorzMesh, block: int = 256) -> dict:
+    """Max index window each `block` of consecutive destinations touches,
+    per stencil — the VMEM sizing input for windowed Pallas gathers."""
+    out = {}
+    for name, idx in (("edges_on_cell", mesh.edges_on_cell),
+                      ("cells_on_edge", mesh.cells_on_edge),
+                      ("edges_on_vertex", mesh.edges_on_vertex),
+                      ("cells_on_vertex", mesh.cells_on_vertex),
+                      ("edges_on_edge", mesh.edges_on_edge)):
+        idx = np.asarray(idx)
+        N = idx.shape[0]
+        nb = (N + block - 1) // block
+        wmax = 0
+        for b in range(nb):
+            sl = idx[b * block:(b + 1) * block]
+            valid = sl[sl >= 0]
+            if valid.size:
+                wmax = max(wmax, int(valid.max() - valid.min() + 1))
+        out[name] = wmax
+    return out
