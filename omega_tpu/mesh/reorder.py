@@ -93,9 +93,13 @@ def reorder_mesh(mesh: HorzMesh) -> HorzMesh:
                          x_period=mesh.x_period, y_period=mesh.y_period)
 
 
-def gather_window_stats(mesh: HorzMesh, block: int = 256) -> dict:
-    """Max index window each `block` of consecutive destinations touches,
-    per stencil — the VMEM sizing input for windowed Pallas gathers."""
+def gather_window_stats(mesh: HorzMesh, block: int = 256,
+                        reduce: str = "max") -> dict:
+    """Index window each `block` of consecutive destinations touches, per
+    stencil — the VMEM sizing input for windowed Pallas gathers.
+
+    reduce: 'max' (worst block; dominated by periodic-seam blocks) or
+    'median' (typical block, the cache-locality indicator)."""
     out = {}
     for name, idx in (("edges_on_cell", mesh.edges_on_cell),
                       ("cells_on_edge", mesh.cells_on_edge),
@@ -105,11 +109,11 @@ def gather_window_stats(mesh: HorzMesh, block: int = 256) -> dict:
         idx = np.asarray(idx)
         N = idx.shape[0]
         nb = (N + block - 1) // block
-        wmax = 0
+        ws = []
         for b in range(nb):
             sl = idx[b * block:(b + 1) * block]
             valid = sl[sl >= 0]
             if valid.size:
-                wmax = max(wmax, int(valid.max() - valid.min() + 1))
-        out[name] = wmax
+                ws.append(int(valid.max() - valid.min() + 1))
+        out[name] = int(np.max(ws) if reduce == "max" else np.median(ws))
     return out

@@ -62,8 +62,9 @@ def test_reorder_preserves_operators():
 
 
 def test_reorder_planar_window_locality():
-    """On the planar mesh (periodic in both axes) the Hilbert reorder
-    keeps per-block gather windows well below the full index range."""
+    """On the planar mesh the Hilbert reorder keeps the TYPICAL per-block
+    gather window small (periodic-seam blocks always span the range, so
+    the median — the cache-locality indicator — is the metric)."""
     m = planar_hex_mesh(32, 32, dc=1000.0)
-    stats = gather_window_stats(reorder_mesh(m), block=128)
-    assert stats["cells_on_edge"] < m.ncells // 2
+    stats = gather_window_stats(reorder_mesh(m), block=128, reduce="median")
+    assert stats["cells_on_edge"] < m.ncells // 4
