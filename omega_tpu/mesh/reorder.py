@@ -20,13 +20,40 @@ import numpy as np
 from omega_tpu.mesh.horz_mesh import HorzMesh, finalize_mesh
 
 
+def _morton3(x, y, z, bits: int = 20) -> np.ndarray:
+    """3-D Morton keys of coordinates normalized to [0, 1)."""
+    def q(v):
+        return np.minimum((v * (1 << bits)).astype(np.uint64),
+                          np.uint64((1 << bits) - 1))
+    xi, yi, zi = q(x), q(y), q(z)
+    key = np.zeros_like(xi)
+    for b in range(bits):
+        bb = np.uint64(b)
+        key |= ((xi >> bb) & np.uint64(1)) << np.uint64(3 * b)
+        key |= ((yi >> bb) & np.uint64(1)) << np.uint64(3 * b + 1)
+        key |= ((zi >> bb) & np.uint64(1)) << np.uint64(3 * b + 2)
+    return key
+
+
 def sfc_permutations(mesh: HorzMesh):
-    """(cell_perm, edge_perm, vertex_perm): new order -> old index."""
+    """(cell_perm, edge_perm, vertex_perm): new order -> old index.
+
+    Planar meshes use a 2-D Hilbert curve; spherical meshes use 3-D
+    Morton keys of the unit-sphere positions (a cylindrical 2-D curve
+    smears the poles across the whole longitude range)."""
     from omega_tpu.parallel import native
     from omega_tpu.parallel.decomp import _norm_coords
 
-    x, y = _norm_coords(mesh)
-    keys = native.hilbert_keys(x, y)
+    if mesh.on_sphere:
+        lat = np.asarray(mesh.lat_cell)
+        lon = np.asarray(mesh.lon_cell)
+        px = 0.5 * (np.cos(lat) * np.cos(lon) + 1.0)
+        py = 0.5 * (np.cos(lat) * np.sin(lon) + 1.0)
+        pz = 0.5 * (np.sin(lat) + 1.0)
+        keys = _morton3(px, py, pz)
+    else:
+        x, y = _norm_coords(mesh)
+        keys = native.hilbert_keys(x, y)
     cell_perm = np.argsort(keys, kind="stable")
     cell_rank = np.empty_like(cell_perm)
     cell_rank[cell_perm] = np.arange(mesh.ncells)

@@ -61,10 +61,33 @@ def test_reorder_preserves_operators():
     assert abs(float(np.sum(m2.area_cell)) - tot) / tot < 1e-12
 
 
-def test_reorder_planar_window_locality():
-    """On the planar mesh the Hilbert reorder keeps the TYPICAL per-block
-    gather window small (periodic-seam blocks always span the range, so
-    the median — the cache-locality indicator — is the metric)."""
-    m = planar_hex_mesh(32, 32, dc=1000.0)
-    stats = gather_window_stats(reorder_mesh(m), block=128, reduce="median")
-    assert stats["cells_on_edge"] < m.ncells // 4
+def test_reorder_recovers_locality_from_scrambled_input():
+    """The reorder's use case: MPAS files with arbitrary element order.
+    Scramble a mesh, reorder, and the typical per-block gather window
+    must shrink drastically (median is the cache-locality indicator;
+    periodic-seam blocks always span the full range)."""
+    from omega_tpu.mesh.horz_mesh import finalize_mesh
+
+    m = spherical_icos_mesh(16)
+    # scramble: apply a random permutation via reorder machinery
+    rng = np.random.default_rng(7)
+
+    import omega_tpu.mesh.reorder as ro
+    orig = ro.sfc_permutations
+
+    def random_perms(mesh):
+        return (rng.permutation(mesh.ncells), rng.permutation(mesh.nedges),
+                rng.permutation(mesh.nvertices))
+
+    ro.sfc_permutations = random_perms
+    try:
+        scrambled = reorder_mesh(m)
+    finally:
+        ro.sfc_permutations = orig
+
+    bad = gather_window_stats(scrambled, block=128, reduce="median")
+    good = gather_window_stats(reorder_mesh(scrambled), block=128,
+                               reduce="median")
+    # scrambled windows span nearly the whole mesh; reordered ones shrink
+    assert bad["cells_on_edge"] > scrambled.ncells // 2
+    assert good["cells_on_edge"] < bad["cells_on_edge"] // 2
