@@ -58,9 +58,13 @@ def main():
     # hyperviscosity scaled for the 5 km mesh: the reference default
     # ViscDel4=1.2e11 targets QU240-scale cells and is explicitly unstable
     # here (dt*nu4*lambda_max^2 > 2); nu4 ~ dx^3 scaling gives ~1e9
+    tflags = {}
+    for name in os.environ.get("OMEGA_BENCH_DISABLE", "").split(","):
+        if name.strip():
+            tflags[name.strip()] = False   # e.g. pv_advection,tracer_horz_adv
     cfg = ModelConfig(nvertlayers=nlayers, ntracers=ntracers,
                       tendencies=TendencyConfig(visc_del2=1.0e3,
-                                                visc_del4=1.0e9))
+                                                visc_del4=1.0e9, **tflags))
 
     kx = 2 * np.pi / mesh.x_period
     ky = 2 * np.pi / mesh.y_period

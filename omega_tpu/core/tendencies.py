@@ -67,10 +67,13 @@ def velocity_tendency(mesh: HorzMesh, cfg: ModelConfig,
     if tc.pv_advection:
         # q(e,e') = 0.5*(q_e + q_e'), with q = nrv + npv. Split the sum:
         # sum_j W_j F_j q(e,j) = 0.5*(q_e * T[F] + T[F q])  where T = tangential
+        # Both reconstructions ride ONE stencil pass over a stacked (2, E, K)
+        # field — the 24-term tangential walk is the most expensive stencil
+        # in the step, so halving its invocations matters.
         q = mom.vorticity.norm_rel_vort_edge + mom.vorticity.norm_planet_vort_edge
         F = mom.thickness.flux_h_edge * u
-        pv = 0.5 * (q * trisk.tangential_edge(mesh, F)
-                    + trisk.tangential_edge(mesh, F * q))
+        tf, tfq = trisk.tangential_edge(mesh, jnp.stack([F, F * q]))
+        pv = 0.5 * (q * tf + tfq)
         tend = tend + mask * pv
 
     if tc.ke_gradient:

@@ -212,10 +212,15 @@ def _shift(F, dj: int, di_e: int, di_o: int):
 
 
 def apply_stencil(mesh, table, field, src_weight=None):
-    """Compute out[d] = sum_s w_{t,s} * field[idx[d, s]] via rolls.
+    """Compute out[d] = sum_s w_{t,s} * field[idx[d, s]] via rolls (or one
+    MXU convolution when OMEGA_CONV_STENCIL=1 — ops/structured_conv.py).
 
     field: (..., N_src, K). Returns (..., N_dst, K)."""
-    tab, dst_class, src_class = table
+    tab, dst_class, src_class = table[:3]
+    if len(table) > 3 and table[3] is not None:
+        from omega_tpu.ops import structured_conv
+        if structured_conv.enabled():
+            return structured_conv.apply_stencil_conv(mesh, table[3], field)
     nx, ny = mesh.structured_nx, mesh.structured_ny
     ps, pd = _NPER[src_class], _NPER[dst_class]
     G = _to_grid(field, ps, nx, ny)               # (..., ps, ny, nx, K)

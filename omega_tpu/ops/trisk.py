@@ -42,12 +42,13 @@ def _take(field, idx):
 
 
 def _struct(mesh, name, idx, dst, src, weights=None):
-    """Structured stencil table, or None when unavailable."""
+    """Structured stencil table (name-tagged for the conv dispatch), or
+    None when unavailable."""
     if not structured.enabled(mesh):
         return None
-    tab, _, _ = table = structured.stencil_table(mesh, name, idx, dst, src,
-                                                 weights)
-    return table if tab is not None else None
+    tab, dstc, srcc = structured.stencil_table(mesh, name, idx, dst, src,
+                                               weights)
+    return (tab, dstc, srcc, name) if tab is not None else None
 
 
 def col(mesh: HorzMesh, attr: str):
