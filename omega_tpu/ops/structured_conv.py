@@ -111,9 +111,14 @@ def _from_conv_layout(out, pd: int, nx: int, ny: int, K: int, lead):
     return out.reshape(lead + (pd * ny * nx, K))
 
 
+_GROUPED = os.environ.get("OMEGA_CONV_GROUPED", "0") == "1"
+
+
 def apply_stencil_conv(mesh, name: str, field):
     """Evaluate the named stencil via one conv (semantics identical to
     structured.apply_stencil for the same table)."""
+    if _GROUPED:
+        return _apply_grouped(mesh, name, field)
     kernel, dy0, dx0, ps, pd = conv_kernel_from_table(mesh, name)
     nx, ny = mesh.structured_nx, mesh.structured_ny
     K = field.shape[-1]
@@ -128,6 +133,84 @@ def apply_stencil_conv(mesh, name: str, field):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=field.dtype)
     return _from_conv_layout(out, pd, nx, ny, K, lead)
+
+
+def _apply_grouped(mesh, name: str, field):
+    """Variant with K as feature groups: features = K * types * parity
+    (~600 wide — full lane utilization vs 6 in the batch-K form)."""
+    kernel, dy0, dx0, ps, pd = conv_kernel_from_table(mesh, name)
+    nx, ny = mesh.structured_nx, mesh.structured_ny
+    ny2 = ny // 2
+    K = field.shape[-1]
+    lead = field.shape[:-2]
+    B = int(np.prod(lead)) if lead else 1
+    # (..., T, ny2, p, nx, K) -> (B, ny2, nx, K, T, p) -> (B, ny2, nx, K*2T)
+    g = field.reshape(lead + (ps, ny2, 2, nx, K))
+    nl = len(lead)
+    g = g.transpose(tuple(range(nl)) + (nl + 1, nl + 3, nl + 4, nl, nl + 2))
+    x = g.reshape((B, ny2, nx, K * 2 * ps))
+    kh, kw = kernel.shape[:2]
+    x = _wrap_pad(x, dy0, kh, axis=1)
+    x = _wrap_pad(x, dx0, kw, axis=2)
+    kg = jnp.asarray(np.tile(kernel, (1, 1, 1, K)), field.dtype)
+    out = jax.lax.conv_general_dilated(
+        x, kg, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=K,
+        preferred_element_type=field.dtype)
+    # (B, ny2, nx, K*2pd) -> (..., T, ny, nx, K) -> (..., N, K)
+    out = out.reshape(lead + (ny2, nx, K, pd, 2))
+    out = out.transpose(tuple(range(nl)) + (nl + 3, nl, nl + 4, nl + 1,
+                                            nl + 2))
+    return out.reshape(lead + (pd * ny * nx, K))
+
+
+def pair_enabled() -> bool:
+    return os.environ.get("OMEGA_CONV_PAIR", "0") == "1"
+
+
+def pair_kernel(mesh, name_a: str, name_b: str):
+    """Merged kernel for two stencils over the SAME source class: one conv
+    with concatenated output channels (halves the transpose+conv count of
+    cell/vertex pair reads, the most frequent primitive in the step)."""
+    key = (mesh.structured_nx, mesh.structured_ny, mesh.structured_dc,
+           f"conv:{name_a}+{name_b}")
+    if key in _CONV_CACHE:
+        return _CONV_CACHE[key]
+    ka, dy0a, dx0a, psa, pda = conv_kernel_from_table(mesh, name_a)
+    kb, dy0b, dx0b, psb, pdb = conv_kernel_from_table(mesh, name_b)
+    assert psa == psb
+    dy0 = min(dy0a, dy0b)
+    dx0 = min(dx0a, dx0b)
+    kh = max(dy0a + ka.shape[0], dy0b + kb.shape[0]) - dy0
+    kw = max(dx0a + ka.shape[1], dx0b + kb.shape[1]) - dx0
+    kernel = np.zeros((kh, kw, 2 * psa, 2 * (pda + pdb)), np.float64)
+    kernel[dy0a - dy0:dy0a - dy0 + ka.shape[0],
+           dx0a - dx0:dx0a - dx0 + ka.shape[1], :, :2 * pda] = ka
+    kernel[dy0b - dy0:dy0b - dy0 + kb.shape[0],
+           dx0b - dx0:dx0b - dx0 + kb.shape[1], :, 2 * pda:] = kb
+    _CONV_CACHE[key] = (kernel, dy0, dx0, psa, pda, pdb)
+    return _CONV_CACHE[key]
+
+
+def apply_pair_conv(mesh, name_a: str, name_b: str, field):
+    """(stencil_a(field), stencil_b(field)) in one conv."""
+    kernel, dy0, dx0, ps, pda, pdb = pair_kernel(mesh, name_a, name_b)
+    nx, ny = mesh.structured_nx, mesh.structured_ny
+    K = field.shape[-1]
+    lead = field.shape[:-2]
+    x = _to_conv_layout(field, ps, nx, ny)
+    kh, kw = kernel.shape[:2]
+    x = _wrap_pad(x, dy0, kh, axis=1)
+    x = _wrap_pad(x, dx0, kw, axis=2)
+    out = jax.lax.conv_general_dilated(
+        x, jnp.asarray(kernel, field.dtype),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=field.dtype)
+    a = _from_conv_layout(out[..., :2 * pda], pda, nx, ny, K, lead)
+    b = _from_conv_layout(out[..., 2 * pda:], pdb, nx, ny, K, lead)
+    return a, b
 
 
 def _wrap_pad(x, d0: int, klen: int, axis: int):

@@ -99,25 +99,30 @@ def warm_structured(mesh: HorzMesh) -> bool:
 # ----------------------------------------------------------------------
 # primitives
 
+def _pair(mesh, f, name0, name1, idx0, idx1, dst, src):
+    t0 = _struct(mesh, name0, idx0, dst, src)
+    if t0 is None:
+        return _take(f, idx0), _take(f, idx1)
+    from omega_tpu.ops import structured_conv
+    # merged pair convs measured SLOWER (union kernels waste MACs:
+    # 44.0 vs 37.4 ms/step at 256^2x100); keep separate convs by default
+    if structured_conv.enabled() and structured_conv.pair_enabled():
+        return structured_conv.apply_pair_conv(mesh, name0, name1, f)
+    t1 = _struct(mesh, name1, idx1, dst, src)
+    return (structured.apply_stencil(mesh, t0, f),
+            structured.apply_stencil(mesh, t1, f))
+
+
 def cell_pair_on_edge(mesh: HorzMesh, f):
     """(f[cellsOnEdge[:,0]], f[cellsOnEdge[:,1]]) for a cell field."""
-    t0 = _struct(mesh, "c0", mesh.cells_on_edge[:, 0], "edge", "cell")
-    if t0 is not None:
-        t1 = _struct(mesh, "c1", mesh.cells_on_edge[:, 1], "edge", "cell")
-        return (structured.apply_stencil(mesh, t0, f),
-                structured.apply_stencil(mesh, t1, f))
-    return _take(f, mesh.cells_on_edge[:, 0]), _take(f, mesh.cells_on_edge[:, 1])
+    return _pair(mesh, f, "c0", "c1", mesh.cells_on_edge[:, 0],
+                 mesh.cells_on_edge[:, 1], "edge", "cell")
 
 
 def vertex_pair_on_edge(mesh: HorzMesh, f):
     """(f[verticesOnEdge[:,0]], f[verticesOnEdge[:,1]]) for a vertex field."""
-    t0 = _struct(mesh, "v0", mesh.vertices_on_edge[:, 0], "edge", "vertex")
-    if t0 is not None:
-        t1 = _struct(mesh, "v1", mesh.vertices_on_edge[:, 1], "edge", "vertex")
-        return (structured.apply_stencil(mesh, t0, f),
-                structured.apply_stencil(mesh, t1, f))
-    return (_take(f, mesh.vertices_on_edge[:, 0]),
-            _take(f, mesh.vertices_on_edge[:, 1]))
+    return _pair(mesh, f, "v0", "v1", mesh.vertices_on_edge[:, 0],
+                 mesh.vertices_on_edge[:, 1], "edge", "vertex")
 
 
 def cell_to_vertex_kite(mesh: HorzMesh, f):
