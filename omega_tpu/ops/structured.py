@@ -218,7 +218,9 @@ def apply_stencil(mesh, table, field, src_weight=None):
     field: (..., N_src, K). Returns (..., N_dst, K)."""
     tab, dst_class, src_class = table[:3]
     if len(table) > 3 and table[3] is not None:
-        from omega_tpu.ops import structured_conv
+        from omega_tpu.ops import pallas_stencil, structured_conv
+        if pallas_stencil.enabled():
+            return pallas_stencil.apply_stencil_pallas(mesh, table[3], field)
         if structured_conv.enabled():
             return structured_conv.apply_stencil_conv(mesh, table[3], field)
     nx, ny = mesh.structured_nx, mesh.structured_ny
