@@ -1,0 +1,94 @@
+"""Weak-scaling benchmark: halo-overlap efficiency across shard counts.
+
+The BASELINE metric besides single-chip throughput is weak-scaling
+efficiency 1 -> N workers (target >= 80%, BASELINE.md). Real multi-chip
+hardware is not present on this box, so this script measures the
+shard_map pipeline (per-shard compute + ppermute halos) on N virtual CPU
+devices with a fixed per-shard problem size; on a TPU pod the same code
+path rides ICI. Prints one JSON line per shard count plus the final
+efficiency.
+
+Usage: python bench_scaling.py [max_devices]
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax           # noqa: E402
+import numpy as np   # noqa: E402
+
+
+def main():
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from omega_tpu.core import ModelConfig, ModelState, TendencyConfig
+    from omega_tpu.mesh import planar_hex_mesh
+    from omega_tpu.parallel import decompose, make_sharded_step, shard_state
+    from omega_tpu.parallel.sharded import default_device_mesh
+    from omega_tpu.stepping import forward_backward_step
+
+    max_dev = int(sys.argv[1]) if len(sys.argv) > 1 else len(jax.devices())
+    per_shard_nx = int(os.environ.get("OMEGA_SCALING_NX", 32))
+    K = int(os.environ.get("OMEGA_SCALING_NLAYERS", 16))
+    nsteps = int(os.environ.get("OMEGA_SCALING_NSTEPS", 10))
+
+    results = {}
+    for nshards in [n for n in (1, 2, 4, 8) if n <= max_dev]:
+        # weak scaling: global mesh grows with shard count
+        nx = per_shard_nx * {1: 1, 2: 2, 4: 2, 8: 4}[nshards]
+        ny = per_shard_nx * {1: 1, 2: 1, 4: 2, 8: 2}[nshards]
+        mesh = planar_hex_mesh(nx, ny, dc=5000.0, f0=1e-4,
+                               bottom_depth=1000.0)
+        cfg = ModelConfig(nvertlayers=K, ntracers=2,
+                          tendencies=TendencyConfig(visc_del2=1e3,
+                                                    visc_del4=1e9))
+        kx = 2 * np.pi / mesh.x_period
+        h = jnp.asarray((1000.0 + np.sin(kx * np.asarray(mesh.x_cell))
+                         [:, None]) / K) * jnp.ones((1, K))
+        st = ModelState(h=h, u=jnp.zeros((mesh.nedges, K)),
+                        tracers=10.0 + jnp.zeros((2, mesh.ncells, K)))
+        sm = decompose(mesh, nshards)
+        dm = default_device_mesh(nshards)
+        step = jax.jit(make_sharded_step(sm, cfg, forward_backward_step, dm))
+        ss = shard_state(sm, st)
+
+        out = ss
+        for _ in range(2):
+            out = step(out, 0.0, 30.0)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = ss
+            for _ in range(nsteps):
+                out = step(out, 0.0, 30.0)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        per_step = best / nsteps
+        gps = mesh.ncells * K / per_step
+        results[nshards] = gps
+        print(json.dumps({"metric": "weak_scaling", "nshards": nshards,
+                          "gridpoint_steps_per_sec": gps,
+                          "ms_per_step": per_step * 1e3}))
+
+    base = results[1]
+    top = max(results)
+    # virtual CPU devices SHARE the physical cores, so ideal weak scaling
+    # on this harness is constant aggregate throughput (N shards of work
+    # on the same silicon): efficiency = throughput_N / throughput_1.
+    # On a real pod each shard owns a chip and the same code path rides
+    # ICI; this number only bounds the sharding overhead from below.
+    eff = results[top] / base
+    print(json.dumps({"metric": "weak_scaling_efficiency_core_shared",
+                      "value": eff, "nshards": top, "target": 0.8,
+                      "note": "virtual-device harness; shards share cores"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -124,10 +124,13 @@ def make_halo_fn(sm: ShardedMesh, axis_name: str = "x",
     neighbor ppermutes; otherwise falls back to all_gather."""
     def halo_fn(st: ModelState) -> ModelState:
         if cell_plists is not None:
-            h = halo_mod.exchange_permute(st.h, cell_plists, axis_name)
+            import jax.numpy as jnp
+            # h and tracers share the cell exchange lists: one permute for
+            # the stacked (1+L, Cl, K) bundle halves the collective count
+            bundle = jnp.concatenate([st.h[None], st.tracers], axis=0)
+            bundle = halo_mod.exchange_permute(bundle, cell_plists, axis_name)
             u = halo_mod.exchange_permute(st.u, edge_plists, axis_name)
-            tr = halo_mod.exchange_permute(st.tracers, cell_plists, axis_name)
-            return ModelState(h=h, u=u, tracers=tr)
+            return ModelState(h=bundle[0], u=u, tracers=bundle[1:])
         h = halo_mod.exchange(st.h, sm.cell_send_idx, sm.cell_recv_src_shard,
                               sm.cell_recv_src_slot, sm.cell_recv_dst, axis_name)
         u = halo_mod.exchange(st.u, sm.edge_send_idx, sm.edge_recv_src_shard,
