@@ -30,8 +30,11 @@ def main():
     from omega_tpu.core import ModelConfig, ModelState, TendencyConfig
     from omega_tpu.mesh import planar_hex_mesh
     from omega_tpu.parallel import decompose, make_sharded_step, shard_state
+    from omega_tpu.parallel import structured_shard as sshard
     from omega_tpu.parallel.sharded import default_device_mesh
     from omega_tpu.stepping import forward_backward_step
+
+    mode = os.environ.get("OMEGA_SCALING_MODE", "structured")
 
     max_dev = int(sys.argv[1]) if len(sys.argv) > 1 else len(jax.devices())
     per_shard_nx = int(os.environ.get("OMEGA_SCALING_NX", 32))
@@ -41,8 +44,10 @@ def main():
     results = {}
     for nshards in [n for n in (1, 2, 4, 8) if n <= max_dev]:
         # weak scaling: global mesh grows with shard count
-        nx = per_shard_nx * {1: 1, 2: 2, 4: 2, 8: 4}[nshards]
-        ny = per_shard_nx * {1: 1, 2: 1, 4: 2, 8: 2}[nshards]
+        # rows grow with shard count (the structured decomposition bands
+        # along rows); nx stays fixed
+        nx = per_shard_nx
+        ny = per_shard_nx * nshards
         mesh = planar_hex_mesh(nx, ny, dc=5000.0, f0=1e-4,
                                bottom_depth=1000.0)
         cfg = ModelConfig(nvertlayers=K, ntracers=2,
@@ -53,10 +58,17 @@ def main():
                          [:, None]) / K) * jnp.ones((1, K))
         st = ModelState(h=h, u=jnp.zeros((mesh.nedges, K)),
                         tracers=10.0 + jnp.zeros((2, mesh.ncells, K)))
-        sm = decompose(mesh, nshards)
         dm = default_device_mesh(nshards)
-        step = jax.jit(make_sharded_step(sm, cfg, forward_backward_step, dm))
-        ss = shard_state(sm, st)
+        if mode == "structured":
+            sm = sshard.decompose_structured(mesh, nshards)
+            step = jax.jit(sshard.make_sharded_step(
+                sm, cfg, forward_backward_step, dm))
+            ss = sshard.shard_state(sm, st)
+        else:
+            sm = decompose(mesh, nshards)
+            step = jax.jit(make_sharded_step(sm, cfg, forward_backward_step,
+                                             dm))
+            ss = shard_state(sm, st)
 
         out = ss
         for _ in range(2):
