@@ -61,6 +61,7 @@ class OceanModel:
     dt: float
     state: ModelState
     timers: Timers = None
+    nshards: int = 1                # Decomp: NShards (structured row bands)
     sim_start: TimeInstant = None   # original simulation start (forcing t=0);
                                     # survives restart via file metadata
     wind_stress: object = None      # optional (zonal, merid) cell fields
@@ -208,6 +209,13 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
     fields.update_meta("simulation", StartTime=str(start),
                        TimeStep=ti.get_str("TimeStep"))
 
+    # --- Decomp: structured multi-device execution (Decomp group; the
+    # reference's Decomp.HaloWidth/DecompMethod analogue)
+    nshards = 1
+    if config.exists("Decomp"):
+        dc_ = config.get_group("Decomp")
+        nshards = dc_.get_int("NShards", 1)
+
     # --- IO streams
     streams_cfg = (config.get_group("IOStreams") if config.exists("IOStreams")
                    else Config("IOStreams", {}))
@@ -267,7 +275,8 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
         clock=clock, end_alarm=end_alarm, streams=streams, fields=fields,
         dims=dims, tracers=tracers, stepper=stepper,
         dt=float(dt_iv.total_seconds()), state=state, sim_start=sim_start,
-        wind_stress=wind, timers=timers, directory=directory)
+        wind_stress=wind, timers=timers, nshards=nshards,
+        directory=directory)
     _attach_state(model)
     return model
 
@@ -281,7 +290,7 @@ def _wants_diagnostics(model) -> bool:
     return False
 
 
-def _attach_diagnostics(model: OceanModel) -> None:
+def _attach_diagnostics(model: OceanModel, state: ModelState = None) -> None:
     """EOS + vertical-coordinate diagnostics (Eos::computeSpecVol,
     VertCoord::computePressure/computeZHeight) for streamed output."""
     import jax.numpy as jnp
@@ -289,7 +298,8 @@ def _attach_diagnostics(model: OceanModel) -> None:
     from omega_tpu.core import eos as eos_mod
     from omega_tpu.core import vert_coord
 
-    h = model.state.h
+    state = model.state if state is None else state
+    h = state.h
     rho0 = constants.RHO0_SEAWATER
     p_int, p_mid = vert_coord.compute_pressure(
         h, jnp.zeros(model.mesh.ncells), rho0)
@@ -297,8 +307,8 @@ def _attach_diagnostics(model: OceanModel) -> None:
     isal = model.tracers.get_index("Salinity")
     ec = eos_mod.EosConfig.from_yaml(model.config)
     if it >= 0 and isal >= 0:
-        sv = eos_mod.compute_spec_vol(ec, model.state.tracers[it],
-                                      model.state.tracers[isal], p_mid)
+        sv = eos_mod.compute_spec_vol(ec, state.tracers[it],
+                                      state.tracers[isal], p_mid)
     else:
         sv = jnp.full_like(h, 1.0 / rho0)
     z_int, z_mid = vert_coord.compute_z_height(h, sv, model.mesh.bottom_depth,
@@ -308,18 +318,19 @@ def _attach_diagnostics(model: OceanModel) -> None:
     model.fields.attach("SpecVol", sv)
 
 
-def _attach_state(model: OceanModel) -> None:
+def _attach_state(model: OceanModel, state: ModelState = None) -> None:
     """Re-attach current state arrays to their fields (the per-step Field
     re-attachment of OceanState::updateTimeLevels, OceanState.cpp:333-365).
     Arrays stay on device; numpy materialization happens only on write."""
-    model.fields.attach("LayerThickness", model.state.h)
-    model.fields.attach("NormalVelocity", model.state.u)
-    ssh = np.asarray(model.state.h).sum(-1) - np.asarray(model.mesh.bottom_depth)
+    state = model.state if state is None else state
+    model.fields.attach("LayerThickness", state.h)
+    model.fields.attach("NormalVelocity", state.u)
+    ssh = np.asarray(state.h).sum(-1) - np.asarray(model.mesh.bottom_depth)
     model.fields.attach("SshCell", ssh)
     for i, name in enumerate(model.tracers.names):
-        model.fields.attach(name, model.state.tracers[i])
+        model.fields.attach(name, state.tracers[i])
     if _wants_diagnostics(model):
-        _attach_diagnostics(model)
+        _attach_diagnostics(model, state)
     model.fields.update_meta("simulation",
                              SimulationTime=str(model.clock.get_current_time()))
 
@@ -343,7 +354,11 @@ def _steps_until_next_alarm(model: OceanModel, max_chunk: int = 512) -> int:
 
 
 def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
-    """Time loop until EndAlarm rings (ocnRun, ocn/OceanRun.cpp:16-70)."""
+    """Time loop until EndAlarm rings (ocnRun, ocn/OceanRun.cpp:16-70).
+
+    With Decomp.NShards > 1 the loop runs the structure-preserving
+    row-band decomposition over a jax device mesh: the state stays
+    sharded across segments and is gathered only at IO boundaries."""
     import jax
 
     from omega_tpu.stepping.steppers import run_steps
@@ -352,11 +367,35 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
 
     from functools import partial
 
+    sharded = model.nshards > 1
+    if sharded:
+        from omega_tpu.parallel import structured_shard as sshard
+        from omega_tpu.parallel.sharded import default_device_mesh
+        ss = sshard.decompose_structured(mesh, model.nshards)
+        dmesh = default_device_mesh(model.nshards)
+        sstep = sshard.make_sharded_step(ss, cfg, model.stepper, dmesh)
+
+        @partial(jax.jit, static_argnums=2)
+        def segment_sharded(state, t0, nsteps):
+            def body(carry, i):
+                st, t = carry
+                return (sstep(st, t, model.dt), t + model.dt), None
+            (state, _), _ = jax.lax.scan(
+                body, (state, jnp_asarray(t0)), None, length=nsteps)
+            return state
+
+        import jax.numpy as _jnp
+        jnp_asarray = lambda t0: _jnp.asarray(t0, model.state.h.dtype)
+        model._ss = ss
+        model.state = sshard.shard_state(ss, model.state)
+
     @partial(jax.jit, static_argnums=2)
     def segment(state, t0, nsteps):
         return run_steps(mesh, cfg, state, t0, model.dt, nsteps,
                          stepper=model.stepper,
                          wind_stress=model.wind_stress)
+    if sharded:
+        segment = segment_sharded
 
     log = get_logger()
 
@@ -370,7 +409,12 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
             model.clock.advance()
         model.step_count += n
         with tm.scope("ocnRun/io", 1):
-            _attach_state(model)
+            if sharded:
+                from omega_tpu.parallel import structured_shard as sshard
+                gathered = sshard.gather_state(model._ss, model.state)
+                _attach_state(model, gathered)
+            else:
+                _attach_state(model)
             model.streams.write_all()
         for alarm in model.clock.alarms:
             if alarm.is_ringing() and alarm is not model.end_alarm:
@@ -378,6 +422,10 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
         if progress_every and model.step_count % progress_every < n:
             log.info("step %d complete, clock %s", model.step_count,
                      model.clock.get_current_time())
+    if sharded:
+        from omega_tpu.parallel import structured_shard as sshard
+        model.state = sshard.gather_state(
+            model._ss, jax.block_until_ready(model.state))
     return model
 
 

@@ -218,3 +218,36 @@ def test_start_end_window(tmp_path):
     # rings at 10 (before window), 20 (in), 30 (== end, excluded), 40 (after)
     assert len(files) == 1
     assert "00.20.00" in files[0].replace(":", ".")
+
+
+def test_sharded_driver_matches_single(tmp_path):
+    """Decomp.NShards > 1 runs the row-band decomposition through the
+    driver; results match the single-device run to roundoff."""
+    import dataclasses
+
+    tmp = str(tmp_path)
+    cfg_path = _base_config(tmp, stop="0001-01-01_00:20:00")
+    # rewrite mesh so ny divides 4 with an even band >= 4
+    import yaml as _y
+    doc = _y.safe_load(open(cfg_path))
+    doc["Omega"]["Mesh"]["Generate"].update(Nx=8, Ny=16)
+    doc["Omega"]["Decomp"] = {"NShards": 4}
+    _y.safe_dump(doc, open(cfg_path, "w"))
+
+    mA = ocn_init(config_file=cfg_path, directory=tmp)
+    mA = _perturb(mA)
+    h0 = mA.state.h
+    mA = ocn_run(mA)
+    stA = ocn_finalize(mA)
+
+    doc["Omega"]["Decomp"] = {"NShards": 1}
+    _y.safe_dump(doc, open(cfg_path, "w"))
+    mB = ocn_init(config_file=cfg_path, directory=tmp)
+    mB.state = mB.state._replace(h=h0)
+    mB = ocn_run(mB)
+    stB = ocn_finalize(mB)
+
+    np.testing.assert_allclose(np.asarray(stA.h), np.asarray(stB.h),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(stA.u), np.asarray(stB.u),
+                               rtol=0, atol=1e-12)
