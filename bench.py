@@ -51,9 +51,18 @@ def main():
     nlayers = int(os.environ.get("OMEGA_BENCH_NLAYERS", 100))
     ntracers = int(os.environ.get("OMEGA_BENCH_NTRACERS", 2))
     nsteps = int(os.environ.get("OMEGA_BENCH_NSTEPS", 20))
+    mesh_kind = os.environ.get("OMEGA_BENCH_MESH", "planar")
 
-    mesh = planar_hex_mesh(nx, nx, dc=5000.0, f0=1e-4,
-                           bottom_depth=1000.0).astype(dtype)
+    if mesh_kind == "sphere":
+        # global icos mesh (unstructured gather path), SFC-renumbered —
+        # the QU240-style configuration
+        from omega_tpu.mesh.reorder import reorder_mesh
+        from omega_tpu.mesh.spherical import spherical_icos_mesh
+        n = int(os.environ.get("OMEGA_BENCH_SUBDIV", 48))
+        mesh = reorder_mesh(spherical_icos_mesh(n)).astype(dtype)
+    else:
+        mesh = planar_hex_mesh(nx, nx, dc=5000.0, f0=1e-4,
+                               bottom_depth=1000.0).astype(dtype)
     mesh = mesh.device_put()
     # hyperviscosity scaled for the 5 km mesh: the reference default
     # ViscDel4=1.2e11 targets QU240-scale cells and is explicitly unstable
@@ -66,10 +75,17 @@ def main():
                       tendencies=TendencyConfig(visc_del2=1.0e3,
                                                 visc_del4=1.0e9, **tflags))
 
-    kx = 2 * np.pi / mesh.x_period
-    ky = 2 * np.pi / mesh.y_period
-    ssh = np.sin(kx * np.asarray(mesh.x_cell)) * np.sin(ky * np.asarray(mesh.y_cell))
-    h = jnp.asarray((1000.0 + ssh[:, None]) / nlayers,
+    if mesh_kind == "sphere":
+        ssh = np.sin(2 * np.asarray(mesh.lat_cell)) * \
+            np.cos(np.asarray(mesh.lon_cell))
+        depth0 = float(np.asarray(mesh.bottom_depth)[0])
+    else:
+        kx = 2 * np.pi / mesh.x_period
+        ky = 2 * np.pi / mesh.y_period
+        ssh = np.sin(kx * np.asarray(mesh.x_cell)) * \
+            np.sin(ky * np.asarray(mesh.y_cell))
+        depth0 = 1000.0
+    h = jnp.asarray((depth0 + ssh[:, None]) / nlayers,
                     dtype) * jnp.ones((1, nlayers), dtype)
     state = ModelState(
         h=h, u=jnp.zeros((mesh.nedges, nlayers), dtype),
