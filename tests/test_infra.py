@@ -171,3 +171,28 @@ def test_global_sum_multiplier_mask():
     mask = x < 3
     got = float(reductions.global_sum(x, multiplier=m, mask=mask))
     assert got == 2.0 * (0 + 1 + 2)
+
+
+def test_reference_default_yml_parses():
+    """Parity check: the reference's own configs/Default.yml parses with
+    our Config and builds a ModelConfig (schema compatibility)."""
+    import os
+    path = ("/root/reference/components/omega/configs/Default.yml")
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    from omega_tpu.core.config import model_config_from_yaml
+    cfg = Config.read_all(path)
+    assert cfg.get_group("Tendencies").get_float("ViscDel4") == 1.2e11
+    assert cfg.get_group("TimeIntegration").get_str("TimeStepper") == \
+        "Forward-Backward"
+    assert cfg.get_group("IOStreams").get_group("RestartWrite") \
+        .get_str("PointerFilename") == "ocn.pointer"
+    mc = model_config_from_yaml(cfg, nvertlayers=4, ntracers=2)
+    assert mc.tendencies.visc_del2 == 1.0e3
+    assert mc.flux_tracer_type == "center"
+    # stream specs parse
+    from omega_tpu.io.stream import StreamSpec
+    io_grp = cfg.get_group("IOStreams")
+    for name in io_grp.keys():
+        spec = StreamSpec.from_config(name, io_grp.get_group(name))
+        assert spec.mode in ("read", "write")
