@@ -251,3 +251,33 @@ def test_sharded_driver_matches_single(tmp_path):
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(stA.u), np.asarray(stB.u),
                                rtol=0, atol=1e-12)
+
+
+def test_multiframe_stream(tmp_path):
+    """FileFreq opens a new file on its own alarm while frames accumulate
+    on the Time axis (the Highfreq pattern, IOStream.h Multiframe)."""
+    tmp = str(tmp_path)
+    streams = {
+        "Highfreq": {
+            "Filename": "ocn.hifreq.$Y-$M-$D_$h.$m",
+            "Mode": "write",
+            "IfExists": "append",
+            "Freq": 5,
+            "FreqUnits": "minutes",
+            "FileFreq": 15,
+            "FileFreqUnits": "minutes",
+            "UseStartEnd": False,
+            "Contents": ["SshCell"],
+        },
+    }
+    cfg_path = _base_config(tmp, stop="0001-01-01_00:30:00", streams=streams)
+    model = _perturb(ocn_init(config_file=cfg_path, directory=tmp))
+    model = ocn_run(model)
+    ocn_finalize(model)
+    files = sorted(f for f in os.listdir(tmp) if f.startswith("ocn.hifreq"))
+    # stream writes at 5,10,15,20,25,30; the file alarm rings at 15 and
+    # 30, so frames land [5,10] | [15,20,25] | [30]
+    assert len(files) == 3, files
+    frames = [read_netcdf(os.path.join(tmp, f)).get("SshCell").shape[0]
+              for f in files]
+    assert frames == [2, 3, 1], frames
