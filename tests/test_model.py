@@ -160,3 +160,24 @@ def test_stepper_temporal_order():
     assert orders["fb"] > 0.85, orders
     assert orders["rk2"] > 1.6, orders
     assert orders["rk4"] > 3.2, orders
+
+
+@pytest.mark.parametrize("thick_type,tracer_type",
+                         [("upwind", "upwind"), ("upwind", "center")])
+def test_upwind_flux_options(thick_type, tracer_type):
+    """FluxThicknessType/FluxTracerType 'Upwind' (LayerThicknessAuxVars.h
+    center/upwind options): conservative and stable."""
+    mesh, cfg, state = _inertia_gravity_setup()
+    cfg = dataclasses.replace(cfg, flux_thickness_type=thick_type,
+                              flux_tracer_type=tracer_type)
+    area = np.asarray(mesh.area_cell)[:, None]
+    vol0 = np.sum(area * np.asarray(state.h))
+    tr0 = np.sum(area * np.asarray(state.h) * np.asarray(state.tracers),
+                 axis=(1, 2))
+    out = jax.block_until_ready(run_steps(mesh, cfg, state, 0.0, 60.0, 20))
+    vol1 = np.sum(area * np.asarray(out.h))
+    tr1 = np.sum(area * np.asarray(out.h) * np.asarray(out.tracers),
+                 axis=(1, 2))
+    assert abs(vol1 - vol0) / vol0 < 1e-13
+    np.testing.assert_allclose(tr1, tr0, rtol=1e-12)
+    assert np.isfinite(np.asarray(out.u)).all()
