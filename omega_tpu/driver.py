@@ -61,7 +61,8 @@ class OceanModel:
     dt: float
     state: ModelState
     timers: Timers = None
-    nshards: int = 1                # Decomp: NShards (structured row bands)
+    nshards: int = 1                # Decomp: NShards
+    decomp_method: str = "auto"     # Decomp: Method (auto|structured|sfc)
     sim_start: TimeInstant = None   # original simulation start (forcing t=0);
                                     # survives restart via file metadata
     wind_stress: object = None      # optional (zonal, merid) cell fields
@@ -209,12 +210,20 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
     fields.update_meta("simulation", StartTime=str(start),
                        TimeStep=ti.get_str("TimeStep"))
 
-    # --- Decomp: structured multi-device execution (Decomp group; the
-    # reference's Decomp.HaloWidth/DecompMethod analogue)
+    # --- Decomp: multi-device execution (Decomp group; the reference's
+    # Decomp.DecompMethod/HaloWidth, base/Decomp.h:19-30). Method "auto"
+    # keeps structured planar meshes on the structure-preserving row-band
+    # decomposition (conv fast path) and sends everything else — spheres,
+    # file meshes, beta-planes — through the general SFC decomposition.
     nshards = 1
+    decomp_method = "auto"
     if config.exists("Decomp"):
         dc_ = config.get_group("Decomp")
         nshards = dc_.get_int("NShards", 1)
+        decomp_method = dc_.get_str("Method", "auto").lower()
+        if decomp_method not in ("auto", "structured", "sfc"):
+            raise ConfigError(f"Decomp.Method must be auto|structured|sfc, "
+                              f"got {decomp_method!r}")
 
     # --- IO streams
     streams_cfg = (config.get_group("IOStreams") if config.exists("IOStreams")
@@ -276,6 +285,7 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
         dims=dims, tracers=tracers, stepper=stepper,
         dt=float(dt_iv.total_seconds()), state=state, sim_start=sim_start,
         wind_stress=wind, timers=timers, nshards=nshards,
+        decomp_method=decomp_method,
         directory=directory)
     _attach_state(model)
     return model
@@ -369,11 +379,37 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
 
     sharded = model.nshards > 1
     if sharded:
-        from omega_tpu.parallel import structured_shard as sshard
         from omega_tpu.parallel.sharded import default_device_mesh
-        ss = sshard.decompose_structured(mesh, model.nshards)
         dmesh = default_device_mesh(model.nshards)
-        sstep = sshard.make_sharded_step(ss, cfg, model.stepper, dmesh)
+
+        use_structured = False
+        if model.decomp_method in ("auto", "structured"):
+            from omega_tpu.parallel import structured_shard as sshard
+            try:
+                ss = sshard.decompose_structured(mesh, model.nshards)
+                use_structured = True
+            except ValueError:
+                if model.decomp_method == "structured":
+                    raise
+                get_logger().info(
+                    "Decomp: mesh not structured-shardable, using the "
+                    "general SFC decomposition")
+
+        if use_structured:
+            sstep = sshard.make_sharded_step(
+                ss, cfg, model.stepper, dmesh,
+                wind_stress=model.wind_stress)
+            model._gather = lambda st: sshard.gather_state(ss, st)
+            model.state = sshard.shard_state(ss, model.state)
+        else:
+            from omega_tpu.parallel import (decompose, gather_state,
+                                            make_sharded_step, shard_state)
+            sm_d = decompose(mesh, model.nshards)
+            sstep = make_sharded_step(sm_d, cfg, model.stepper, dmesh,
+                                      wind_stress=model.wind_stress)
+            model._gather = lambda st: gather_state(
+                sm_d, st, mesh.ncells, mesh.nedges)
+            model.state = shard_state(sm_d, model.state)
 
         @partial(jax.jit, static_argnums=2)
         def segment_sharded(state, t0, nsteps):
@@ -386,8 +422,6 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
 
         import jax.numpy as _jnp
         jnp_asarray = lambda t0: _jnp.asarray(t0, model.state.h.dtype)
-        model._ss = ss
-        model.state = sshard.shard_state(ss, model.state)
 
     @partial(jax.jit, static_argnums=2)
     def segment(state, t0, nsteps):
@@ -410,9 +444,7 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
         model.step_count += n
         with tm.scope("ocnRun/io", 1):
             if sharded:
-                from omega_tpu.parallel import structured_shard as sshard
-                gathered = sshard.gather_state(model._ss, model.state)
-                _attach_state(model, gathered)
+                _attach_state(model, model._gather(model.state))
             else:
                 _attach_state(model)
             model.streams.write_all()
@@ -423,9 +455,7 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
             log.info("step %d complete, clock %s", model.step_count,
                      model.clock.get_current_time())
     if sharded:
-        from omega_tpu.parallel import structured_shard as sshard
-        model.state = sshard.gather_state(
-            model._ss, jax.block_until_ready(model.state))
+        model.state = model._gather(jax.block_until_ready(model.state))
     return model
 
 

@@ -229,6 +229,8 @@ class StreamManager:
         s = self.get(name)
         if s.spec.mode != "read":
             raise IOError_(f"stream {name!r} is not a read stream")
+        if not force and not s.should_act(self.clock, "step"):
+            return None
         try:
             path = s.resolve_read_path()
         except IOError_:
@@ -257,10 +259,13 @@ class StreamManager:
 
     # ---------------- write path ----------------
     def write(self, name: str, force: bool = False) -> Optional[str]:
-        """Write a stream if its alarm rings (or forced). Returns path."""
+        """Write a stream if its alarm rings (or forced). Returns path,
+        or None when the alarm is silent and force is not set."""
         s = self.get(name)
         if s.spec.mode != "write":
             raise IOError_(f"stream {name!r} is not a write stream")
+        if not force and not s.should_act(self.clock, "step"):
+            return None
         path = s.resolve_write_path(self.clock)
 
         multiframe = s.file_alarm is not None
@@ -354,7 +359,8 @@ class StreamManager:
         out = {}
         for name, s in self.streams.items():
             if s.spec.mode == "read" and s.should_act(self.clock, "startup"):
-                meta = self.read(name, missing_ok=name in missing_ok_streams
+                meta = self.read(name, force=True,
+                                 missing_ok=name in missing_ok_streams
                                  or s.spec.use_pointer)
                 if meta is not None:
                     out[name] = meta
@@ -366,7 +372,7 @@ class StreamManager:
         written = []
         for name, s in self.streams.items():
             if s.spec.mode == "write" and s.should_act(self.clock, phase):
-                written.append(self.write(name))
+                written.append(self.write(name, force=True))
         return written
 
     def finalize(self) -> List[str]:

@@ -50,10 +50,15 @@ def _dd_add(x, y):
 def dd_sum(x, multiplier=None, mask=None):
     """Compensated (double-double) sum of all elements of `x`.
 
-    Returns the (hi, lo) pair. Accumulation order is fixed (flattened
-    array order via an associative scan-style reduce), so the result is
-    independent of how the global array was split into shards as long as
-    element order is preserved.
+    Returns the (hi, lo) pair. Accumulation is a deterministic pairwise
+    tree over the flattened array, so repeated runs on the same
+    decomposition are bit-for-bit. Across different shard counts the tree
+    shape changes with the local length, so invariance holds only to the
+    ~2^-106 double-double cancellation level (for well-conditioned sums
+    that still rounds to the same double; the reference's fixed-order
+    ddSum MPI_Op, base/Reductions.h:71-88, gives the strictly stronger
+    order-independent guarantee). tests/test_infra.py checks the
+    decomposition-invariance this provides in practice.
     """
     v = x if multiplier is None else x * multiplier
     if mask is not None:

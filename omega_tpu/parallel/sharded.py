@@ -122,6 +122,22 @@ def make_halo_fn(sm: ShardedMesh, axis_name: str = "x",
     an *unstacked* ShardedMesh pytree). When per-distance permute lists
     are provided (each entry already unstacked to this shard's row), uses
     neighbor ppermutes; otherwise falls back to all_gather."""
+    def cell_ex(x):
+        """Halo-refresh one cell array (..., Cl, K)."""
+        if cell_plists is not None:
+            return halo_mod.exchange_permute(x, cell_plists, axis_name)
+        return halo_mod.exchange(x, sm.cell_send_idx, sm.cell_recv_src_shard,
+                                 sm.cell_recv_src_slot, sm.cell_recv_dst,
+                                 axis_name)
+
+    def edge_ex(x):
+        """Halo-refresh one edge array (..., El, K)."""
+        if edge_plists is not None:
+            return halo_mod.exchange_permute(x, edge_plists, axis_name)
+        return halo_mod.exchange(x, sm.edge_send_idx, sm.edge_recv_src_shard,
+                                 sm.edge_recv_src_slot, sm.edge_recv_dst,
+                                 axis_name)
+
     def halo_fn(st: ModelState) -> ModelState:
         if cell_plists is not None:
             import jax.numpy as jnp
@@ -131,20 +147,21 @@ def make_halo_fn(sm: ShardedMesh, axis_name: str = "x",
             bundle = halo_mod.exchange_permute(bundle, cell_plists, axis_name)
             u = halo_mod.exchange_permute(st.u, edge_plists, axis_name)
             return ModelState(h=bundle[0], u=u, tracers=bundle[1:])
-        h = halo_mod.exchange(st.h, sm.cell_send_idx, sm.cell_recv_src_shard,
-                              sm.cell_recv_src_slot, sm.cell_recv_dst, axis_name)
-        u = halo_mod.exchange(st.u, sm.edge_send_idx, sm.edge_recv_src_shard,
-                              sm.edge_recv_src_slot, sm.edge_recv_dst, axis_name)
-        tr = halo_mod.exchange(st.tracers, sm.cell_send_idx,
-                               sm.cell_recv_src_shard, sm.cell_recv_src_slot,
-                               sm.cell_recv_dst, axis_name)
-        return ModelState(h=h, u=u, tracers=tr)
+        return ModelState(h=cell_ex(st.h), u=edge_ex(st.u),
+                          tracers=cell_ex(st.tracers))
+
+    # steppers that advance sub-fields between full-state exchanges (the
+    # split-explicit barotropic subcycle) refresh them through these —
+    # on a single device the default halo has no such attributes and
+    # getattr falls back to identity
+    halo_fn.cell = cell_ex
+    halo_fn.edge = edge_ex
     return halo_fn
 
 
 def make_sharded_step(smesh: ShardedMesh, cfg: ModelConfig, stepper,
                       device_mesh: Mesh, axis_name: str = "x",
-                      halo_impl: str = "permute"):
+                      halo_impl: str = "permute", wind_stress=None):
     """Build a jittable sharded step: (sharded ModelState, t, dt) -> state.
 
     The same pure stepper used on a single device runs inside shard_map on
@@ -166,7 +183,16 @@ def make_sharded_step(smesh: ShardedMesh, cfg: ModelConfig, stepper,
     cell_data = tuple(jnp.asarray(x) for (_, s, r) in cell_pl for x in (s, r))
     edge_data = tuple(jnp.asarray(x) for (_, s, r) in edge_pl for x in (s, r))
 
-    def local_step(sm_stacked, cell_d, edge_d, state_stacked, t, dt):
+    if wind_stress is not None:
+        # per-cell (C,) global arrays -> stacked (S, Cl) local rows
+        c = np.maximum(np.asarray(smesh.cell_local_to_global), 0)
+        wind_stress = tuple(jnp.asarray(np.asarray(w)[c])
+                            for w in wind_stress)
+    wspecs = (P() if wind_stress is None
+              else tuple(pspec for _ in wind_stress))
+
+    def local_step(sm_stacked, cell_d, edge_d, state_stacked, wind_stacked,
+                   t, dt):
         sm = jax.tree.map(lambda a: a[0], sm_stacked)
         st = jax.tree.map(lambda a: a[0], state_stacked)
         if halo_impl == "permute":
@@ -177,7 +203,9 @@ def make_sharded_step(smesh: ShardedMesh, cfg: ModelConfig, stepper,
             halo_fn = make_halo_fn(sm, axis_name, cpl, epl)
         else:
             halo_fn = make_halo_fn(sm, axis_name)
-        out = stepper(sm.mesh, cfg, st, t, dt, halo_fn)
+        wind = (None if wind_stacked is None
+                else tuple(w[0] for w in wind_stacked))
+        out = stepper(sm.mesh, cfg, st, t, dt, halo_fn, wind_stress=wind)
         return jax.tree.map(lambda a: a[None], out)
 
     sharded = jax.shard_map(
@@ -185,11 +213,11 @@ def make_sharded_step(smesh: ShardedMesh, cfg: ModelConfig, stepper,
         in_specs=(smesh_specs,
                   tuple(pspec for _ in cell_data),
                   tuple(pspec for _ in edge_data),
-                  state_specs, P(), P()),
+                  state_specs, wspecs, P(), P()),
         out_specs=state_specs)
 
     def step(state, t, dt):
-        return sharded(smesh, cell_data, edge_data, state, t, dt)
+        return sharded(smesh, cell_data, edge_data, state, wind_stress, t, dt)
 
     return step
 

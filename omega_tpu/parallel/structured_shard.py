@@ -124,19 +124,9 @@ def gather_state(ss: StructuredShards, sstate: ModelState) -> ModelState:
 # ----------------------------------------------------------------------
 # device-side halo exchange: two row-block ppermutes
 
-def _exchange_rows(ss: StructuredShards, st: ModelState,
-                   axis_name: str) -> ModelState:
-    nx, hw = ss.nx, ss.hw
-    nyl = ss.band + 2 * hw
-    K = st.h.shape[-1]
-    L = st.tracers.shape[0]
-    S = ss.nshards
-
-    h = st.h.reshape(1, nyl, nx, K)
-    u = st.u.reshape(3, nyl, nx, K)
-    tr = st.tracers.reshape(L, nyl, nx, K)
-    bundle = jnp.concatenate([h, u, tr], axis=0)     # (4+L, nyl, nx, K)
-
+def _exchange_bundle(ss: StructuredShards, bundle, axis_name: str):
+    """Row-halo refresh of a (T, nyl, nx, K) stacked grid array."""
+    hw, S = ss.hw, ss.nshards
     if S > 1:
         # to s+1: rows [band, band+hw) -> their top halo [0, hw)
         up = jax.lax.ppermute(bundle[:, ss.band:ss.band + hw],
@@ -147,7 +137,31 @@ def _exchange_rows(ss: StructuredShards, st: ModelState,
     else:
         up = bundle[:, ss.band:ss.band + hw]
         dn = bundle[:, hw:2 * hw]
-    bundle = jnp.concatenate([up, bundle[:, hw:ss.band + hw], dn], axis=1)
+    return jnp.concatenate([up, bundle[:, hw:ss.band + hw], dn], axis=1)
+
+
+def _exchange_array(ss: StructuredShards, x, nper: int, axis_name: str):
+    """Row-halo refresh of one element array (..., nper*nyl*nx, K)."""
+    nyl = ss.band + 2 * ss.hw
+    K = x.shape[-1]
+    lead = x.shape[:-2]
+    g = x.reshape((-1, nyl, ss.nx, K))
+    g = _exchange_bundle(ss, g, axis_name)
+    return g.reshape(lead + (nper * nyl * ss.nx, K))
+
+
+def _exchange_rows(ss: StructuredShards, st: ModelState,
+                   axis_name: str) -> ModelState:
+    nx, hw = ss.nx, ss.hw
+    nyl = ss.band + 2 * hw
+    K = st.h.shape[-1]
+    L = st.tracers.shape[0]
+
+    h = st.h.reshape(1, nyl, nx, K)
+    u = st.u.reshape(3, nyl, nx, K)
+    tr = st.tracers.reshape(L, nyl, nx, K)
+    bundle = jnp.concatenate([h, u, tr], axis=0)     # (4+L, nyl, nx, K)
+    bundle = _exchange_bundle(ss, bundle, axis_name)
     h, u, tr = bundle[:1], bundle[1:4], bundle[4:]
     return ModelState(h=h.reshape(nyl * nx, K),
                       u=u.reshape(3 * nyl * nx, K),
@@ -155,7 +169,8 @@ def _exchange_rows(ss: StructuredShards, st: ModelState,
 
 
 def make_sharded_step(ss: StructuredShards, cfg: ModelConfig, stepper,
-                      device_mesh: Mesh, axis_name: str = "x") -> Callable:
+                      device_mesh: Mesh, axis_name: str = "x",
+                      wind_stress=None) -> Callable:
     """Jittable sharded step over the structured row-band decomposition.
 
     Every shard runs the SAME structured local mesh (conv/roll fast path
@@ -164,12 +179,27 @@ def make_sharded_step(ss: StructuredShards, cfg: ModelConfig, stepper,
     state_specs = ModelState(h=pspec, u=pspec, tracers=pspec)
     local = ss.local_mesh
 
-    def local_step(state_stacked, t, dt):
+    if wind_stress is not None:
+        # per-cell (C,) global arrays -> stacked per-shard local rows
+        wind_stress = tuple(
+            jnp.asarray(_split_field(ss, np.asarray(w)[:, None], 1))[..., 0]
+            for w in wind_stress)
+    wspecs = (P() if wind_stress is None
+              else tuple(pspec for _ in wind_stress))
+
+    def local_step(state_stacked, wind_stacked, t, dt):
         st = jax.tree.map(lambda a: a[0], state_stacked)
         halo_fn = lambda s: _exchange_rows(ss, s, axis_name)
-        out = stepper(local, cfg, st, t, dt, halo_fn)
+        # split-explicit subcycles refresh their own 2D fields through
+        # these per-array exchanges (cells nper=1, edges nper=3)
+        halo_fn.cell = lambda x: _exchange_array(ss, x, 1, axis_name)
+        halo_fn.edge = lambda x: _exchange_array(ss, x, 3, axis_name)
+        wind = (None if wind_stacked is None
+                else tuple(w[0] for w in wind_stacked))
+        out = stepper(local, cfg, st, t, dt, halo_fn, wind_stress=wind)
         return jax.tree.map(lambda a: a[None], out)
 
-    return jax.shard_map(local_step, mesh=device_mesh,
-                         in_specs=(state_specs, P(), P()),
-                         out_specs=state_specs)
+    sharded = jax.shard_map(local_step, mesh=device_mesh,
+                            in_specs=(state_specs, wspecs, P(), P()),
+                            out_specs=state_specs)
+    return lambda st, t, dt: sharded(st, wind_stress, t, dt)

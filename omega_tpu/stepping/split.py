@@ -39,7 +39,7 @@ from omega_tpu.core.config import ModelConfig
 from omega_tpu.core.state import ModelState
 from omega_tpu.mesh.horz_mesh import HorzMesh
 from omega_tpu.ops import trisk
-from omega_tpu.stepping.steppers import Halo, _identity
+from omega_tpu.stepping.steppers import Halo, _identity, _mix
 
 
 def _depth_avg_edge(h_edge, x):
@@ -82,10 +82,20 @@ def split_forward_backward_step(mesh: HorzMesh, cfg: ModelConfig,
     # --- barotropic FB subcycles (lax.scan over 2D fields)
     dt_bt = dt / n_subcycles
 
+    # Under sharding the subcycles advance (ubar, ssh) many radius-1 FB
+    # stages between full-state exchanges — far beyond the halo width —
+    # so each subcycle refreshes its own 2D fields through the per-array
+    # exchange the sharded halo exposes (identity on a single device).
+    # The barotropic fields are (E,1)/(C,1): two tiny ppermute rounds.
+    edge_ex = getattr(halo, "edge", None) or (lambda x: x)
+    cell_ex = getattr(halo, "cell", None) or (lambda x: x)
+
     def subcycle(carry, _):
         ub, ssh_s, acc = carry
         ub = ub + dt_bt * (-g * trisk.grad_edge(mesh, ssh_s) + g_slow)
+        ub = edge_ex(ub)
         ssh_s = ssh_s - dt_bt * trisk.div_cell(mesh, h_edge_tot * ub)
+        ssh_s = cell_ex(ssh_s)
         return (ub, ssh_s, acc + ub), None
 
     (ub_final, _, acc), _ = jax.lax.scan(
@@ -107,7 +117,8 @@ def split_forward_backward_step(mesh: HorzMesh, cfg: ModelConfig,
         flux_h_edge=thick_aux.flux_h_edge)
     tr_new = (tr * h[None] + dt * dtr) / h_new[None]
 
-    return halo(ModelState(h=h_new, u=u_new, tracers=tr_new))
+    out = _mix(mesh, cfg, ModelState(h=h_new, u=u_new, tracers=tr_new), dt)
+    return halo(out)
 
 
 def make_split_stepper(n_subcycles: int = 10):

@@ -281,3 +281,70 @@ def test_multiframe_stream(tmp_path):
     frames = [read_netcdf(os.path.join(tmp, f)).get("SshCell").shape[0]
               for f in files]
     assert frames == [2, 3, 1], frames
+
+
+def test_sharded_driver_sphere_general_decomp(tmp_path):
+    """Config-driven multi-device execution of an UNSTRUCTURED mesh: a
+    generated sphere with Decomp.NShards > 1 must dispatch to the general
+    SFC decomposition (base/Decomp.h:19-30 partitions any MPAS mesh from
+    config) and match the single-device run to roundoff."""
+    tmp = str(tmp_path)
+    cfg_path = _base_config(tmp, stop="0001-01-01_00:10:00")
+    doc = yaml.safe_load(open(cfg_path))
+    doc["Omega"]["Mesh"] = {"Generate": {"Kind": "sphere", "Subdivisions": 8,
+                                         "BottomDepth": 1000.0}}
+    doc["Omega"]["Decomp"] = {"NShards": 4, "Method": "auto"}
+    yaml.safe_dump(doc, open(cfg_path, "w"))
+
+    def perturb(model):
+        mesh = model.mesh
+        ssh = np.sin(2 * np.asarray(mesh.lat_cell)) * \
+            np.cos(np.asarray(mesh.lon_cell))
+        K = model.model_cfg.nvertlayers
+        h = np.asarray(model.state.h) + ssh[:, None] / K
+        model.state = model.state._replace(h=jnp.asarray(h))
+        return model
+
+    mA = perturb(ocn_init(config_file=cfg_path, directory=tmp))
+    h0 = mA.state.h
+    mA = ocn_run(mA)
+    stA = ocn_finalize(mA)
+
+    doc["Omega"]["Decomp"] = {"NShards": 1}
+    yaml.safe_dump(doc, open(cfg_path, "w"))
+    mB = ocn_init(config_file=cfg_path, directory=tmp)
+    mB.state = mB.state._replace(h=h0)
+    mB = ocn_run(mB)
+    stB = ocn_finalize(mB)
+
+    np.testing.assert_allclose(np.asarray(stA.h), np.asarray(stB.h),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(stA.u), np.asarray(stB.u),
+                               rtol=0, atol=1e-12)
+
+
+def test_sharded_driver_forced_sfc_on_planar(tmp_path):
+    """Decomp.Method: sfc sends even a structured planar mesh through the
+    general decomposition; results still match single-device."""
+    tmp = str(tmp_path)
+    cfg_path = _base_config(tmp, stop="0001-01-01_00:10:00")
+    doc = yaml.safe_load(open(cfg_path))
+    doc["Omega"]["Decomp"] = {"NShards": 4, "Method": "sfc"}
+    yaml.safe_dump(doc, open(cfg_path, "w"))
+
+    mA = _perturb(ocn_init(config_file=cfg_path, directory=tmp))
+    h0 = mA.state.h
+    mA = ocn_run(mA)
+    stA = ocn_finalize(mA)
+
+    doc["Omega"]["Decomp"] = {"NShards": 1}
+    yaml.safe_dump(doc, open(cfg_path, "w"))
+    mB = ocn_init(config_file=cfg_path, directory=tmp)
+    mB.state = mB.state._replace(h=h0)
+    mB = ocn_run(mB)
+    stB = ocn_finalize(mB)
+
+    np.testing.assert_allclose(np.asarray(stA.h), np.asarray(stB.h),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(stA.u), np.asarray(stB.u),
+                               rtol=0, atol=1e-12)
