@@ -66,6 +66,10 @@ class OceanModel:
     sim_start: TimeInstant = None   # original simulation start (forcing t=0);
                                     # survives restart via file metadata
     wind_stress: object = None      # optional (zonal, merid) cell fields
+    # time-varying forcing loaded from a read stream: (times_sec (T,),
+    # zonal (T, C), merid (T, C)) numpy arrays; linearly interpolated
+    # between frames at each jitted-segment boundary
+    wind_forcing: object = None
     directory: str = "."
     step_count: int = 0
 
@@ -152,6 +156,17 @@ def _register_fields(fields: FieldRegistry, dims: DimensionRegistry,
                       time_dependent=True)
         fields.create_group("Diagnostics")
         fields.add_to_group("Diagnostics", "PressureMid", "ZMid", "SpecVol")
+    if not fields.exists("ZonalStressCell"):
+        # surface wind stress forcing fields, fed through read streams
+        # (WindForcingAuxVars.h:13-40 reads ZonalStressCell/MeridStressCell)
+        fields.create("ZonalStressCell",
+                      description="Zonal surface wind stress",
+                      units="N m-2", dim_names=("NCells",),
+                      time_dependent=True)
+        fields.create("MeridionalStressCell",
+                      description="Meridional surface wind stress",
+                      units="N m-2", dim_names=("NCells",),
+                      time_dependent=True)
     if not fields.exists("code"):
         fields.create_meta("code", model="omega_tpu", version="0.1.0")
     if not fields.exists("simulation"):
@@ -268,11 +283,17 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
 
     stepper = make_stepper(ti.get_str("TimeStepper", "Forward-Backward"))
 
-    # constant wind-stress forcing from config (WindStress group; the
-    # reference reads stress fields through forcing streams — constant
-    # fields cover the standalone test cases)
+    # wind-stress forcing: constant from config (WindStress group), or
+    # time-varying frames from a read stream carrying the stress fields
+    # (the reference feeds ZonalStressCell/MeridStressCell through the
+    # Field/IOStream machinery, WindForcingAuxVars.h:13-40)
     wind = None
-    if config.exists("WindStress"):
+    wind_forcing = _load_wind_forcing(streams, calendar, start, directory)
+    if wind_forcing is not None:
+        times, tzf, tmf = wind_forcing
+        import jax.numpy as _jnp
+        wind = (_jnp.asarray(tzf[0]), _jnp.asarray(tmf[0]))
+    elif config.exists("WindStress"):
         wsg = config.get_group("WindStress")
         if wsg.exists("ConstantZonal") or wsg.exists("ConstantMeridional"):
             import jax.numpy as _jnp
@@ -284,7 +305,8 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
         clock=clock, end_alarm=end_alarm, streams=streams, fields=fields,
         dims=dims, tracers=tracers, stepper=stepper,
         dt=float(dt_iv.total_seconds()), state=state, sim_start=sim_start,
-        wind_stress=wind, timers=timers, nshards=nshards,
+        wind_stress=wind, wind_forcing=wind_forcing,
+        timers=timers, nshards=nshards,
         decomp_method=decomp_method,
         directory=directory)
     _attach_state(model)
@@ -326,6 +348,70 @@ def _attach_diagnostics(model: OceanModel, state: ModelState = None) -> None:
     model.fields.attach("PressureMid", p_mid)
     model.fields.attach("ZMid", z_mid)
     model.fields.attach("SpecVol", sv)
+
+
+_STRESS_FIELDS = ("ZonalStressCell", "MeridionalStressCell")
+
+
+def _load_wind_forcing(streams: StreamManager, calendar, sim_start,
+                       directory: str):
+    """Load time frames of wind stress from a read stream whose Contents
+    include the stress fields (the reference's forcing-stream pattern,
+    infra/IOStream.h:108 + WindForcingAuxVars.h:13-40).
+
+    Frame times come from a 1-D `Time` variable holding seconds since the
+    file's `StartTime` attribute (a time string) or, absent that, since
+    the simulation start. Returns (times (T,), zonal (T, C), merid (T, C))
+    numpy arrays or None."""
+    import os as _os
+
+    from omega_tpu.io.netcdf import read_netcdf
+
+    for name, s in streams.streams.items():
+        if s.spec.mode != "read":
+            continue
+        if not any(f in _STRESS_FIELDS for f in s.spec.contents):
+            continue
+        path = s.resolve_read_path()
+        if not _os.path.exists(path):
+            raise OmegaError(f"forcing stream {name!r}: file {path} "
+                             f"not found")
+        nc = read_netcdf(path)
+        t0_off = 0.0
+        if "StartTime" in nc.attrs:
+            t_file = TimeInstant.from_string(calendar,
+                                             str(nc.attrs["StartTime"]))
+            t0_off = float(t_file.seconds_since(sim_start))
+        times = (np.asarray(nc.get("Time"), np.float64) + t0_off
+                 if nc.has("Time")
+                 else np.zeros(1))
+        tz = np.asarray(nc.get("ZonalStressCell"), np.float64)
+        tm = (np.asarray(nc.get("MeridionalStressCell"), np.float64)
+              if nc.has("MeridionalStressCell") else np.zeros_like(tz))
+        if tz.ndim == 1:
+            tz, tm = tz[None], tm[None]
+        if len(times) != tz.shape[0]:
+            raise OmegaError(
+                f"forcing stream {name!r}: {len(times)} frame times but "
+                f"{tz.shape[0]} stress frames")
+        get_logger().info("forcing: %d wind-stress frames from %s",
+                          tz.shape[0], path)
+        return times, tz, tm
+    return None
+
+
+def _wind_at(model: OceanModel, t_sec: float):
+    """Linear interpolation of the forcing frames at time t_sec (seconds
+    since simulation start), clamped at the ends (host numpy)."""
+    times, tz, tm = model.wind_forcing
+    if len(times) == 1 or t_sec <= times[0]:
+        return tz[0], tm[0]
+    if t_sec >= times[-1]:
+        return tz[-1], tm[-1]
+    i = int(np.searchsorted(times, t_sec, side="right") - 1)
+    w = (t_sec - times[i]) / (times[i + 1] - times[i])
+    return ((1 - w) * tz[i] + w * tz[i + 1],
+            (1 - w) * tm[i] + w * tm[i + 1])
 
 
 def _attach_state(model: OceanModel, state: ModelState = None) -> None:
@@ -412,22 +498,24 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
             model.state = shard_state(sm_d, model.state)
 
         @partial(jax.jit, static_argnums=2)
-        def segment_sharded(state, t0, nsteps):
+        def segment_sharded(state, t0, nsteps, wind=None):
             def body(carry, i):
                 st, t = carry
-                return (sstep(st, t, model.dt), t + model.dt), None
+                return (sstep(st, t, model.dt, wind), t + model.dt), None
             (state, _), _ = jax.lax.scan(
                 body, (state, jnp_asarray(t0)), None, length=nsteps)
             return state
 
         import jax.numpy as _jnp
         jnp_asarray = lambda t0: _jnp.asarray(t0, model.state.h.dtype)
+        model._scatter_wind = sstep.scatter_wind
 
     @partial(jax.jit, static_argnums=2)
-    def segment(state, t0, nsteps):
+    def segment(state, t0, nsteps, wind=None):
         return run_steps(mesh, cfg, state, t0, model.dt, nsteps,
                          stepper=model.stepper,
-                         wind_stress=model.wind_stress)
+                         wind_stress=(model.wind_stress if wind is None
+                                      else wind))
     if sharded:
         segment = segment_sharded
 
@@ -437,8 +525,20 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
     while not model.end_alarm.is_ringing():
         n = _steps_until_next_alarm(model)
         t0 = model.clock.get_current_time().seconds_since(model.sim_start)
-        with tm.scope("ocnRun/doStep", 1, fence_on=None):
-            model.state = segment(model.state, t0, n)
+        if model.wind_forcing is not None:
+            # piecewise-constant-in-segment sampling of the linear
+            # interpolant; segments already break at every stream alarm,
+            # so a forcing stream's Freq bounds the sampling interval
+            import jax.numpy as _jnp2
+            wz, wm = _wind_at(model, float(t0))
+            wind_seg = (_jnp2.asarray(wz), _jnp2.asarray(wm))
+            if sharded:
+                wind_seg = model._scatter_wind(wind_seg)
+            with tm.scope("ocnRun/doStep", 1, fence_on=None):
+                model.state = segment(model.state, t0, n, wind_seg)
+        else:
+            with tm.scope("ocnRun/doStep", 1, fence_on=None):
+                model.state = segment(model.state, t0, n)
         for _ in range(n):
             model.clock.advance()
         model.step_count += n

@@ -50,7 +50,8 @@ import numpy as np
     ],
     meta_fields=["ncells", "nedges", "nvertices", "max_edges", "vertex_degree",
                  "on_sphere", "sphere_radius", "x_period", "y_period",
-                 "structured_nx", "structured_ny", "structured_dc"],
+                 "structured_nx", "structured_ny", "structured_dc",
+                 "structured_scalars"],
 )
 @dataclasses.dataclass(frozen=True)
 class HorzMesh:
@@ -75,6 +76,13 @@ class HorzMesh:
     structured_nx: int = 0
     structured_ny: int = 0
     structured_dc: float = 0.0
+    # static ((attr, value), ...) pairs for per-element arrays that are
+    # spatially uniform on this mesh — trisk.col() returns these python
+    # scalars instead of (N, 1) columns so hot-path multiplies stay fused
+    # (measured ~60x on v5e). Static metadata (not a global cache) so two
+    # same-sized meshes with different f0/depth cannot collide, and a
+    # beta-plane mesh simply omits the f entries.
+    structured_scalars: tuple = ()
 
     # --- cell arrays ---
     x_cell: jax.Array = None           # (C,)

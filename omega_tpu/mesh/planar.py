@@ -248,8 +248,10 @@ def planar_hex_mesh(nx: int, ny: int, dc: float = 1.0, *,
     # tables eagerly while the arrays are still host numpy (inside jit
     # the mesh leaves are tracers and tables can only be cache hits)
     import dataclasses as _dc
+    from omega_tpu.ops import structured as _st
+    from omega_tpu.ops import trisk
     mesh = _dc.replace(mesh, structured_nx=nx, structured_ny=ny,
                        structured_dc=float(dc))
-    from omega_tpu.ops import trisk
+    mesh = _dc.replace(mesh, structured_scalars=_st.uniform_scalar_table(mesh))
     trisk.warm_structured(mesh)
     return mesh

@@ -81,9 +81,13 @@ def _call(x, *, terms, dy_min, dy_max, ps, pd, nx, ny2, interpret):
     out (2*pd, K, ny2, nx). Grid over K blocks; each block spans the full
     (ny2, nx) plane so column rolls wrap exactly."""
     K = x.shape[1]
-    # VMEM budget: (in + out) * bk * ny2 * nx * 4B * 2 (pipeline) < ~14MB
+    # VMEM budget: (in + out) * bk * ny2 * nx * 4B * 2 (pipeline). The
+    # scoped-vmem limit is 16MB; Mosaic adds pad/stack overhead on top of
+    # the raw block bytes, so budget well under it (measured: 14e6 OOMs at
+    # 256^2 x 100 by ~4MB; 8e6 fits).
+    budget = float(os.environ.get("OMEGA_PALLAS_VMEM", 8e6))
     plane = (2 * ps + 2 * pd) * (ny2 + dy_max - dy_min) * nx * 4 * 2
-    bk = max(1, min(K, int(14e6 // max(plane, 1))))
+    bk = max(1, min(K, int(budget // max(plane, 1))))
     while K % bk:
         bk -= 1
     grid = (K // bk,)

@@ -121,29 +121,26 @@ _UNIFORM_ATTRS = ("dc_edge", "dv_edge", "edge_mask", "mesh_scaling_del2",
                   "bottom_depth", "area_cell", "area_triangle")
 
 
-def warm_uniform_scalars(mesh) -> None:
-    """Record which per-element arrays are spatially uniform (host side,
-    called with numpy arrays at mesh construction)."""
-    key = (mesh.structured_nx, mesh.structured_ny, mesh.structured_dc,
-           "__scalars__")
-    if key in _TABLE_CACHE:
-        return
-    out = {}
+def uniform_scalar_table(mesh) -> tuple:
+    """((attr, value), ...) for per-element arrays that are spatially
+    uniform (host side, called with numpy arrays at mesh construction;
+    stored as static HorzMesh.structured_scalars metadata)."""
+    out = []
     for attr in _UNIFORM_ATTRS:
         arr = getattr(mesh, attr)
         if isinstance(arr, np.ndarray) and arr.size and np.ptp(arr) == 0.0:
-            out[attr] = float(arr.flat[0])
-    _TABLE_CACHE[key] = out
+            out.append((attr, float(arr.flat[0])))
+    return tuple(out)
 
 
 def uniform_scalar(mesh, attr: str):
     """The scalar value of a uniform per-element array, or None."""
     if not enabled(mesh):
         return None
-    key = (mesh.structured_nx, mesh.structured_ny, mesh.structured_dc,
-           "__scalars__")
-    scalars = _TABLE_CACHE.get(key)
-    return None if scalars is None else scalars.get(attr)
+    for a, v in mesh.structured_scalars:
+        if a == attr:
+            return v
+    return None
 
 
 def stencil_table(mesh, name: str, idx, dst_class: str,

@@ -92,7 +92,6 @@ def warm_structured(mesh: HorzMesh) -> bool:
     for name, idx, dst, src, w in specs:
         tab, _, _ = structured.stencil_table(mesh, name, idx, dst, src, w)
         ok = ok and tab is not None
-    structured.warm_uniform_scalars(mesh)
     return ok
 
 

@@ -183,11 +183,15 @@ def make_sharded_step(smesh: ShardedMesh, cfg: ModelConfig, stepper,
     cell_data = tuple(jnp.asarray(x) for (_, s, r) in cell_pl for x in (s, r))
     edge_data = tuple(jnp.asarray(x) for (_, s, r) in edge_pl for x in (s, r))
 
+    c_l2g = np.maximum(np.asarray(smesh.cell_local_to_global), 0)
+
+    def scatter_wind(w):
+        """(zonal, merid) global (C,) arrays -> stacked (S, Cl) local rows
+        (for time-varying forcing updates between segments)."""
+        return tuple(jnp.asarray(np.asarray(x)[c_l2g]) for x in w)
+
     if wind_stress is not None:
-        # per-cell (C,) global arrays -> stacked (S, Cl) local rows
-        c = np.maximum(np.asarray(smesh.cell_local_to_global), 0)
-        wind_stress = tuple(jnp.asarray(np.asarray(w)[c])
-                            for w in wind_stress)
+        wind_stress = scatter_wind(wind_stress)
     wspecs = (P() if wind_stress is None
               else tuple(pspec for _ in wind_stress))
 
@@ -216,9 +220,11 @@ def make_sharded_step(smesh: ShardedMesh, cfg: ModelConfig, stepper,
                   state_specs, wspecs, P(), P()),
         out_specs=state_specs)
 
-    def step(state, t, dt):
-        return sharded(smesh, cell_data, edge_data, state, wind_stress, t, dt)
+    def step(state, t, dt, wind=None):
+        return sharded(smesh, cell_data, edge_data, state,
+                       wind_stress if wind is None else wind, t, dt)
 
+    step.scatter_wind = scatter_wind
     return step
 
 

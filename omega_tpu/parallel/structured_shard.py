@@ -3,28 +3,38 @@
 The general decomposition (decomp.py) renumbers each shard's local mesh,
 which drops it off the structured fast path — on TPU that forfeits the
 ~3x conv-stencil advantage precisely where performance matters most.
-This module shards the (ny, nx) grid into row bands instead:
+This module shards the (ny, nx) grid into an (sy, sx) grid of rectangles
+instead (sx == 1 gives the round-1 row bands):
 
-  * shard s owns cell rows [s*band, (s+1)*band); its local domain adds
-    `hw` halo rows above and below, so the local mesh IS a
-    planar_hex_mesh(nx, band + 2*hw) — fully structured, conv path on
-  * the local periodic wrap across the band seam produces garbage only
-    in the outermost halo rows, exactly the owned+halo redundancy model
-    of the reference (compute over NCellsAll, exchange refreshes halos)
-  * halo width hw = 4 rows (>= the width-3 contract; even so the row
-    parity phase of the hex stagger is preserved across shards)
-  * the exchange is two ppermutes of contiguous row blocks — no index
-    lists at all: all element classes and tracers ride one stacked
-    (1 + 3 + L, hw, nx, K) bundle per direction
-
-Restrictions (asserted): ny % nshards == 0, band even and >= hw, f-plane
-(uniform Coriolis — beta-plane rows would need per-shard f arrays).
+  * shard (iy, ix) owns cell rows [iy*band, (iy+1)*band) x columns
+    [ix*band_x, (ix+1)*band_x); its local domain adds `hw` halo rows and
+    (when sx > 1) `hw` halo columns, so the local mesh IS a
+    planar_hex_mesh(band_x + 2*hw, band + 2*hw) — fully structured, conv
+    path on
+  * the local periodic wrap across the cuts produces garbage only in the
+    outermost halo ring, exactly the owned+halo redundancy model of the
+    reference (compute over NCellsAll, exchange refreshes halos)
+  * halo width hw = 4 (>= the width-3 contract; even so the row parity
+    phase of the hex stagger is preserved across row cuts — column cuts
+    have no parity constraint since the stagger shifts whole rows)
+  * the exchange is two stages of row/column-block ppermutes over ONE
+    device axis (shard id s = iy*sx + ix): stage 1 moves row blocks
+    between y-neighbors, stage 2 moves column blocks (including the
+    just-refreshed y-halo rows) between x-neighbors, which also fills
+    the corner regions — no index lists at all; all element classes and
+    tracers ride one stacked (1 + 3 + L, nyl, nxl, K) bundle
+  * beta-plane (and variable-depth) meshes are supported by overriding
+    the local mesh's f / bottom_depth arrays with per-shard windows of
+    the global arrays (sliced, not recomputed, so the periodic-wrap
+    discontinuity of f matches the global mesh exactly); the local
+    mesh's static uniform-scalar table drops those attrs so trisk.col
+    falls back to the per-element columns
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,61 +47,150 @@ from omega_tpu.mesh.horz_mesh import HorzMesh
 from omega_tpu.mesh.planar import planar_hex_mesh
 from omega_tpu.ops import structured
 
-HW = 4   # halo rows (>= reference HaloWidth 3; even preserves parity)
+HW = 4   # halo rows/cols (>= reference HaloWidth 3; even preserves parity)
+
+# per-element mesh fields that may vary spatially on a planar hex mesh
+# (everything else — dc, dv, areas, kites, weights — is uniform by
+# construction); ordered (attr, element class)
+_VARIABLE_ATTRS = (("f_cell", "cell"), ("f_edge", "edge"),
+                   ("f_vertex", "vertex"), ("bottom_depth", "cell"))
+_NPER = {"cell": 1, "edge": 3, "vertex": 2}
 
 
 @dataclasses.dataclass(frozen=True)
 class StructuredShards:
     nshards: int
-    nx: int
+    sy: int                      # shard grid rows
+    sx: int                      # shard grid cols
+    nx: int                      # global grid
     ny: int
     band: int                    # owned rows per shard
-    hw: int
-    local_mesh: HorzMesh         # planar_hex_mesh(nx, band + 2*hw), shared
+    band_x: int                  # owned cols per shard (nx when sx == 1)
+    hw: int                      # halo rows
+    hwx: int                     # halo cols (0 when sx == 1)
+    local_mesh: HorzMesh         # planar hex local mesh, shared
     global_mesh: HorzMesh
+    # stacked (S, N_local) per-shard windows of non-uniform mesh fields,
+    # ((attr, array), ...); () on fully uniform (f-plane) meshes
+    mesh_overrides: tuple = ()
+
+    @property
+    def nyl(self):
+        return self.band + 2 * self.hw
+
+    @property
+    def nxl(self):
+        return self.band_x + 2 * self.hwx
 
 
-def decompose_structured(mesh: HorzMesh, nshards: int,
-                         hw: int = HW) -> StructuredShards:
+def _choose_layout(nx, ny, nshards, hw):
+    """(sy, sx) with ny%sy==0, even band>=hw, nx%sx==0, band_x>=hw.
+    Prefers row bands (sx=1), then the most-square valid factorization."""
+    opts = []
+    for sx in range(1, nshards + 1):
+        if nshards % sx:
+            continue
+        sy = nshards // sx
+        if ny % sy:
+            continue
+        band = ny // sy
+        if band % 2 or band < hw:
+            continue
+        if sx > 1:
+            if nx % sx:
+                continue
+            if nx // sx < hw:
+                continue
+        opts.append((sx != 1, abs(sy - sx), sy, sx))
+    if not opts:
+        raise ValueError(
+            f"no valid (sy, sx) layout for nx={nx}, ny={ny}, "
+            f"nshards={nshards} (need ny%sy==0 with even band>=hw={hw}, "
+            f"and nx%sx==0 with band_x>=hw)")
+    opts.sort()
+    _, _, sy, sx = opts[0]
+    return sy, sx
+
+
+def decompose_structured(mesh: HorzMesh, nshards: int, hw: int = HW,
+                         layout: Optional[Tuple[int, int]] = None
+                         ) -> StructuredShards:
     nx, ny = mesh.structured_nx, mesh.structured_ny
     if nx == 0:
         raise ValueError("mesh is not structured")
-    if ny % nshards:
-        raise ValueError(f"ny={ny} not divisible by {nshards} shards")
-    band = ny // nshards
-    if band % 2 or band < hw:
-        raise ValueError(f"band={band} must be even and >= hw={hw}")
-    if structured.uniform_scalar(mesh, "f_cell") is None:
-        raise ValueError("structured sharding requires an f-plane mesh "
-                         "(uniform Coriolis)")
+    if layout is None:
+        sy, sx = _choose_layout(nx, ny, nshards, hw)
+    else:
+        sy, sx = layout
+        if sy * sx != nshards:
+            raise ValueError(f"layout {layout} != {nshards} shards")
+    band = ny // sy
+    band_x = nx // sx
+    hwx = hw if sx > 1 else 0
+    if ny % sy or band % 2 or band < hw:
+        raise ValueError(f"rows: ny={ny} needs sy | ny with even "
+                         f"band >= hw, got sy={sy}")
+    if sx > 1 and (nx % sx or band_x < hw):
+        raise ValueError(f"cols: nx={nx} needs sx | nx with "
+                         f"band_x >= hw, got sx={sx}")
+
     f0 = structured.uniform_scalar(mesh, "f_cell")
     depth = structured.uniform_scalar(mesh, "bottom_depth")
-    local = planar_hex_mesh(nx, band + 2 * hw, dc=mesh.structured_dc,
-                            f0=f0, bottom_depth=depth)
-    return StructuredShards(nshards=nshards, nx=nx, ny=ny, band=band,
-                            hw=hw, local_mesh=local, global_mesh=mesh)
+    local = planar_hex_mesh(band_x + 2 * hwx, band + 2 * hw,
+                            dc=mesh.structured_dc,
+                            f0=f0 if f0 is not None else 0.0,
+                            bottom_depth=depth if depth is not None else 1.0)
+
+    ss = StructuredShards(nshards=nshards, sy=sy, sx=sx, nx=nx, ny=ny,
+                          band=band, band_x=band_x, hw=hw, hwx=hwx,
+                          local_mesh=local, global_mesh=mesh)
+
+    # per-shard windows of any non-uniform field (beta-plane f, variable
+    # bathymetry); strip those attrs from the local static scalar table
+    overrides = []
+    stale = set()
+    for attr, cls in _VARIABLE_ATTRS:
+        if structured.uniform_scalar(mesh, attr) is None:
+            arr = np.asarray(getattr(mesh, attr))
+            loc = _split_field(ss, arr[:, None], _NPER[cls])[..., 0]
+            overrides.append((attr, jnp.asarray(loc)))
+            stale.add(attr)
+    if stale:
+        keep = tuple((a, v) for a, v in local.structured_scalars
+                     if a not in stale)
+        local = dataclasses.replace(local, structured_scalars=keep)
+        ss = dataclasses.replace(ss, local_mesh=local,
+                                 mesh_overrides=tuple(overrides))
+    return ss
 
 
 # ----------------------------------------------------------------------
 # state scatter/gather (host side)
 
-def _rows(ss: StructuredShards, s: int) -> np.ndarray:
-    """Global row indices (wrapped) of shard s's local rows."""
-    start = s * ss.band - ss.hw
+def _rows(ss: StructuredShards, iy: int) -> np.ndarray:
+    """Global row indices (wrapped) of a shard row's local rows."""
+    start = iy * ss.band - ss.hw
     return (start + np.arange(ss.band + 2 * ss.hw)) % ss.ny
 
 
+def _cols(ss: StructuredShards, ix: int) -> np.ndarray:
+    start = ix * ss.band_x - ss.hwx
+    return (start + np.arange(ss.band_x + 2 * ss.hwx)) % ss.nx
+
+
 def _split_field(ss: StructuredShards, f, nper: int):
-    """(..., nper*ny*nx, K) -> (S, ..., nper*nyl*nx, K)."""
+    """(..., nper*ny*nx, K) -> (S, ..., nper*nyl*nxl, K)."""
     f = np.asarray(f)
     K = f.shape[-1]
     lead = f.shape[:-2]
     g = f.reshape(lead + (nper, ss.ny, ss.nx, K))
     outs = []
-    for s in range(ss.nshards):
-        loc = g[..., :, _rows(ss, s), :, :]
-        nyl = ss.band + 2 * ss.hw
-        outs.append(loc.reshape(lead + (nper * nyl * ss.nx, K)))
+    for iy in range(ss.sy):
+        rows = _rows(ss, iy)
+        gr = np.take(g, rows, axis=len(lead) + 1)
+        for ix in range(ss.sx):
+            loc = np.take(gr, _cols(ss, ix), axis=len(lead) + 2)
+            outs.append(loc.reshape(lead + (nper * ss.nyl * ss.nxl, K)))
     return np.stack(outs)
 
 
@@ -103,17 +202,24 @@ def shard_state(ss: StructuredShards, state: ModelState) -> ModelState:
 
 
 def gather_state(ss: StructuredShards, sstate: ModelState) -> ModelState:
-    """Owned rows of every shard -> global state."""
-    nyl = ss.band + 2 * ss.hw
-
+    """Owned windows of every shard -> global state."""
     def merge(f, nper):
-        f = np.asarray(f)                    # (S, ..., nper*nyl*nx, K)
+        f = np.asarray(f)                    # (S, ..., nper*nyl*nxl, K)
         K = f.shape[-1]
         lead = f.shape[1:-2]
-        g = f.reshape((ss.nshards,) + lead + (nper, nyl, ss.nx, K))
-        owned = g[..., :, ss.hw:ss.hw + ss.band, :, :]
-        out = np.concatenate([owned[s] for s in range(ss.nshards)],
-                             axis=len(lead) + 1)
+        nl = len(lead)
+        g = f.reshape((ss.sy, ss.sx) + lead + (nper, ss.nyl, ss.nxl, K))
+        own = g[(slice(None), slice(None)) + (slice(None),) * nl +
+                (slice(None),
+                 slice(ss.hw, ss.hw + ss.band),
+                 slice(ss.hwx, ss.hwx + ss.band_x))]
+        # (sy, sx, lead..., nper, band, band_x, K) ->
+        # (lead..., nper, sy, band, sx, band_x, K) -> global (ny, nx)
+        perm = tuple(range(2, 2 + nl)) + (2 + nl, 0, 3 + nl, 1,
+                                          4 + nl, 5 + nl)
+        own = own.transpose(perm)
+        out = own.reshape(lead + (nper, ss.sy * ss.band,
+                                  ss.sx * ss.band_x, K))
         return out.reshape(lead + (nper * ss.ny * ss.nx, K))
 
     return ModelState(h=jnp.asarray(merge(sstate.h, 1)),
@@ -122,73 +228,111 @@ def gather_state(ss: StructuredShards, sstate: ModelState) -> ModelState:
 
 
 # ----------------------------------------------------------------------
-# device-side halo exchange: two row-block ppermutes
+# device-side halo exchange: two stages of block ppermutes
+
+def _perm_y(ss, d):
+    """Pairs (s, neighbor) moving row blocks d shard-rows forward."""
+    out = []
+    for iy in range(ss.sy):
+        for ix in range(ss.sx):
+            out.append((iy * ss.sx + ix,
+                        ((iy + d) % ss.sy) * ss.sx + ix))
+    return out
+
+
+def _perm_x(ss, d):
+    out = []
+    for iy in range(ss.sy):
+        for ix in range(ss.sx):
+            out.append((iy * ss.sx + ix,
+                        iy * ss.sx + (ix + d) % ss.sx))
+    return out
+
 
 def _exchange_bundle(ss: StructuredShards, bundle, axis_name: str):
-    """Row-halo refresh of a (T, nyl, nx, K) stacked grid array."""
-    hw, S = ss.hw, ss.nshards
-    if S > 1:
-        # to s+1: rows [band, band+hw) -> their top halo [0, hw)
+    """Halo refresh of a (T, nyl, nxl, K) stacked grid array."""
+    hw, hwx = ss.hw, ss.hwx
+    # stage 1: rows between y-neighbors (full local width)
+    if ss.sy > 1:
         up = jax.lax.ppermute(bundle[:, ss.band:ss.band + hw],
-                              axis_name, [(i, (i + 1) % S) for i in range(S)])
-        # to s-1: rows [hw, 2hw) -> their bottom halo [band+hw, band+2hw)
+                              axis_name, _perm_y(ss, 1))
         dn = jax.lax.ppermute(bundle[:, hw:2 * hw],
-                              axis_name, [(i, (i - 1) % S) for i in range(S)])
+                              axis_name, _perm_y(ss, -1))
     else:
         up = bundle[:, ss.band:ss.band + hw]
         dn = bundle[:, hw:2 * hw]
-    return jnp.concatenate([up, bundle[:, hw:ss.band + hw], dn], axis=1)
+    bundle = jnp.concatenate([up, bundle[:, hw:ss.band + hw], dn], axis=1)
+    # stage 2: columns between x-neighbors (full local height including
+    # the fresh y-halos, which fills the corners)
+    if ss.sx > 1:
+        rt = jax.lax.ppermute(bundle[:, :, ss.band_x:ss.band_x + hwx],
+                              axis_name, _perm_x(ss, 1))
+        lt = jax.lax.ppermute(bundle[:, :, hwx:2 * hwx],
+                              axis_name, _perm_x(ss, -1))
+        bundle = jnp.concatenate(
+            [rt, bundle[:, :, hwx:ss.band_x + hwx], lt], axis=2)
+    return bundle
 
 
 def _exchange_array(ss: StructuredShards, x, nper: int, axis_name: str):
-    """Row-halo refresh of one element array (..., nper*nyl*nx, K)."""
-    nyl = ss.band + 2 * ss.hw
+    """Halo refresh of one element array (..., nper*nyl*nxl, K)."""
     K = x.shape[-1]
     lead = x.shape[:-2]
-    g = x.reshape((-1, nyl, ss.nx, K))
+    g = x.reshape((-1, ss.nyl, ss.nxl, K))
     g = _exchange_bundle(ss, g, axis_name)
-    return g.reshape(lead + (nper * nyl * ss.nx, K))
+    return g.reshape(lead + (nper * ss.nyl * ss.nxl, K))
 
 
 def _exchange_rows(ss: StructuredShards, st: ModelState,
                    axis_name: str) -> ModelState:
-    nx, hw = ss.nx, ss.hw
-    nyl = ss.band + 2 * hw
+    nyl, nxl = ss.nyl, ss.nxl
     K = st.h.shape[-1]
     L = st.tracers.shape[0]
 
-    h = st.h.reshape(1, nyl, nx, K)
-    u = st.u.reshape(3, nyl, nx, K)
-    tr = st.tracers.reshape(L, nyl, nx, K)
-    bundle = jnp.concatenate([h, u, tr], axis=0)     # (4+L, nyl, nx, K)
+    h = st.h.reshape(1, nyl, nxl, K)
+    u = st.u.reshape(3, nyl, nxl, K)
+    tr = st.tracers.reshape(L, nyl, nxl, K)
+    bundle = jnp.concatenate([h, u, tr], axis=0)     # (4+L, nyl, nxl, K)
     bundle = _exchange_bundle(ss, bundle, axis_name)
     h, u, tr = bundle[:1], bundle[1:4], bundle[4:]
-    return ModelState(h=h.reshape(nyl * nx, K),
-                      u=u.reshape(3 * nyl * nx, K),
-                      tracers=tr.reshape(L, nyl * nx, K))
+    return ModelState(h=h.reshape(nyl * nxl, K),
+                      u=u.reshape(3 * nyl * nxl, K),
+                      tracers=tr.reshape(L, nyl * nxl, K))
 
 
 def make_sharded_step(ss: StructuredShards, cfg: ModelConfig, stepper,
                       device_mesh: Mesh, axis_name: str = "x",
                       wind_stress=None) -> Callable:
-    """Jittable sharded step over the structured row-band decomposition.
+    """Jittable sharded step over the structured decomposition.
 
     Every shard runs the SAME structured local mesh (conv/roll fast path
-    stays on); the halo callback is the two row-block ppermutes."""
+    stays on); the halo callback is the two-stage block ppermute."""
     pspec = P(axis_name)
     state_specs = ModelState(h=pspec, u=pspec, tracers=pspec)
     local = ss.local_mesh
 
+    def scatter_wind(w):
+        """(zonal, merid) global (C,) arrays -> stacked per-shard windows
+        (for time-varying forcing updates between segments)."""
+        return tuple(
+            jnp.asarray(_split_field(ss, np.asarray(x)[:, None], 1))[..., 0]
+            for x in w)
+
     if wind_stress is not None:
-        # per-cell (C,) global arrays -> stacked per-shard local rows
-        wind_stress = tuple(
-            jnp.asarray(_split_field(ss, np.asarray(w)[:, None], 1))[..., 0]
-            for w in wind_stress)
+        wind_stress = scatter_wind(wind_stress)
     wspecs = (P() if wind_stress is None
               else tuple(pspec for _ in wind_stress))
 
-    def local_step(state_stacked, wind_stacked, t, dt):
+    ov_names = tuple(a for a, _ in ss.mesh_overrides)
+    ov_data = tuple(v for _, v in ss.mesh_overrides)
+    ovspecs = tuple(pspec for _ in ov_data)
+
+    def local_step(state_stacked, wind_stacked, ov_stacked, t, dt):
         st = jax.tree.map(lambda a: a[0], state_stacked)
+        mesh_l = local
+        if ov_names:
+            mesh_l = dataclasses.replace(
+                mesh_l, **{a: v[0] for a, v in zip(ov_names, ov_stacked)})
         halo_fn = lambda s: _exchange_rows(ss, s, axis_name)
         # split-explicit subcycles refresh their own 2D fields through
         # these per-array exchanges (cells nper=1, edges nper=3)
@@ -196,10 +340,17 @@ def make_sharded_step(ss: StructuredShards, cfg: ModelConfig, stepper,
         halo_fn.edge = lambda x: _exchange_array(ss, x, 3, axis_name)
         wind = (None if wind_stacked is None
                 else tuple(w[0] for w in wind_stacked))
-        out = stepper(local, cfg, st, t, dt, halo_fn, wind_stress=wind)
+        out = stepper(mesh_l, cfg, st, t, dt, halo_fn, wind_stress=wind)
         return jax.tree.map(lambda a: a[None], out)
 
     sharded = jax.shard_map(local_step, mesh=device_mesh,
-                            in_specs=(state_specs, wspecs, P(), P()),
+                            in_specs=(state_specs, wspecs, ovspecs,
+                                      P(), P()),
                             out_specs=state_specs)
-    return lambda st, t, dt: sharded(st, wind_stress, t, dt)
+
+    def step(st, t, dt, wind=None):
+        return sharded(st, wind_stress if wind is None else wind,
+                       ov_data, t, dt)
+
+    step.scatter_wind = scatter_wind
+    return step

@@ -109,3 +109,54 @@ def test_decomposition_invariance(stepper, nsteps):
                                rtol=1e-13, atol=1e-15)
     np.testing.assert_allclose(np.asarray(out.tracers), np.asarray(ref.tracers),
                                rtol=1e-13, atol=1e-13)
+
+
+@pytest.mark.parametrize("layout,beta", [((2, 4), 0.0), ((4, 2), 1e-11),
+                                         ((8, 1), 0.0), (None, 1e-11)])
+def test_structured_2d_decomposition_invariance(layout, beta):
+    """2-D rectangle decomposition (and beta-plane via per-shard mesh
+    overrides) must match the single-device run exactly. Row bands
+    ((8,1)) and auto layout selection covered too."""
+    from omega_tpu.core import ModelConfig, TendencyConfig
+    from omega_tpu.parallel import structured_shard as sshard
+
+    mesh = planar_hex_mesh(32, 16, dc=5000.0, f0=1e-4, beta=beta,
+                           bottom_depth=1000.0)
+    if layout == (8, 1):
+        mesh = planar_hex_mesh(16, 32, dc=5000.0, f0=1e-4, beta=beta,
+                               bottom_depth=1000.0)
+    cfg = ModelConfig(nvertlayers=3, ntracers=2,
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e9))
+    kx = 2 * np.pi / mesh.x_period
+    ky = 2 * np.pi / mesh.y_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell)) * \
+        np.sin(ky * np.asarray(mesh.y_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / 3) * jnp.ones((1, 3))
+    st = ModelState(h=h, u=jnp.zeros((mesh.nedges, 3)),
+                    tracers=10.0 + jnp.zeros((2, mesh.ncells, 3)))
+    nst, dt = 4, 60.0
+    ref = run_steps(mesh, cfg, st, 0.0, dt, nst,
+                    stepper=forward_backward_step)
+
+    ss = sshard.decompose_structured(mesh, 8, layout=layout)
+    # round-trip identity
+    rt = sshard.gather_state(ss, sshard.shard_state(ss, st))
+    np.testing.assert_array_equal(np.asarray(rt.h), np.asarray(st.h))
+    np.testing.assert_array_equal(np.asarray(rt.u), np.asarray(st.u))
+
+    step = jax.jit(sshard.make_sharded_step(
+        ss, cfg, forward_backward_step, default_device_mesh(8)))
+    sst = sshard.shard_state(ss, st)
+    t = 0.0
+    for _ in range(nst):
+        sst = step(sst, t, dt)
+        t += dt
+    out = sshard.gather_state(ss, sst)
+    np.testing.assert_allclose(np.asarray(out.h), np.asarray(ref.h),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.tracers),
+                               np.asarray(ref.tracers),
+                               rtol=0, atol=1e-12)

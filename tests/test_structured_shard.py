@@ -106,7 +106,13 @@ def test_rk2_invariance_close(setup):
 def test_errors(setup):
     mesh, cfg, st = setup
     with pytest.raises(ValueError):
-        sshard.decompose_structured(mesh, 5)      # ny % 5 != 0
+        sshard.decompose_structured(mesh, 5)      # no (sy, sx) divides 16x16
+    # beta-plane decomposes with per-shard f windows (round-2 feature):
+    # the non-uniform f attrs are carried as mesh overrides and stripped
+    # from the local static scalar table
     beta_mesh = planar_hex_mesh(8, 8, dc=5000.0, f0=1e-4, beta=1e-11)
-    with pytest.raises(ValueError):
-        sshard.decompose_structured(beta_mesh, 2)  # beta-plane unsupported
+    ss = sshard.decompose_structured(beta_mesh, 2)
+    names = {a for a, _ in ss.mesh_overrides}
+    assert {"f_cell", "f_edge", "f_vertex"} <= names
+    assert not any(a.startswith("f_")
+                   for a, _ in ss.local_mesh.structured_scalars)
