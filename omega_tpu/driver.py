@@ -63,6 +63,7 @@ class OceanModel:
     timers: Timers = None
     nshards: int = 1                # Decomp: NShards
     decomp_method: str = "auto"     # Decomp: Method (auto|structured|sfc)
+    sharded_io: bool = False        # Decomp: ShardedIO (region writes)
     sim_start: TimeInstant = None   # original simulation start (forcing t=0);
                                     # survives restart via file metadata
     wind_stress: object = None      # optional (zonal, merid) cell fields
@@ -232,6 +233,7 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
     # file meshes, beta-planes — through the general SFC decomposition.
     nshards = 1
     decomp_method = "auto"
+    sharded_io = False
     if config.exists("Decomp"):
         dc_ = config.get_group("Decomp")
         nshards = dc_.get_int("NShards", 1)
@@ -239,6 +241,7 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
         if decomp_method not in ("auto", "structured", "sfc"):
             raise ConfigError(f"Decomp.Method must be auto|structured|sfc, "
                               f"got {decomp_method!r}")
+        sharded_io = bool(dc_.get("ShardedIO", False)) and nshards > 1
 
     # --- IO streams
     streams_cfg = (config.get_group("IOStreams") if config.exists("IOStreams")
@@ -307,7 +310,7 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
         dt=float(dt_iv.total_seconds()), state=state, sim_start=sim_start,
         wind_stress=wind, wind_forcing=wind_forcing,
         timers=timers, nshards=nshards,
-        decomp_method=decomp_method,
+        decomp_method=decomp_method, sharded_io=sharded_io,
         directory=directory)
     _attach_state(model)
     return model
@@ -414,6 +417,32 @@ def _wind_at(model: OceanModel, t_sec: float):
             (1 - w) * tm[i] + w * tm[i + 1])
 
 
+def _attach_state_sharded(model: OceanModel) -> None:
+    """Attach the sharded state as ShardedFieldData wrappers so streams
+    region-write each shard's owned rows at their global offsets without
+    a full-global host gather (the PIO-decomp write path,
+    base/IO.h:256,305)."""
+    import jax.numpy as jnp
+
+    from omega_tpu.io.stream import ShardedFieldData
+
+    c_l2g, c_own, e_l2g, e_own, depth_st = model._sharded_io_maps
+    st = model.state
+    C, E = model.mesh.ncells, model.mesh.nedges
+    f = model.fields
+    f.attach("LayerThickness", ShardedFieldData(st.h, c_l2g, c_own, C))
+    f.attach("NormalVelocity", ShardedFieldData(st.u, e_l2g, e_own, E))
+    ssh = st.h.sum(-1) - jnp.asarray(depth_st, st.h.dtype)   # (S, Cl)
+    f.attach("SshCell", ShardedFieldData(ssh, c_l2g, c_own, C))
+    for i, name in enumerate(model.tracers.names):
+        f.attach(name, ShardedFieldData(st.tracers[:, i], c_l2g, c_own, C))
+    if _wants_diagnostics(model):
+        get_logger().warning("ShardedIO: diagnostics fields are not "
+                             "computed on the sharded IO path")
+    model.fields.update_meta(
+        "simulation", SimulationTime=str(model.clock.get_current_time()))
+
+
 def _attach_state(model: OceanModel, state: ModelState = None) -> None:
     """Re-attach current state arrays to their fields (the per-step Field
     re-attachment of OceanState::updateTimeLevels, OceanState.cpp:333-365).
@@ -487,6 +516,19 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                 wind_stress=model.wind_stress)
             model._gather = lambda st: sshard.gather_state(ss, st)
             model.state = sshard.shard_state(ss, model.state)
+            if model.sharded_io:
+                from omega_tpu.ops import structured as _st
+                c_l2g, c_own = sshard.element_maps(ss, "cell")
+                e_l2g, e_own = sshard.element_maps(ss, "edge")
+                ovd = dict(ss.mesh_overrides)
+                if "bottom_depth" in ovd:
+                    depth_st = np.asarray(ovd["bottom_depth"])
+                else:
+                    depth_st = np.full(
+                        (model.nshards, c_l2g.shape[1]),
+                        _st.uniform_scalar(mesh, "bottom_depth"))
+                model._sharded_io_maps = (c_l2g, c_own, e_l2g, e_own,
+                                          depth_st)
         else:
             from omega_tpu.parallel import (decompose, gather_state,
                                             make_sharded_step, shard_state)
@@ -496,6 +538,21 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
             model._gather = lambda st: gather_state(
                 sm_d, st, mesh.ncells, mesh.nedges)
             model.state = shard_state(sm_d, model.state)
+            if model.sharded_io:
+                model._sharded_io_maps = (
+                    np.asarray(sm_d.cell_local_to_global),
+                    np.asarray(sm_d.owned_cell_mask) > 0,
+                    np.asarray(sm_d.edge_local_to_global),
+                    np.asarray(sm_d.owned_edge_mask) > 0,
+                    np.asarray(sm_d.mesh.bottom_depth))
+        if model.sharded_io:
+            # region writes need resizable HDF5 datasets
+            for st_ in model.streams.streams.values():
+                if st_.spec.mode == "write" and st_.spec.format != "hdf5":
+                    get_logger().info(
+                        "ShardedIO: stream %s Format upgraded to hdf5",
+                        st_.spec.name)
+                    st_.spec.format = "hdf5"
 
         @partial(jax.jit, static_argnums=2)
         def segment_sharded(state, t0, nsteps, wind=None):
@@ -543,7 +600,9 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
             model.clock.advance()
         model.step_count += n
         with tm.scope("ocnRun/io", 1):
-            if sharded:
+            if sharded and model.sharded_io:
+                _attach_state_sharded(model)
+            elif sharded:
                 _attach_state(model, model._gather(model.state))
             else:
                 _attach_state(model)

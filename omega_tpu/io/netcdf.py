@@ -148,9 +148,55 @@ def write_netcdf(path: str, *, dims: Dict[str, int],
         _write_scipy(path, dims, variables, var_dims, var_attrs, attrs,
                      unlimited)
     elif fmt == "hdf5":
-        _write_h5py(path, dims, variables, var_dims, var_attrs, attrs)
+        _write_h5py(path, dims, variables, var_dims, var_attrs, attrs,
+                    unlimited)
     else:
         raise IOError_(f"unknown NetCDF write format {fmt!r}")
+
+
+def write_sharded_frame(path: str, svars: Dict[str, dict],
+                        unlimited: str = "Time") -> None:
+    """Region-write one frame of sharded variables (hdf5 only) — the
+    PIO-decomposition analogue (base/IO.h:256,305): each shard's owned
+    rows land at their global offsets without the global array ever
+    existing in host memory.
+
+    svars: {name: dict(vdims, shape (global, element axis first), dtype,
+    shards (iterable of (rows, values)), time_dependent, attrs)}. The
+    dataset is created resizable on first use and grown one record per
+    call for time-dependent variables."""
+    import h5py
+    with h5py.File(path, "a") as f:
+        for name, sv in svars.items():
+            vdims = tuple(sv["vdims"])
+            gshape = tuple(int(n) for n in sv["shape"])
+            td = bool(sv.get("time_dependent", True))
+            if td:
+                vdims = (unlimited,) + vdims
+            if name not in f:
+                shape = ((1,) + gshape) if td else gshape
+                maxshape = ((None,) + gshape) if td else None
+                ds = f.create_dataset(name, shape=shape, dtype=sv["dtype"],
+                                      maxshape=maxshape,
+                                      chunks=True if td else None)
+                for k, a in (sv.get("attrs") or {}).items():
+                    ds.attrs[k] = a
+                frame = 0
+            else:
+                ds = f[name]
+                if td:
+                    frame = ds.shape[0]
+                    ds.resize(frame + 1, axis=0)
+                else:
+                    frame = None
+            for rows, values in sv["shards"]:
+                rows = np.asarray(rows)
+                order = np.argsort(rows)   # h5py fancy idx must ascend
+                values = np.asarray(values)
+                if td:
+                    ds[frame, rows[order]] = values[order]
+                else:
+                    ds[rows[order]] = values[order]
 
 
 def _write_scipy(path, dims, variables, var_dims, var_attrs, attrs,
@@ -175,7 +221,8 @@ def _write_scipy(path, dims, variables, var_dims, var_attrs, attrs,
                 setattr(v, k, a)
 
 
-def _write_h5py(path, dims, variables, var_dims, var_attrs, attrs):
+def _write_h5py(path, dims, variables, var_dims, var_attrs, attrs,
+                unlimited=None):
     import h5py
     with h5py.File(path, "w") as f:
         for k, v in attrs.items():
@@ -186,9 +233,64 @@ def _write_h5py(path, dims, variables, var_dims, var_attrs, attrs):
             ds = f.create_dataset(name, shape=(int(length),), dtype="f4")
             ds.make_scale(name)
         for name, data in variables.items():
-            ds = f.create_dataset(name, data=np.asarray(data))
-            for ax, d in enumerate(var_dims[name]):
+            data = np.asarray(data)
+            vdims = tuple(var_dims[name])
+            maxshape = None
+            if unlimited and unlimited in vdims:
+                maxshape = tuple(None if d == unlimited else n
+                                 for d, n in zip(vdims, data.shape))
+            ds = f.create_dataset(name, data=data, maxshape=maxshape,
+                                  chunks=True if maxshape else None)
+            for ax, d in enumerate(vdims):
                 if d in f and d != name:
                     ds.dims[ax].attach_scale(f[d])
             for k, a in var_attrs.get(name, {}).items():
                 ds.attrs[k] = a
+
+
+def append_netcdf(path: str, *, variables: Dict[str, np.ndarray],
+                  var_dims: Dict[str, Sequence[str]],
+                  attrs: Optional[Dict[str, Any]] = None,
+                  unlimited: str = "Time") -> bool:
+    """Append one record along the unlimited dimension IN PLACE.
+
+    hdf5: O(frame) — datasets created resizable by _write_h5py are grown
+    and only the new slab is written. netcdf3: scipy's append mode writes
+    the new record slot directly. Returns False when the file layout
+    cannot take an in-place append (caller falls back to
+    read-merge-rewrite)."""
+    attrs = attrs or {}
+    fmt = _detect_format(path)
+    if fmt == "hdf5":
+        import h5py
+        with h5py.File(path, "a") as f:
+            for name, data in variables.items():
+                data = np.asarray(data)
+                if tuple(var_dims[name])[:1] != (unlimited,):
+                    continue
+                if name not in f or f[name].maxshape[0] is not None:
+                    return False
+                ds = f[name]
+                n = ds.shape[0]
+                ds.resize(n + data.shape[0], axis=0)
+                ds[n:] = data
+            for k, v in attrs.items():
+                f.attrs[k] = v
+        return True
+    from scipy.io import netcdf_file
+    try:
+        with netcdf_file(path, "a", mmap=False, version=2) as f:
+            for k, v in attrs.items():
+                setattr(f, k, v)
+            for name, data in variables.items():
+                if tuple(var_dims[name])[:1] != (unlimited,):
+                    continue
+                if name not in f.variables:
+                    return False
+                v = f.variables[name]
+                n = v.shape[0] if v.data is not None else 0
+                for i in range(np.asarray(data).shape[0]):
+                    v[n + i] = np.asarray(data)[i]
+        return True
+    except Exception:
+        return False

@@ -42,9 +42,53 @@ from omega_tpu.infra.field import FieldRegistry
 from omega_tpu.infra.logging import get_logger
 from omega_tpu.infra.time_manager import (Alarm, Calendar, Clock, TimeInstant,
                                           TimeInterval, TimeUnits)
-from omega_tpu.io.netcdf import read_netcdf, write_netcdf
+from omega_tpu.io.netcdf import (append_netcdf, read_netcdf,
+                                 write_netcdf, write_sharded_frame)
 
 _TIME_UNIT_NAMES = {u.value: u for u in TimeUnits}
+
+
+class ShardedFieldData:
+    """Per-shard owned field data for distributed writes — the PIO
+    decomposition analogue (base/IO.h:256,305). A field attached with
+    this wrapper is written shard by shard into its global offsets
+    (hdf5 region writes), so the global array is never materialized on
+    host: peak host memory is one shard's owned rows.
+
+    stacked: (S, Nl) or (S, Nl, K) array (device arrays fine — each
+    shard is pulled to host individually); l2g: (S, Nl) global element
+    ids; owned: (S, Nl) nonzero on owned rows."""
+
+    def __init__(self, stacked, l2g, owned, nglobal: Optional[int] = None):
+        self.stacked = stacked
+        self.l2g = np.asarray(l2g)
+        self.owned = np.asarray(owned) > 0
+        self.nglobal = int(nglobal if nglobal is not None
+                           else self.l2g.max() + 1)
+
+    @property
+    def global_shape(self):
+        return (self.nglobal,) + tuple(self.stacked.shape[2:])
+
+    @property
+    def dtype(self):
+        return np.dtype(str(self.stacked.dtype))
+
+    def iter_owned(self, cast=None):
+        """Yield (global_rows, owned_values) one shard at a time."""
+        for s in range(self.stacked.shape[0]):
+            m = self.owned[s]
+            vals = np.asarray(self.stacked[s])[m]
+            if cast is not None:
+                vals = vals.astype(cast)
+            yield self.l2g[s][m], vals
+
+    def materialize(self) -> np.ndarray:
+        """Assemble the full global array (fallback/testing only)."""
+        out = np.zeros(self.global_shape, self.dtype)
+        for rows, vals in self.iter_owned():
+            out[rows] = vals
+        return out
 
 
 @dataclasses.dataclass
@@ -64,6 +108,9 @@ class StreamSpec:
     use_start_end: bool = False
     start_time: str = ""
     end_time: str = ""
+    # netcdf3 (classic, universally readable) | hdf5 (NetCDF4-style;
+    # required for O(frame) streaming appends and sharded region writes)
+    format: str = "netcdf3"
     contents: List[str] = dataclasses.field(default_factory=list)
 
     @classmethod
@@ -83,6 +130,7 @@ class StreamSpec:
             use_start_end=bool(c.get("UseStartEnd", False)),
             start_time=c.get("StartTime", ""),
             end_time=c.get("EndTime", ""),
+            format=str(c.get("Format", "netcdf3")).lower(),
             contents=list(c.get("Contents", [])),
         )
 
@@ -283,11 +331,31 @@ class StreamManager:
         var_attrs: Dict[str, Dict[str, Any]] = {}
 
         reduce_p = s.spec.precision == "single"
+        sharded_vars: Dict[str, dict] = {}
         for fname in fnames:
             f = self.fields.get(fname)
             if f.data is None:
                 raise IOError_(f"stream {name!r}: field {fname!r} has no "
                                f"attached data")
+            if isinstance(f.data, ShardedFieldData):
+                if s.spec.format != "hdf5":
+                    raise IOError_(
+                        f"stream {name!r}: sharded (region) writes need "
+                        f"'Format: hdf5' (classic NetCDF3 cannot take "
+                        f"partial writes); field {fname!r}")
+                sv = f.data
+                dnames = tuple(f.dim_names) if f.dim_names else tuple(
+                    f"dim{fname}{i}" for i in range(len(sv.global_shape)))
+                for dn, ln in zip(dnames, sv.global_shape):
+                    dims.setdefault(dn, int(ln))
+                cast = (np.float32 if reduce_p and sv.dtype == np.float64
+                        else None)
+                sharded_vars[fname] = dict(
+                    vdims=dnames, shape=sv.global_shape,
+                    dtype=np.float32 if cast else sv.dtype,
+                    shards=sv.iter_owned(cast),
+                    time_dependent=f.time_dependent, attrs=f.cf_attrs())
+                continue
             data = np.asarray(f.data)
             if reduce_p and data.dtype == np.float64:
                 data = data.astype(np.float32)
@@ -317,11 +385,14 @@ class StreamManager:
             raise IOError_(f"stream {name!r}: {path} exists (IfExists: fail)")
 
         if append:
-            self._append_frame(path, variables, var_dims, attrs)
+            self._append_frame(path, variables, var_dims, attrs,
+                               fmt=s.spec.format)
         else:
             write_netcdf(path, dims=dims, variables=variables,
                          var_dims=var_dims, var_attrs=var_attrs,
-                         attrs=attrs, unlimited="Time")
+                         attrs=attrs, unlimited="Time", fmt=s.spec.format)
+        if sharded_vars:
+            write_sharded_frame(path, sharded_vars)
         s.frame += 1
         s.update_pointer(path)
         if s.alarm is not None:
@@ -330,9 +401,14 @@ class StreamManager:
                           s.frame - 1)
         return path
 
-    def _append_frame(self, path, variables, var_dims, attrs) -> None:
-        """Append a time frame by read-modify-rewrite (classic NetCDF has
-        no cheap in-place append through scipy; file sizes here are small)."""
+    def _append_frame(self, path, variables, var_dims, attrs,
+                      fmt="netcdf3") -> None:
+        """Append a time frame: in place when the file layout allows it
+        (hdf5 resizable datasets are O(frame); classic NetCDF record
+        variables via scipy append mode), else read-merge-rewrite."""
+        if append_netcdf(path, variables=variables, var_dims=var_dims,
+                         attrs=attrs, unlimited="Time"):
+            return
         nc = read_netcdf(path)
         dims = dict(nc.dims)
         merged = dict(nc.variables)
@@ -350,7 +426,7 @@ class StreamManager:
         out_attrs.update(attrs)
         write_netcdf(path, dims=dims, variables=merged, var_dims=mdims,
                      var_attrs=nc.var_attrs, attrs=out_attrs,
-                     unlimited="Time")
+                     unlimited="Time", fmt=fmt)
 
     # ---------------- phases ----------------
     def read_on_startup(self, missing_ok_streams=()) -> Dict[str, Dict]:

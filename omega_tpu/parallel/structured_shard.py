@@ -227,6 +227,33 @@ def gather_state(ss: StructuredShards, sstate: ModelState) -> ModelState:
                       tracers=jnp.asarray(merge(sstate.tracers, 1)))
 
 
+def element_maps(ss: StructuredShards, cls: str):
+    """(l2g, owned) for one element class: (S, nper*nyl*nxl) global ids
+    of every local element and the owned-window mask — feeds sharded
+    region writes (io.stream.ShardedFieldData)."""
+    nper = _NPER[cls]
+    S = ss.nshards
+    n_loc = nper * ss.nyl * ss.nxl
+    l2g = np.zeros((S, n_loc), np.int64)
+    owned = np.zeros((S, n_loc), bool)
+    oy = (np.arange(ss.nyl) >= ss.hw) & \
+        (np.arange(ss.nyl) < ss.hw + ss.band)
+    ox = (np.arange(ss.nxl) >= ss.hwx) & \
+        (np.arange(ss.nxl) < ss.hwx + ss.band_x)
+    own_grid = (oy[None, :, None] & ox[None, None, :]) & \
+        np.ones((nper, 1, 1), bool)
+    for iy in range(ss.sy):
+        rows = _rows(ss, iy)
+        for ix in range(ss.sx):
+            cols = _cols(ss, ix)
+            gid = (np.arange(nper)[:, None, None] * (ss.ny * ss.nx)
+                   + rows[None, :, None] * ss.nx + cols[None, None, :])
+            s = iy * ss.sx + ix
+            l2g[s] = gid.reshape(-1)
+            owned[s] = own_grid.reshape(-1)
+    return l2g, owned
+
+
 # ----------------------------------------------------------------------
 # device-side halo exchange: two stages of block ppermutes
 
