@@ -62,11 +62,12 @@ class TracerAux(NamedTuple):
 def thickness_aux_edge(mesh: HorzMesh, cfg: ModelConfig, h, u) -> ThicknessAux:
     """FluxLayerThickEdge / MeanLayerThickEdge / SshCell
     (auxiliaryVars/LayerThicknessAux.h:12-92)."""
-    h0, h1 = trisk.cell_pair_on_edge(mesh, h)
-    mean_h = 0.5 * (h0 + h1)
     if cfg.flux_thickness_type == "center":
+        mean_h = trisk.cell_mean_on_edge(mesh, h)    # one fused pass
         flux_h = mean_h
     elif cfg.flux_thickness_type == "upwind":
+        h0, h1 = trisk.cell_pair_on_edge(mesh, h)    # select needs both
+        mean_h = 0.5 * (h0 + h1)
         flux_h = jnp.where(u > 0, h0, jnp.where(u < 0, h1, jnp.maximum(h0, h1)))
     else:
         raise ValueError(cfg.flux_thickness_type)
@@ -85,11 +86,9 @@ def vorticity_aux(mesh: HorzMesh, h, u) -> VorticityAux:
     inv_hv = 1.0 / h_vertex
     nrv_v = rel_vort * inv_hv
     npv_v = trisk.col(mesh, "f_vertex") * inv_hv
-    nrv_0, nrv_1 = trisk.vertex_pair_on_edge(mesh, nrv_v)
-    npv_0, npv_1 = trisk.vertex_pair_on_edge(mesh, npv_v)
-    nrv_e = 0.5 * (nrv_0 + nrv_1)
-    npv_e = 0.5 * (npv_0 + npv_1)
-    return VorticityAux(rel_vort, nrv_v, npv_v, nrv_e, npv_e)
+    # both vorticities ride ONE fused vertex-mean pass as a stacked pair
+    q_e = trisk.vertex_mean_on_edge(mesh, jnp.stack([nrv_v, npv_v]))
+    return VorticityAux(rel_vort, nrv_v, npv_v, q_e[0], q_e[1])
 
 
 def kinetic_aux(mesh: HorzMesh, u) -> KineticAux:
@@ -107,15 +106,13 @@ def del2_aux(mesh: HorzMesh, div_cell, rel_vort_vertex) -> Del2Aux:
     the grad-div part of Del2Edge (VelocityDel2AuxVars.h:40-45) and the
     dv >= 0.25*dc floor on the vorticity difference.
     """
-    d0, d1 = trisk.cell_pair_on_edge(mesh, div_cell)
-    rv0, rv1 = trisk.vertex_pair_on_edge(mesh, rel_vort_vertex)
     dc_c = trisk.col(mesh, "dc_edge")
     dv_c = trisk.col(mesh, "dv_edge")
     inv_dv = 1.0 / (jnp.maximum(dv_c, 0.25 * dc_c) if not (
         isinstance(dv_c, float) and isinstance(dc_c, float))
         else max(dv_c, 0.25 * dc_c))
-    grad_div = (d1 - d0) / dc_c
-    curl_vort = -(rv1 - rv0) * inv_dv
+    grad_div = trisk.cell_diff_on_edge(mesh, div_cell) / dc_c
+    curl_vort = -trisk.vertex_diff_on_edge(mesh, rel_vort_vertex) * inv_dv
     del2_edge = trisk.col(mesh, "edge_mask") * grad_div + curl_vort
 
     del2_div = trisk.div_cell(mesh, del2_edge)
@@ -157,25 +154,25 @@ def _weighted_cell_laplacian(mesh: HorzMesh, edge_factor, field):
     TracerDiffOnCell and TracerHyperDiffOnCell (TendencyTerms.h:386-492).
     `field` is (..., C, K); `edge_factor` broadcasts against (E, K).
     """
-    f0, f1 = trisk.cell_pair_on_edge(mesh, field)
     geo = (trisk.col(mesh, "edge_mask") * trisk.col(mesh, "dv_edge")
            / trisk.col(mesh, "dc_edge"))
-    g = geo * edge_factor * (f1 - f0)
+    g = geo * edge_factor * trisk.cell_diff_on_edge(mesh, field)
     return trisk.edge_to_cell_signed(mesh, g)
 
 
 def tracer_aux(mesh: HorzMesh, cfg: ModelConfig, h, u, tracers,
                mean_h_edge) -> TracerAux:
     """HTracersEdge and Del2TracersCell (auxiliaryVars/TracerAuxVars.h:13-108)."""
-    h0, h1 = trisk.cell_pair_on_edge(mesh, h)
-    tr0, tr1 = trisk.cell_pair_on_edge(mesh, tracers)
-    htr0 = h0 * tr0                                # (L, E, K)
-    htr1 = h1 * tr1
     if cfg.flux_tracer_type in ("center", "fct"):
         # fct computes its own limited flux (core/fct.py); the centered
-        # value here only feeds the del2 diagnostics
-        h_tr_edge = 0.5 * (htr0 + htr1)
+        # value here only feeds the del2 diagnostics — one fused pass
+        # over the stacked (L, C, K) product
+        h_tr_edge = trisk.cell_mean_on_edge(mesh, h[None] * tracers)
     elif cfg.flux_tracer_type == "upwind":
+        h0, h1 = trisk.cell_pair_on_edge(mesh, h)
+        tr0, tr1 = trisk.cell_pair_on_edge(mesh, tracers)
+        htr0 = h0 * tr0                                # (L, E, K)
+        htr1 = h1 * tr1
         h_tr_edge = jnp.where(u > 0, htr0,
                               jnp.where(u < 0, htr1, jnp.maximum(htr0, htr1)))
     else:

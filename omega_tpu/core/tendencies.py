@@ -86,16 +86,17 @@ def velocity_tendency(mesh: HorzMesh, cfg: ModelConfig,
     inv_dv = 1.0 / trisk.col(mesh, "dv_edge")
 
     if tc.velocity_diffusion:
-        d0, d1 = trisk.cell_pair_on_edge(mesh, mom.kinetic.div_cell)
-        rv0, rv1 = trisk.vertex_pair_on_edge(mesh, mom.vorticity.rel_vort_vertex)
-        del2u = ((d1 - d0) * inv_dc - (rv1 - rv0) * inv_dv)
+        del2u = (trisk.cell_diff_on_edge(mesh, mom.kinetic.div_cell) * inv_dc
+                 - trisk.vertex_diff_on_edge(
+                     mesh, mom.vorticity.rel_vort_vertex) * inv_dv)
         tend = tend + mask * tc.visc_del2 * \
             trisk.col(mesh, "mesh_scaling_del2") * del2u
 
     if tc.velocity_hyperdiff:
-        d0, d1 = trisk.cell_pair_on_edge(mesh, mom.del2.del2_div_cell)
-        rv0, rv1 = trisk.vertex_pair_on_edge(mesh, mom.del2.del2_rvort_vertex)
-        del2u = (tc.div_factor * (d1 - d0) * inv_dc - (rv1 - rv0) * inv_dv)
+        del2u = (tc.div_factor * inv_dc
+                 * trisk.cell_diff_on_edge(mesh, mom.del2.del2_div_cell)
+                 - trisk.vertex_diff_on_edge(
+                     mesh, mom.del2.del2_rvort_vertex) * inv_dv)
         tend = tend - mask * tc.visc_del4 * \
             trisk.col(mesh, "mesh_scaling_del4") * del2u
 

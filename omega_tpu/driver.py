@@ -284,7 +284,15 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
                                  np.float64)),
         tracers=jnp.asarray(tr_data))
 
-    stepper = make_stepper(ti.get_str("TimeStepper", "Forward-Backward"))
+    stepper_name = ti.get_str("TimeStepper", "Forward-Backward")
+    if stepper_name.lower().replace(" ", "").replace("-", "").replace(
+            "_", "") == "splitexplicit":
+        from omega_tpu.stepping import make_split_stepper
+        stepper = make_split_stepper(
+            n_subcycles=ti.get_int("BarotropicSubcycles", 10),
+            bt_drag=ti.get_float("BarotropicLinearDrag", 0.0))
+    else:
+        stepper = make_stepper(stepper_name)
 
     # wind-stress forcing: constant from config (WindStress group), or
     # time-varying frames from a read stream carrying the stress fields

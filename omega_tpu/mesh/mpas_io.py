@@ -22,7 +22,8 @@ import numpy as np
 
 from omega_tpu.infra.errors import IOError_
 from omega_tpu.io.netcdf import NCFile, read_netcdf, write_netcdf
-from omega_tpu.mesh.horz_mesh import HorzMesh, finalize_mesh
+from omega_tpu.mesh.horz_mesh import (HorzMesh, finalize_mesh,
+                                      unclamped_connectivity)
 
 
 def _conn(nc: NCFile, name: str) -> np.ndarray:
@@ -119,58 +120,19 @@ def write_mpas_mesh(mesh: HorzMesh, path: str, fmt: str = "netcdf3") -> None:
     """Write a HorzMesh as an MPAS-format mesh file (1-based connectivity)."""
     C, E, V = mesh.ncells, mesh.nedges, mesh.nvertices
 
-    def conn1(arr, valid=None):
-        """0-based with clamped padding -> MPAS 1-based with 0 padding.
-
-        finalize_mesh clamps padded slots to 0 (a valid id), so the true
-        padding is recovered from `valid` masks derived below from the
-        sign/weight arrays, which finalize_mesh zeroes exactly on padding.
-        """
-        out = np.asarray(arr, np.int64) + 1
-        return out if valid is None else np.where(valid, out, 0)
+    def conn1(raw):
+        """-1-padded 0-based connectivity -> MPAS 1-based, 0 padding."""
+        raw = np.asarray(raw, np.int64)
+        return np.where(raw >= 0, raw + 1, 0)
 
     a = lambda name: np.asarray(getattr(mesh, name))
     n_eoc = a("n_edges_on_cell").astype(np.int64)
     M = mesh.max_edges
     pad_c = np.arange(M)[None, :] >= n_eoc[:, None]
 
-    # Slot validity on boundary meshes (periodic/sphere meshes have no
-    # padding in these arrays and every mask below is all-True):
-    # finalize_mesh zeroes edge_sign_on_cell / edge_sign_on_vertex /
-    # kite_areas_on_vertex precisely on padded slots, and an (edge, cell) /
-    # (edge, vertex) adjacency is real iff it appears in the transposed
-    # connectivity with a nonzero sign.
-    eoc0 = a("edges_on_cell").astype(np.int64)
-    eov0 = a("edges_on_vertex").astype(np.int64)
-    coe0 = a("cells_on_edge").astype(np.int64)
-    voe0 = a("vertices_on_edge").astype(np.int64)
-    valid_eoc = (a("edge_sign_on_cell") != 0.0) & ~pad_c
-    valid_eov = a("edge_sign_on_vertex") != 0.0
-    valid_cov = a("kite_areas_on_vertex") != 0.0
-
-    valid_coe = np.zeros((E, 2), bool)
-    e_f = eoc0[valid_eoc]
-    c_f = np.broadcast_to(np.arange(C)[:, None], eoc0.shape)[valid_eoc]
-    for i in (0, 1):
-        hit = coe0[e_f, i] == c_f
-        valid_coe[e_f[hit], i] = True
-
-    valid_voe = np.zeros((E, 2), bool)
-    e_f = eov0[valid_eov]
-    v_f = np.broadcast_to(np.arange(V)[:, None], eov0.shape)[valid_eov]
-    for i in (0, 1):
-        hit = voe0[e_f, i] == v_f
-        valid_voe[e_f[hit], i] = True
-
-    # cellsOnCell[c, j] is the cell across edgesOnCell[c, j]: padded when
-    # that edge is a boundary edge (one adjacent cell missing)
-    interior_edge = a("edge_mask") > 0.0
-    valid_coc = valid_eoc & interior_edge[np.where(valid_eoc, eoc0, 0)]
-
-    def conn_cell(arr):
-        """Cell connectivity: zero out padded slots per nEdgesOnCell."""
-        out = np.asarray(arr, np.int64) + 1
-        return np.where(pad_c, 0, out)
+    # true -1 padding recovered from the derived sign/weight arrays
+    # (periodic/sphere meshes have none and this is the stored data)
+    unc = unclamped_connectivity(mesh)
 
     n_eoe = a("n_edges_on_edge").astype(np.int64)
     pad_e = np.arange(mesh.max_edges * 2)[None, :] >= n_eoe[:, None]
@@ -183,17 +145,21 @@ def write_mpas_mesh(mesh: HorzMesh, path: str, fmt: str = "netcdf3") -> None:
         "latCell": a("lat_cell"), "areaCell": a("area_cell"),
         "fCell": a("f_cell"), "bottomDepth": a("bottom_depth"),
         "nEdgesOnCell": n_eoc.astype(np.int32),
-        "edgesOnCell": conn_cell(a("edges_on_cell")),
-        "cellsOnCell": conn1(a("cells_on_cell"), valid_coc),
-        "verticesOnCell": conn_cell(a("vertices_on_cell")),
+        "edgesOnCell": conn1(unc["edges_on_cell"]),
+        "cellsOnCell": conn1(unc["cells_on_cell"]),
+        "verticesOnCell": conn1(unc["vertices_on_cell"]),
         "xEdge": a("x_edge"), "yEdge": a("y_edge"), "zEdge": np.zeros(E),
         "lonEdge": a("lon_edge"), "latEdge": a("lat_edge"),
         "dcEdge": a("dc_edge"), "dvEdge": a("dv_edge"),
         "angleEdge": a("angle_edge"), "fEdge": a("f_edge"),
-        "cellsOnEdge": conn1(a("cells_on_edge"), valid_coe),
-        "verticesOnEdge": conn1(a("vertices_on_edge"), valid_voe),
+        "cellsOnEdge": conn1(unc["cells_on_edge"]),
+        "verticesOnEdge": conn1(unc["vertices_on_edge"]),
         "nEdgesOnEdge": n_eoe.astype(np.int32),
-        "edgesOnEdge": np.where(pad_e, 0, conn1(a("edges_on_edge"))),
+        # keep legitimately-zero-weight targets (MPAS convention), zero
+        # only the beyond-nEdgesOnEdge padding
+        "edgesOnEdge": np.where(pad_e, 0,
+                                np.asarray(a("edges_on_edge"),
+                                           np.int64) + 1),
         "weightsOnEdge": np.where(pad_e, 0.0, a("weights_on_edge")),
         "meshScalingDel2": a("mesh_scaling_del2"),
         "meshScalingDel4": a("mesh_scaling_del4"),
@@ -201,8 +167,8 @@ def write_mpas_mesh(mesh: HorzMesh, path: str, fmt: str = "netcdf3") -> None:
         "zVertex": np.zeros(V), "lonVertex": a("lon_vertex"),
         "latVertex": a("lat_vertex"), "areaTriangle": a("area_triangle"),
         "fVertex": a("f_vertex"),
-        "cellsOnVertex": conn1(a("cells_on_vertex"), valid_cov),
-        "edgesOnVertex": conn1(a("edges_on_vertex"), valid_eov),
+        "cellsOnVertex": conn1(unc["cells_on_vertex"]),
+        "edgesOnVertex": conn1(unc["edges_on_vertex"]),
         "kiteAreasOnVertex": a("kite_areas_on_vertex"),
     }
     var_dims = {

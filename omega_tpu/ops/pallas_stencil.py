@@ -39,7 +39,14 @@ _NPER = structured._NPER
 
 
 def enabled() -> bool:
-    return os.environ.get("OMEGA_PALLAS_STENCIL", "0") in ("1", "true")
+    """Default ON on TPU (validated on hardware, 26.7 vs 32.2 ms/step at
+    256^2x100 against the conv path); opt out with
+    OMEGA_PALLAS_STENCIL=0. CPU stays on the roll path unless forced."""
+    v = os.environ.get("OMEGA_PALLAS_STENCIL")
+    if v is not None:
+        return v in ("1", "true")
+    import jax
+    return jax.default_backend() == "tpu"
 
 
 def _plan(mesh, name: str):

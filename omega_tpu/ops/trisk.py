@@ -86,6 +86,14 @@ def warm_structured(mesh: HorzMesh) -> bool:
         ("c1", mesh.cells_on_edge[:, 1], "edge", "cell", None),
         ("v0", mesh.vertices_on_edge[:, 0], "edge", "vertex", None),
         ("v1", mesh.vertices_on_edge[:, 1], "edge", "vertex", None),
+        ("cdiff", mesh.cells_on_edge, "edge", "cell",
+         np.tile([-1.0, 1.0], (mesh.nedges, 1))),
+        ("cmean", mesh.cells_on_edge, "edge", "cell",
+         np.full((mesh.nedges, 2), 0.5)),
+        ("vdiff", mesh.vertices_on_edge, "edge", "vertex",
+         np.tile([-1.0, 1.0], (mesh.nedges, 1))),
+        ("vmean", mesh.vertices_on_edge, "edge", "vertex",
+         np.full((mesh.nedges, 2), 0.5)),
     ] + [(f"coc{j}", np.asarray(mesh.cells_on_cell)[:, j], "cell", "cell",
           None) for j in range(mesh.cells_on_cell.shape[1])]
     ok = True
@@ -122,6 +130,45 @@ def vertex_pair_on_edge(mesh: HorzMesh, f):
     """(f[verticesOnEdge[:,0]], f[verticesOnEdge[:,1]]) for a vertex field."""
     return _pair(mesh, f, "v0", "v1", mesh.vertices_on_edge[:, 0],
                  mesh.vertices_on_edge[:, 1], "edge", "vertex")
+
+
+def _two_slot(mesh, f, name, idx2, w01, combine, dst, src):
+    """Fused 2-slot stencil w0*f[idx2[:,0]] + w1*f[idx2[:,1]] in ONE
+    pass — the separate pair gathers cost a full sweep each, and most
+    consumers only need the difference or mean (48 stencil passes per FB
+    step before fusing, 18 of them fusible pairs)."""
+    if structured.enabled(mesh):
+        w_np = None
+        if isinstance(idx2, np.ndarray):
+            w_np = np.tile(np.asarray(w01, np.float64), (idx2.shape[0], 1))
+        t = _struct(mesh, name, idx2, dst, src, w_np)
+        if t is not None:
+            return structured.apply_stencil(mesh, t, f)
+    return combine(_take(f, idx2[:, 0]), _take(f, idx2[:, 1]))
+
+
+def cell_diff_on_edge(mesh: HorzMesh, f):
+    """f[coe1] - f[coe0] (the gradient numerator) in one pass."""
+    return _two_slot(mesh, f, "cdiff", mesh.cells_on_edge, (-1.0, 1.0),
+                     lambda a, b: b - a, "edge", "cell")
+
+
+def cell_mean_on_edge(mesh: HorzMesh, f):
+    """0.5*(f[coe0] + f[coe1]) in one pass."""
+    return _two_slot(mesh, f, "cmean", mesh.cells_on_edge, (0.5, 0.5),
+                     lambda a, b: 0.5 * (a + b), "edge", "cell")
+
+
+def vertex_diff_on_edge(mesh: HorzMesh, f):
+    """f[voe1] - f[voe0] in one pass."""
+    return _two_slot(mesh, f, "vdiff", mesh.vertices_on_edge, (-1.0, 1.0),
+                     lambda a, b: b - a, "edge", "vertex")
+
+
+def vertex_mean_on_edge(mesh: HorzMesh, f):
+    """0.5*(f[voe0] + f[voe1]) in one pass."""
+    return _two_slot(mesh, f, "vmean", mesh.vertices_on_edge, (0.5, 0.5),
+                     lambda a, b: 0.5 * (a + b), "edge", "vertex")
 
 
 def cell_to_vertex_kite(mesh: HorzMesh, f):
@@ -227,8 +274,7 @@ def div_cell(mesh: HorzMesh, vec_edge):
 
 def grad_edge(mesh: HorzMesh, scalar_cell):
     """Normal gradient of a cell scalar on edges (HorzOperators.h:44-66)."""
-    f0, f1 = cell_pair_on_edge(mesh, scalar_cell)
-    return (f1 - f0) / col(mesh, "dc_edge")
+    return cell_diff_on_edge(mesh, scalar_cell) / col(mesh, "dc_edge")
 
 
 def curl_vertex(mesh: HorzMesh, vec_edge):
@@ -259,8 +305,7 @@ def interp_cell_to_edge_aniso(mesh: HorzMesh, scalar_cell):
     """Two-cell average onto edges (HorzOperators.h:158-164)."""
     was_1d = scalar_cell.ndim == 1
     f = scalar_cell[:, None] if was_1d else scalar_cell
-    f0, f1 = cell_pair_on_edge(mesh, f)
-    out = 0.5 * (f0 + f1)
+    out = cell_mean_on_edge(mesh, f)
     return out[:, 0] if was_1d else out
 
 

@@ -126,7 +126,7 @@ def _halo_layers(owned, cells_on_cell, n_edges_on_cell, width):
     for _ in range(width):
         nbrs = cells_on_cell[frontier]
         valid = (np.arange(cells_on_cell.shape[1])[None, :]
-                 < n_edges_on_cell[frontier][:, None])
+                 < n_edges_on_cell[frontier][:, None]) & (nbrs >= 0)
         cand = np.unique(nbrs[valid])
         new = np.array(sorted(c for c in cand.tolist() if c not in seen),
                        np.int64)
@@ -153,11 +153,21 @@ def decompose(mesh: HorzMesh, nshards: int, *, halo_width: int = HALO_WIDTH,
         "f_vertex", "cells_on_vertex", "edges_on_vertex",
         "kite_areas_on_vertex", "edge_sign_on_vertex",
     )}
+    # the stored connectivity clamps padding to element 0, which collides
+    # with the REAL element 0 on boundary (carved/coastal) meshes — remap
+    # from the -1-padded form so local finalize sees true padding
+    from omega_tpu.mesh.horz_mesh import unclamped_connectivity
+    g.update(unclamped_connectivity(mesh))
 
     owner_cell = partition_cells(mesh, nshards, method)
-    # edge/vertex ownership = first adjacent cell (base/Decomp.h:108-130)
-    owner_edge = owner_cell[g["cells_on_edge"][:, 0]]
-    owner_vertex = owner_cell[g["cells_on_vertex"][:, 0]]
+    # edge/vertex ownership = first VALID adjacent cell (boundary slots
+    # are -1 on carved meshes; base/Decomp.h:108-130)
+    coe_g = g["cells_on_edge"]
+    owner_edge = owner_cell[np.where(coe_g[:, 0] >= 0, coe_g[:, 0],
+                                     coe_g[:, 1])]
+    cov_g = g["cells_on_vertex"]
+    first_v = cov_g[np.arange(V), np.argmax(cov_g >= 0, axis=1)]
+    owner_vertex = owner_cell[np.maximum(first_v, 0)]
 
     from omega_tpu.parallel import native
     all_halos = native.halo_layers(g["cells_on_cell"],
@@ -169,11 +179,13 @@ def decompose(mesh: HorzMesh, nshards: int, *, halo_width: int = HALO_WIDTH,
         owned_cells, halo = all_halos[s]
         local_cells = np.concatenate([owned_cells] + list(halo))
 
-        # edges/vertices incident to any local cell
+        # edges/vertices incident to any local cell (skip -1 padding)
         valid = (np.arange(M)[None, :] <
                  g["n_edges_on_cell"][local_cells][:, None])
-        loc_e = np.unique(g["edges_on_cell"][local_cells][valid])
-        loc_v = np.unique(g["vertices_on_cell"][local_cells][valid])
+        eoc_l = g["edges_on_cell"][local_cells]
+        voc_l = g["vertices_on_cell"][local_cells]
+        loc_e = np.unique(eoc_l[valid & (eoc_l >= 0)])
+        loc_v = np.unique(voc_l[valid & (voc_l >= 0)])
         # owned first (sorted by global id), then halo
         loc_e = np.concatenate([loc_e[owner_edge[loc_e] == s],
                                 loc_e[owner_edge[loc_e] != s]])

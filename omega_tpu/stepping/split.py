@@ -51,8 +51,20 @@ def _depth_avg_edge(h_edge, x):
 def split_forward_backward_step(mesh: HorzMesh, cfg: ModelConfig,
                                 state: ModelState, t, dt,
                                 halo: Halo = _identity, wind_stress=None,
-                                n_subcycles: int = 10) -> ModelState:
-    """One split-explicit step (barotropic FB subcycling inside)."""
+                                n_subcycles: int = 10,
+                                bt_drag: float = 0.0) -> ModelState:
+    """One split-explicit step (barotropic FB subcycling inside).
+
+    The fast system re-evaluates the SSH gradient AND the barotropic
+    Coriolis term (+f u_perp via the tangential reconstruction) every
+    subcycle — freezing Coriolis at the step start destabilizes long
+    steps on f-plane inertia-gravity waves. `bt_drag` adds an optional
+    linear drag -r*ubar to the fast system (MPAS-O practice for
+    barotropic stabilization); it is subtracted consistently from the
+    slow forcing so the scheme stays an exact rearrangement at t0.
+    The remaining frozen slow forcing (advection, viscosity, baroclinic
+    pressure) carries an O(dt) splitting error, the same order as the
+    baroclinic FB update itself."""
     if cfg.ssh_formulation != "column":
         raise ValueError(
             "the split-explicit stepper integrates the true free surface; "
@@ -74,9 +86,20 @@ def split_forward_backward_step(mesh: HorzMesh, cfg: ModelConfig,
                                                     wind_stress)
     du_bar = _depth_avg_edge(h_edge, du_full)             # (E, 1)
 
-    # fast term at the current state, to be re-evaluated every subcycle
+    # fast operator, re-evaluated every subcycle: SSH gradient +
+    # barotropic Coriolis + optional linear drag
+    f_e = trisk.col(mesh, "f_edge")
+    mask = trisk.col(mesh, "edge_mask")
+
+    def fast(ub, ssh_s):
+        out = (-g * trisk.grad_edge(mesh, ssh_s)
+               + f_e * trisk.tangential_edge(mesh, ub))
+        if bt_drag:
+            out = out - bt_drag * ub
+        return mask * out
+
     ssh = jnp.sum(h, axis=-1, keepdims=True) - trisk.col(mesh, "bottom_depth")
-    du_fast0 = -g * trisk.grad_edge(mesh, ssh)            # (E, 1)
+    du_fast0 = fast(ubar, ssh)                            # (E, 1)
     g_slow = du_bar - du_fast0                            # held fixed
 
     # --- barotropic FB subcycles (lax.scan over 2D fields)
@@ -92,7 +115,7 @@ def split_forward_backward_step(mesh: HorzMesh, cfg: ModelConfig,
 
     def subcycle(carry, _):
         ub, ssh_s, acc = carry
-        ub = ub + dt_bt * (-g * trisk.grad_edge(mesh, ssh_s) + g_slow)
+        ub = ub + dt_bt * (fast(ub, ssh_s) + g_slow)
         ub = edge_ex(ub)
         ssh_s = ssh_s - dt_bt * trisk.div_cell(mesh, h_edge_tot * ub)
         ssh_s = cell_ex(ssh_s)
@@ -121,10 +144,12 @@ def split_forward_backward_step(mesh: HorzMesh, cfg: ModelConfig,
     return halo(out)
 
 
-def make_split_stepper(n_subcycles: int = 10):
-    """Stepper factory with a fixed subcycle count (config
-    `TimeIntegration: BarotropicSubcycles`)."""
+def make_split_stepper(n_subcycles: int = 10, bt_drag: float = 0.0):
+    """Stepper factory with a fixed subcycle count and optional linear
+    barotropic drag (config `TimeIntegration: BarotropicSubcycles` /
+    `BarotropicLinearDrag`)."""
     def step(mesh, cfg, state, t, dt, halo=_identity, wind_stress=None):
         return split_forward_backward_step(mesh, cfg, state, t, dt, halo,
-                                           wind_stress, n_subcycles)
+                                           wind_stress, n_subcycles,
+                                           bt_drag)
     return step

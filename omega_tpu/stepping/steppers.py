@@ -42,8 +42,7 @@ def _mix(mesh, cfg, state, dt):
     h, u, tr = state
     kt = vm.kappa_tracer * jnp.ones_like(h[..., :-1])
     tr_new = vmix.implicit_vmix(h[None], kt[None], dt, tr, method=vm.method)
-    h0, h1 = trisk.cell_pair_on_edge(mesh, h)
-    h_edge = 0.5 * (h0 + h1)
+    h_edge = trisk.cell_mean_on_edge(mesh, h)
     km = vm.kappa_momentum * jnp.ones_like(h_edge[..., :-1])
     u_new = vmix.implicit_vmix(h_edge, km, dt, u, method=vm.method)
     return ModelState(h=h, u=u_new, tracers=tr_new)

@@ -91,6 +91,57 @@ def test_split_stepper_registered():
     assert make_stepper("split-explicit") is not None
 
 
+def test_split_10x_cfl_planar():
+    """dt 10x past the unsplit external-wave CFL with 30 subcycles:
+    stable and volume-conservative (the barotropic Coriolis term is
+    re-evaluated per subcycle, which this regime requires)."""
+    from omega_tpu.stepping.split import make_split_stepper
+    mesh, cfg, st = _setup()
+    dt = 600.0    # unsplit dt_max ~ 60 s at dc=10 km, c ~ 99 m/s
+    area = np.asarray(mesh.area_cell)[:, None]
+    vol0 = np.sum(area * np.asarray(st.h))
+    out = jax.block_until_ready(jax.jit(lambda s: run_steps(
+        mesh, cfg, s, 0.0, dt, 24,
+        stepper=make_split_stepper(n_subcycles=30)))(st))
+    assert np.isfinite(np.asarray(out.h)).all()
+    assert np.abs(np.asarray(out.u)).max() < 1.0
+    vol1 = np.sum(area * np.asarray(out.h))
+    assert abs(vol1 - vol0) / vol0 < 1e-12
+
+
+def test_split_10x_cfl_sphere():
+    """Same regime on a global sphere mesh (gather path): stability at
+    10x the unsplit CFL over 4 simulated hours."""
+    from omega_tpu.mesh.spherical import spherical_icos_mesh
+    from omega_tpu.stepping.split import make_split_stepper
+
+    mesh = spherical_icos_mesh(12, bottom_depth=1000.0)
+    cfg = ModelConfig(
+        nvertlayers=3, ntracers=1, ssh_formulation="column",
+        tendencies=TendencyConfig(visc_del2=0.0, velocity_diffusion=False,
+                                  velocity_hyperdiff=False,
+                                  tracer_diffusion=False,
+                                  tracer_hyperdiff=False))
+    ssh = np.sin(2 * np.asarray(mesh.lat_cell)) * \
+        np.cos(np.asarray(mesh.lon_cell))
+    K = 3
+    h = jnp.asarray((1000.0 + 5.0 * ssh[:, None]) / K) * jnp.ones((1, K))
+    st = ModelState(h=h, u=jnp.zeros((mesh.nedges, K)),
+                    tracers=10.0 + jnp.zeros((1, mesh.ncells, K)))
+    # dc ~ 2*pi*R/(5*12*sqrt(3)) ~ 385 km; c ~ 99 m/s -> unsplit
+    # dt_max ~ 2300 s; run at 10x with 30 subcycles
+    dt = 23000.0
+    area = np.asarray(mesh.area_cell)[:, None]
+    vol0 = np.sum(area * np.asarray(st.h))
+    out = jax.block_until_ready(jax.jit(lambda s: run_steps(
+        mesh, cfg, s, 0.0, dt, 8,
+        stepper=make_split_stepper(n_subcycles=30)))(st))
+    assert np.isfinite(np.asarray(out.h)).all()
+    assert np.abs(np.asarray(out.u)).max() < 10.0
+    vol1 = np.sum(area * np.asarray(out.h))
+    assert abs(vol1 - vol0) / vol0 < 1e-12
+
+
 def test_split_decomposition_invariance():
     """Sharded split-explicit must agree with the single-device run: the
     barotropic subcycles refresh (ubar, ssh) through the per-array halo
