@@ -49,6 +49,12 @@ def enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def kernel_kind() -> str:
+    """'dma' (transpose-free, pallas_stencil_dma.py) or 'channel' (the
+    nx-on-lanes kernel in this file)."""
+    return os.environ.get("OMEGA_PALLAS_KERNEL", "dma")
+
+
 def _plan(mesh, name: str):
     """[(dy, dx, cin, cout, w)] with dy relative (not offset), plus pads."""
     kernel, dy0, dx0, ps, pd = conv_kernel_from_table(mesh, name)

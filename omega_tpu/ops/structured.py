@@ -217,6 +217,10 @@ def apply_stencil(mesh, table, field, src_weight=None):
     if len(table) > 3 and table[3] is not None:
         from omega_tpu.ops import pallas_stencil, structured_conv
         if pallas_stencil.enabled():
+            if pallas_stencil.kernel_kind() == "dma":
+                from omega_tpu.ops import pallas_stencil_dma
+                return pallas_stencil_dma.apply_stencil_dma(
+                    mesh, table[3], field)
             return pallas_stencil.apply_stencil_pallas(mesh, table[3], field)
         if structured_conv.enabled():
             return structured_conv.apply_stencil_conv(mesh, table[3], field)

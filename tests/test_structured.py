@@ -118,3 +118,34 @@ def test_momentum_aux_equivalence(mesh):
     for a, b in zip(jax.tree.leaves(fast), jax.tree.leaves(slow)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-11, atol=1e-12)
+
+
+def test_pallas_dma_kernel_matches_roll_path():
+    """The transpose-free DMA stencil kernel (interpret mode on CPU) is
+    exact against the roll path for every cached stencil, including
+    batched leading dims (on TPU it is bit-exact, validated on
+    hardware)."""
+    from omega_tpu.ops import structured
+    from omega_tpu.ops.pallas_stencil_dma import apply_stencil_dma
+
+    mesh = planar_hex_mesh(16, 8, dc=5000.0, f0=1e-4, bottom_depth=1000.0)
+    rng = np.random.default_rng(0)
+    K = 5
+    keys = [k for k in structured._TABLE_CACHE
+            if isinstance(k, tuple) and len(k) == 4
+            and k[0] == 16 and k[1] == 8]
+    assert keys
+    for key in keys:
+        nm = key[3]
+        tab = structured._TABLE_CACHE[key]
+        t, dst, src = tab[:3]
+        if t is None:
+            continue
+        N = mesh.ncells * structured._NPER[src]
+        for lead in [(), (2,)]:
+            f = jnp.asarray(rng.standard_normal(lead + (N, K)))
+            ref = structured.apply_stencil(mesh, (t, dst, src), f)
+            out = apply_stencil_dma(mesh, nm, f, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=0, atol=1e-12,
+                                       err_msg=f"{nm} lead={lead}")
