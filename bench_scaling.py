@@ -70,6 +70,25 @@ def main():
                                              dm))
             ss = shard_state(sm, st)
 
+        # analytic per-shard comm volume per step (one halo exchange per
+        # FB step): structured = two ppermute stages of row/col blocks;
+        # general = per-distance permute lists (cells bundle h+tracers)
+        itemsize = np.dtype(np.float64).itemsize
+        L = 2
+        if mode == "structured":
+            ch = 4 + L                       # h + 3 edge classes + tracers
+            comm = 2 * ch * sm.hw * sm.nxl * K * itemsize
+            if sm.sx > 1:
+                comm += 2 * ch * sm.hwx * sm.nyl * K * itemsize
+        else:
+            from omega_tpu.parallel.sharded import build_permute_lists
+            cpl = build_permute_lists(sm, "cell")
+            epl = build_permute_lists(sm, "edge")
+            comm = sum(s.shape[1] for (_, s, _) in cpl) * (1 + L) * K * \
+                itemsize + sum(s.shape[1] for (_, s, _) in epl) * K * itemsize
+        if nshards == 1:
+            comm = 0
+
         out = ss
         for _ in range(2):
             out = step(out, 0.0, 30.0)
@@ -85,9 +104,13 @@ def main():
         per_step = best / nsteps
         gps = mesh.ncells * K / per_step
         results[nshards] = gps
+        state_bytes = (mesh.ncells * (1 + L) + mesh.nedges) * K * itemsize
         print(json.dumps({"metric": "weak_scaling", "nshards": nshards,
                           "gridpoint_steps_per_sec": gps,
-                          "ms_per_step": per_step * 1e3}))
+                          "ms_per_step": per_step * 1e3,
+                          "comm_bytes_per_shard_step": int(comm),
+                          "comm_fraction_of_state": round(
+                              comm * nshards / state_bytes, 4)}))
 
     base = results[1]
     top = max(results)
