@@ -149,3 +149,44 @@ def test_pallas_dma_kernel_matches_roll_path():
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        rtol=0, atol=1e-12,
                                        err_msg=f"{nm} lead={lead}")
+
+
+def test_megastep_matches_composed_fb_step():
+    """The single-kernel mega-step (ops/megastep.py, interpret mode on
+    CPU) reproduces the composed forward_backward_step to roundoff over
+    multiple steps on the flagship configuration."""
+    from omega_tpu.core import ModelConfig, ModelState, TendencyConfig
+    from omega_tpu.ops.megastep import fb_megastep, supported
+    from omega_tpu.stepping import forward_backward_step
+
+    mesh = planar_hex_mesh(32, 16, dc=5000.0, f0=1e-4, bottom_depth=1000.0)
+    cfg = ModelConfig(nvertlayers=3, ntracers=2,
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e9))
+    assert supported(mesh, cfg)
+    # unsupported configs must be detected (falls back to composed)
+    cfg_up = ModelConfig(nvertlayers=3, ntracers=2,
+                         flux_thickness_type="upwind",
+                         tendencies=TendencyConfig(visc_del2=1e3,
+                                                   visc_del4=1e9))
+    assert not supported(mesh, cfg_up)
+
+    rng = np.random.default_rng(0)
+    kx = 2 * np.pi / mesh.x_period
+    ky = 2 * np.pi / mesh.y_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell)) * \
+        np.sin(ky * np.asarray(mesh.y_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / 3) * jnp.ones((1, 3))
+    st = ModelState(
+        h=h,
+        u=jnp.asarray(0.01 * rng.standard_normal((mesh.nedges, 3))),
+        tracers=jnp.asarray(10.0 + rng.standard_normal((2, mesh.ncells, 3))))
+
+    ref, out = st, st
+    for _ in range(3):
+        ref = forward_backward_step(mesh, cfg, ref, 0.0, 30.0)
+        out = fb_megastep(mesh, cfg, out, 0.0, 30.0, interpret=True)
+    for n in ("h", "u", "tracers"):
+        np.testing.assert_allclose(np.asarray(getattr(out, n)),
+                                   np.asarray(getattr(ref, n)),
+                                   rtol=1e-10, atol=1e-10, err_msg=n)
