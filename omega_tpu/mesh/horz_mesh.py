@@ -51,7 +51,7 @@ import numpy as np
     meta_fields=["ncells", "nedges", "nvertices", "max_edges", "vertex_degree",
                  "on_sphere", "sphere_radius", "x_period", "y_period",
                  "structured_nx", "structured_ny", "structured_dc",
-                 "structured_scalars"],
+                 "structured_scalars", "gather_key"],
 )
 @dataclasses.dataclass(frozen=True)
 class HorzMesh:
@@ -83,6 +83,9 @@ class HorzMesh:
     # same-sized meshes with different f0/depth cannot collide, and a
     # beta-plane mesh simply omits the f entries.
     structured_scalars: tuple = ()
+    # nonzero id under which windowed-gather tables (ops/pallas_gather)
+    # were warmed for this mesh — static so lookups work inside jit
+    gather_key: int = 0
 
     # --- cell arrays ---
     x_cell: jax.Array = None           # (C,)

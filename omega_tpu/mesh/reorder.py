@@ -35,26 +35,50 @@ def _morton3(x, y, z, bits: int = 20) -> np.ndarray:
     return key
 
 
-def sfc_permutations(mesh: HorzMesh):
+def _rcm_cell_perm(mesh: HorzMesh) -> np.ndarray:
+    """Reverse Cuthill-McKee order of the cell graph: bounded bandwidth
+    (~O(sqrt N) with no curve seams), which is what the windowed Pallas
+    gather kernels need — Morton/Hilbert curves on a sphere have seam
+    blocks whose index window spans the whole mesh."""
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    coc = np.asarray(mesh.cells_on_cell, np.int64)
+    n_eoc = np.asarray(mesh.n_edges_on_cell, np.int64)
+    C = mesh.ncells
+    slot = np.arange(coc.shape[1])[None, :] < n_eoc[:, None]
+    slot &= coc >= 0
+    rows = np.broadcast_to(np.arange(C)[:, None], coc.shape)[slot]
+    cols = coc[slot]
+    A = csr_matrix((np.ones_like(cols), (rows, cols)), shape=(C, C))
+    return np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True),
+                      np.int64)
+
+
+def sfc_permutations(mesh: HorzMesh, method: str = "rcm"):
     """(cell_perm, edge_perm, vertex_perm): new order -> old index.
 
-    Planar meshes use a 2-D Hilbert curve; spherical meshes use 3-D
-    Morton keys of the unit-sphere positions (a cylindrical 2-D curve
-    smears the poles across the whole longitude range)."""
+    method 'rcm' (default): reverse Cuthill-McKee — bounded index
+    bandwidth, required by the windowed gather kernels. method 'sfc':
+    planar meshes use a 2-D Hilbert curve; spherical meshes 3-D Morton
+    keys of the unit-sphere positions."""
     from omega_tpu.parallel import native
     from omega_tpu.parallel.decomp import _norm_coords
 
-    if mesh.on_sphere:
+    if method == "rcm":
+        cell_perm = _rcm_cell_perm(mesh)
+    elif mesh.on_sphere:
         lat = np.asarray(mesh.lat_cell)
         lon = np.asarray(mesh.lon_cell)
         px = 0.5 * (np.cos(lat) * np.cos(lon) + 1.0)
         py = 0.5 * (np.cos(lat) * np.sin(lon) + 1.0)
         pz = 0.5 * (np.sin(lat) + 1.0)
         keys = _morton3(px, py, pz)
+        cell_perm = np.argsort(keys, kind="stable")
     else:
         x, y = _norm_coords(mesh)
         keys = native.hilbert_keys(x, y)
-    cell_perm = np.argsort(keys, kind="stable")
+        cell_perm = np.argsort(keys, kind="stable")
     cell_rank = np.empty_like(cell_perm)
     cell_rank[cell_perm] = np.arange(mesh.ncells)
 
@@ -67,9 +91,11 @@ def sfc_permutations(mesh: HorzMesh):
     return cell_perm, edge_perm, vertex_perm
 
 
-def reorder_mesh(mesh: HorzMesh) -> HorzMesh:
-    """Return an equivalent HorzMesh with SFC-local element numbering."""
-    cp, ep, vp = sfc_permutations(mesh)
+def reorder_mesh(mesh: HorzMesh, method: str = "rcm") -> HorzMesh:
+    """Return an equivalent HorzMesh with locality-local element
+    numbering ('rcm' default: bounded bandwidth; 'sfc': space-filling
+    curve)."""
+    cp, ep, vp = sfc_permutations(mesh, method)
     C, E, V = mesh.ncells, mesh.nedges, mesh.nvertices
     cr = np.empty(C, np.int64); cr[cp] = np.arange(C)
     er = np.empty(E, np.int64); er[ep] = np.arange(E)
@@ -113,11 +139,19 @@ def reorder_mesh(mesh: HorzMesh) -> HorzMesh:
         edges_on_vertex=remap(a("edges_on_vertex")[vp], er),
         kite_areas_on_vertex=a("kite_areas_on_vertex")[vp],
     )
-    return finalize_mesh(raw, ncells=C, nedges=E, nvertices=V,
-                         max_edges=M, vertex_degree=mesh.vertex_degree,
-                         on_sphere=mesh.on_sphere,
-                         sphere_radius=mesh.sphere_radius,
-                         x_period=mesh.x_period, y_period=mesh.y_period)
+    out = finalize_mesh(raw, ncells=C, nedges=E, nvertices=V,
+                        max_edges=M, vertex_degree=mesh.vertex_degree,
+                        on_sphere=mesh.on_sphere,
+                        sphere_radius=mesh.sphere_radius,
+                        x_period=mesh.x_period, y_period=mesh.y_period)
+    if method == "rcm":
+        # bounded bandwidth -> warm the windowed Pallas gather tables
+        from omega_tpu.ops import trisk
+        try:
+            out = trisk.warm_gather(out)
+        except ValueError:
+            pass    # oversized windows: stay on the XLA gather path
+    return out
 
 
 def gather_window_stats(mesh: HorzMesh, block: int = 256,
