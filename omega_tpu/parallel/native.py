@@ -65,6 +65,11 @@ def _load() -> Optional[ctypes.CDLL]:
                                       ctypes.c_int, i64p, ctypes.c_int64,
                                       i64p]
     lib.omega_halo_layers.restype = ctypes.c_int64
+    lib.omega_refine_partition.argtypes = [i64p, i32p, ctypes.c_int64,
+                                           ctypes.c_int, ctypes.c_int,
+                                           ctypes.c_int, ctypes.c_double,
+                                           i64p]
+    lib.omega_refine_partition.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
 
@@ -184,3 +189,19 @@ def _halo_py(cells_on_cell, n_eoc, owner, nparts, width):
             frontier = new
         out.append((ownc, rings))
     return out
+
+
+def refine_partition(cells_on_cell: np.ndarray, n_eoc: np.ndarray,
+                     owner: np.ndarray, nparts: int, passes: int = 8,
+                     imbalance: float = 0.02):
+    """Greedy KL boundary refinement (C++). Mutates a copy of `owner`;
+    returns (refined owner, edge cut) or (owner, None) without the lib."""
+    lib = _load()
+    out = np.ascontiguousarray(owner, np.int64).copy()
+    if lib is None:
+        return out, None
+    coc = np.ascontiguousarray(cells_on_cell, np.int64)
+    ne = np.ascontiguousarray(n_eoc, np.int32)
+    cut = lib.omega_refine_partition(coc, ne, coc.shape[0], coc.shape[1],
+                                     nparts, passes, imbalance, out)
+    return out, int(cut)

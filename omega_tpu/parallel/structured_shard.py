@@ -329,11 +329,19 @@ def _exchange_rows(ss: StructuredShards, st: ModelState,
 
 def make_sharded_step(ss: StructuredShards, cfg: ModelConfig, stepper,
                       device_mesh: Mesh, axis_name: str = "x",
-                      wind_stress=None) -> Callable:
+                      wind_stress=None, exchange_every: int = 1) -> Callable:
     """Jittable sharded step over the structured decomposition.
 
     Every shard runs the SAME structured local mesh (conv/roll fast path
-    stays on); the halo callback is the two-stage block ppermute."""
+    stays on); the halo callback is the two-stage block ppermute.
+
+    exchange_every=k > 1 amortizes communication (the reference's
+    deep-halo pattern, base/Halo.h:849 + RK4's mid-step skip): the
+    returned step advances k steps per call with ONE exchange at the
+    end, trading halo redundancy for 1/k the collectives. Requires
+    hw >= k * (per-step stencil radius, 3 with del4 enabled) + 1 and a
+    stepper whose only halo use is the end-of-step refresh (FB, RK2 —
+    not split-explicit, whose subcycles exchange internally)."""
     pspec = P(axis_name)
     state_specs = ModelState(h=pspec, u=pspec, tracers=pspec)
     local = ss.local_mesh
@@ -367,7 +375,13 @@ def make_sharded_step(ss: StructuredShards, cfg: ModelConfig, stepper,
         halo_fn.edge = lambda x: _exchange_array(ss, x, 3, axis_name)
         wind = (None if wind_stacked is None
                 else tuple(w[0] for w in wind_stacked))
-        out = stepper(mesh_l, cfg, st, t, dt, halo_fn, wind_stress=wind)
+        for i in range(exchange_every - 1):
+            # halo garbage creeps inward one radius per un-exchanged
+            # step; hw budgets for it
+            st = stepper(mesh_l, cfg, st, t + i * dt, dt,
+                         wind_stress=wind)
+        out = stepper(mesh_l, cfg, st, t + (exchange_every - 1) * dt, dt,
+                      halo_fn, wind_stress=wind)
         return jax.tree.map(lambda a: a[None], out)
 
     sharded = jax.shard_map(local_step, mesh=device_mesh,

@@ -160,3 +160,39 @@ def test_structured_2d_decomposition_invariance(layout, beta):
     np.testing.assert_allclose(np.asarray(out.tracers),
                                np.asarray(ref.tracers),
                                rtol=0, atol=1e-12)
+
+
+def test_partition_refinement_reduces_cut():
+    """The KL boundary refinement must not worsen edge cut or balance,
+    and the refined partition feeds the normal decompose path (exactness
+    covered by the invariance tests, which now run on refined owners)."""
+    from omega_tpu.mesh.horz_mesh import unclamped_connectivity
+    from omega_tpu.mesh.spherical import spherical_icos_mesh
+    from omega_tpu.parallel import native
+    from omega_tpu.parallel.decomp import partition_cells
+
+    mesh = spherical_icos_mesh(16)
+    unc = unclamped_connectivity(mesh)
+    coc = unc["cells_on_cell"]
+    ne = np.asarray(mesh.n_edges_on_cell)
+
+    def cut(o):
+        tot = 0
+        for j in range(coc.shape[1]):
+            v = coc[:, j] >= 0
+            tot += int((o[coc[:, j][v]] != o[np.where(v)[0]]).sum())
+        return tot // 2
+
+    from omega_tpu.parallel import native as nat
+    x = np.asarray(mesh.lon_cell) / (2 * np.pi)
+    y = (np.asarray(mesh.lat_cell) + np.pi / 2) / np.pi
+    seed = nat.partition_geom(x, y, 8)
+    refined, c_after = native.refine_partition(coc, ne, seed, 8)
+    if c_after is None:
+        pytest.skip("native library unavailable")
+    assert c_after == cut(refined)
+    assert c_after <= cut(seed)
+    sizes = np.bincount(refined, minlength=8)
+    target = mesh.ncells / 8
+    assert sizes.max() <= target * 1.03 + 1
+    assert sizes.min() >= target * 0.97 - 1

@@ -116,3 +116,40 @@ def test_errors(setup):
     assert {"f_cell", "f_edge", "f_vertex"} <= names
     assert not any(a.startswith("f_")
                    for a, _ in ss.local_mesh.structured_scalars)
+
+
+def test_exchange_every_amortized_halos():
+    """exchange_every=2 with hw=8: two steps per exchange must still
+    match the single-device run exactly (halo garbage stays outside the
+    owned band; collectives halve)."""
+    from omega_tpu.core import ModelConfig, TendencyConfig
+    from omega_tpu.parallel.sharded import default_device_mesh
+    from omega_tpu.stepping import forward_backward_step, run_steps
+
+    mesh = planar_hex_mesh(16, 64, dc=5000.0, f0=1e-4, bottom_depth=1000.0)
+    cfg = ModelConfig(nvertlayers=3, ntracers=2,
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e9))
+    kx = 2 * np.pi / mesh.x_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / 3) * jnp.ones((1, 3))
+    st = ModelState(h=h, u=jnp.zeros((mesh.nedges, 3)),
+                    tracers=10.0 + jnp.zeros((2, mesh.ncells, 3)))
+    nst, dt = 4, 60.0
+    ref = run_steps(mesh, cfg, st, 0.0, dt, nst,
+                    stepper=forward_backward_step)
+
+    ss = sshard.decompose_structured(mesh, 4, hw=8)
+    step2 = jax.jit(sshard.make_sharded_step(
+        ss, cfg, forward_backward_step, default_device_mesh(4),
+        exchange_every=2))
+    sst = sshard.shard_state(ss, st)
+    t = 0.0
+    for _ in range(nst // 2):
+        sst = step2(sst, t, dt)
+        t += 2 * dt
+    out = sshard.gather_state(ss, sst)
+    np.testing.assert_allclose(np.asarray(out.h), np.asarray(ref.h),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               rtol=0, atol=1e-12)
