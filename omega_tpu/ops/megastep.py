@@ -289,15 +289,20 @@ def _kernel(h_hbm, u_hbm, tr_hbm, hn_hbm, un_hbm, trn_hbm, *,
 
 
 def _pick_tile(ny, nx):
-    """Largest (by, bx) tile dividing (ny, nx) under a VMEM-driven cap."""
-    cap = int(os.environ.get("OMEGA_MEGA_TILE", 16))
+    """Largest (by, bx) tile dividing (ny, nx) under a VMEM-driven cap
+    (OMEGA_MEGA_TILE accepts '16' or '16x32' for rectangular tiles)."""
+    spec = os.environ.get("OMEGA_MEGA_TILE", "16")
+    if "x" in spec:
+        cy, cx = (int(v) for v in spec.split("x"))
+    else:
+        cy = cx = int(spec)
 
-    def pick(n):
+    def pick(n, cap):
         b = min(cap, n)
         while n % b:
             b -= 1
         return b
-    return pick(ny), pick(nx)
+    return pick(ny, cy), pick(nx, cx)
 
 
 @functools.partial(jax.jit, static_argnames=(

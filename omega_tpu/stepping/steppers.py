@@ -52,13 +52,16 @@ def forward_backward_step(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
                           t, dt, halo: Halo = _identity,
                           wind_stress=None) -> ModelState:
     """Forward h/tracer update, backward u update (uses new h)."""
-    if (halo is _identity and wind_stress is None
-            and isinstance(dt, (int, float))):
+    if wind_stress is None and isinstance(dt, (int, float)):
         from omega_tpu.ops import megastep
         if megastep.enabled() and megastep.supported(mesh, cfg):
             # single fused Pallas kernel for the flagship configuration
-            # (ops/megastep.py): reads state once, writes state once
-            return megastep.fb_megastep(mesh, cfg, state, t, dt)
+            # (ops/megastep.py): reads state once, writes state once.
+            # Under sharding the local mesh is itself structured and
+            # doubly periodic: the kernel's wrap garbage lands in the
+            # halo rows, which the exchange refreshes — the same
+            # owned+halo redundancy model as the composed stepper.
+            return halo(megastep.fb_megastep(mesh, cfg, state, t, dt))
     h, u, tr = state
     dh, thick_aux = tend_mod.compute_thickness_tendency(mesh, cfg, h, u, t)
     h_new = h + dt * dh

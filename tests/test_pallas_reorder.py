@@ -15,26 +15,20 @@ from omega_tpu.mesh.spherical import spherical_icos_mesh
 from omega_tpu.ops import pallas_gather, trisk
 
 
-def test_pallas_gather_weighted_sum():
+def test_pallas_gather_table_weighted_sum():
+    """Windowed-gather table on synthetic bounded-bandwidth indices
+    (the arbitrary-index variant lives in the windowed design's cap:
+    indices must be locally banded)."""
     rng = np.random.default_rng(0)
     Nsrc, N, M, K = 700, 531, 6, 16     # non-multiple of BLOCK
     field = jnp.asarray(rng.standard_normal((Nsrc, K)), jnp.float32)
-    idx = jnp.asarray(rng.integers(0, Nsrc, (N, M)), jnp.int32)
-    w = jnp.asarray(rng.standard_normal((N, M)), jnp.float32)
-    got = np.asarray(pallas_gather.gather_weighted_sum(idx, w, field))
-    ref = np.asarray(jnp.einsum('nj,njk->nk', w, field[idx]))
-    np.testing.assert_allclose(got, ref, atol=1e-5)
-
-
-def test_pallas_gather_matches_div():
-    """The kernel reproduces div_cell on a real (unstructured-path) mesh."""
-    mesh = spherical_icos_mesh(4)
-    rng = np.random.default_rng(1)
-    u = jnp.asarray(rng.standard_normal((mesh.nedges, 8)), jnp.float32)
-    got = np.asarray(pallas_gather.gather_weighted_sum(
-        jnp.asarray(np.asarray(mesh.edges_on_cell), jnp.int32),
-        jnp.asarray(np.asarray(mesh.w_div_cell), jnp.float32), u))
-    ref = np.asarray(trisk.div_cell(mesh, u))
+    base = np.minimum((np.arange(N) * Nsrc) // N, Nsrc - 60)
+    idx = base[:, None] + rng.integers(0, 60, (N, M))
+    w = rng.standard_normal((N, M))
+    t = pallas_gather.GatherTable(idx, w, Nsrc)
+    got = np.asarray(pallas_gather.apply(t, field, interpret=True))
+    ref = np.asarray(jnp.einsum("nj,njk->nk", jnp.asarray(w, jnp.float32),
+                                field[jnp.asarray(idx)]))
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
@@ -75,7 +69,7 @@ def test_reorder_recovers_locality_from_scrambled_input():
     import omega_tpu.mesh.reorder as ro
     orig = ro.sfc_permutations
 
-    def random_perms(mesh):
+    def random_perms(mesh, method="rcm"):
         return (rng.permutation(mesh.ncells), rng.permutation(mesh.nedges),
                 rng.permutation(mesh.nvertices))
 
