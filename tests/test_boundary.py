@@ -138,3 +138,35 @@ def test_carved_mesh_sharded(coastal):
                                rtol=1e-13, atol=1e-13)
     np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
                                rtol=1e-13, atol=1e-15)
+
+
+def test_carved_sphere_continent():
+    """Land on a global sphere (polar cap carved from an icos mesh):
+    no-flux at the coast, conservation, stable dynamics — the
+    closest in-repo analogue of a realistic land-mask mesh."""
+    from omega_tpu.mesh.spherical import spherical_icos_mesh
+
+    base = spherical_icos_mesh(12, bottom_depth=1000.0)
+    land = np.asarray(base.lat_cell) > np.deg2rad(55.0)
+    assert land.sum() > 20
+    mesh = carve_mesh(base, ~land)
+    em = np.asarray(mesh.edge_mask)
+    assert (em == 0).sum() > 0
+
+    cfg = ModelConfig(nvertlayers=3, ntracers=1,
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e7))
+    ssh = 2.0 * np.sin(2 * np.asarray(mesh.lat_cell)) * \
+        np.cos(np.asarray(mesh.lon_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / 3) * jnp.ones((1, 3))
+    st = ModelState(h=h, u=jnp.zeros((mesh.nedges, 3)),
+                    tracers=10.0 + jnp.zeros((1, mesh.ncells, 3)))
+    area = np.asarray(mesh.area_cell)[:, None]
+    vol0 = np.sum(area * np.asarray(st.h))
+    out = jax.block_until_ready(jax.jit(lambda s: run_steps(
+        mesh, cfg, s, 0.0, 600.0, 30, stepper=forward_backward_step))(st))
+    assert np.isfinite(np.asarray(out.h)).all()
+    np.testing.assert_array_equal(np.asarray(out.u)[em == 0], 0.0)
+    vol1 = np.sum(area * np.asarray(out.h))
+    assert abs(vol1 - vol0) / vol0 < 1e-13
+    assert np.abs(np.asarray(out.u)[em == 1]).max() > 1e-6
