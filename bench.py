@@ -54,12 +54,18 @@ def main():
     mesh_kind = os.environ.get("OMEGA_BENCH_MESH", "planar")
 
     if mesh_kind == "sphere":
-        # global icos mesh (unstructured gather path), SFC-renumbered —
-        # the QU240-style configuration
+        # global icos mesh — the QU240-style configuration. Default:
+        # patch-structured layout (streaming per-rhombus stencils,
+        # mesh/icos_patches.py); OMEGA_PATCHES=0 falls back to the
+        # SFC-renumbered gather path.
         from omega_tpu.mesh.reorder import reorder_mesh
         from omega_tpu.mesh.spherical import spherical_icos_mesh
         n = int(os.environ.get("OMEGA_BENCH_SUBDIV", 48))
-        mesh = reorder_mesh(spherical_icos_mesh(n)).astype(dtype)
+        if os.environ.get("OMEGA_PATCHES", "1") not in ("0", "false", "no"):
+            from omega_tpu.mesh.icos_patches import patch_icos_mesh
+            mesh = patch_icos_mesh(spherical_icos_mesh(n), n).astype(dtype)
+        else:
+            mesh = reorder_mesh(spherical_icos_mesh(n)).astype(dtype)
     else:
         mesh = planar_hex_mesh(nx, nx, dc=5000.0, f0=1e-4,
                                bottom_depth=1000.0).astype(dtype)

@@ -51,7 +51,7 @@ import numpy as np
     meta_fields=["ncells", "nedges", "nvertices", "max_edges", "vertex_degree",
                  "on_sphere", "sphere_radius", "x_period", "y_period",
                  "structured_nx", "structured_ny", "structured_dc",
-                 "structured_scalars", "gather_key"],
+                 "structured_scalars", "gather_key", "patch_key"],
 )
 @dataclasses.dataclass(frozen=True)
 class HorzMesh:
@@ -86,6 +86,10 @@ class HorzMesh:
     # nonzero id under which windowed-gather tables (ops/pallas_gather)
     # were warmed for this mesh — static so lookups work inside jit
     gather_key: int = 0
+    # nonzero id of the icosahedral patch layout (mesh/icos_patches.py)
+    # this mesh was renumbered into — enables the per-patch streaming
+    # stencil path (ops/patch_stencil.py); static so lookups work in jit
+    patch_key: int = 0
 
     # --- cell arrays ---
     x_cell: jax.Array = None           # (C,)

@@ -46,9 +46,12 @@ def _icosahedron():
     return verts, faces
 
 
-def _subdivide(n: int):
+def _subdivide(n: int, return_grids: bool = False):
     """Subdivide each icosahedral face into n^2 triangles; dedupe shared
-    points. Returns (points (N,3) unit vectors, triangles (T,3))."""
+    points. Returns (points (N,3) unit vectors, triangles (T,3)); with
+    return_grids also the per-face {(i, j): point id} lattice dicts —
+    the deterministic id assignment mesh/icos_patches.py relies on to
+    recover rhombus coordinates for any subdivision level."""
     verts, faces = _icosahedron()
     pts: list = []
     index: dict = {}
@@ -65,6 +68,7 @@ def _subdivide(n: int):
         return index[k]
 
     tris = []
+    fgrids = []
     for (a, b, c) in faces:
         A, B, C = verts[a], verts[b], verts[c]
         # grid[i][j] for i+j <= n
@@ -73,12 +77,15 @@ def _subdivide(n: int):
             for j in range(n + 1 - i):
                 p = A + (B - A) * (i / n) + (C - A) * (j / n)
                 grid[(i, j)] = add(p)
+        fgrids.append(grid)
         for i in range(n):
             for j in range(n - i):
                 tris.append([grid[(i, j)], grid[(i + 1, j)], grid[(i, j + 1)]])
                 if i + j < n - 1:
                     tris.append([grid[(i + 1, j)], grid[(i + 1, j + 1)],
                                  grid[(i, j + 1)]])
+    if return_grids:
+        return np.array(pts), np.array(tris, np.int64), fgrids
     return np.array(pts), np.array(tris, np.int64)
 
 

@@ -213,6 +213,9 @@ def apply_stencil(mesh, table, field, src_weight=None):
     MXU convolution when OMEGA_CONV_STENCIL=1 — ops/structured_conv.py).
 
     field: (..., N_src, K). Returns (..., N_dst, K)."""
+    if table[0] == "patch":
+        from omega_tpu.ops import patch_stencil
+        return patch_stencil.apply_patch_stencil(mesh, table[1], field)
     tab, dst_class, src_class = table[:3]
     if len(table) > 3 and table[3] is not None:
         from omega_tpu.ops import pallas_stencil, structured_conv

@@ -42,13 +42,18 @@ def _take(field, idx):
 
 
 def _struct(mesh, name, idx, dst, src, weights=None):
-    """Structured stencil table (name-tagged for the conv dispatch), or
-    None when unavailable."""
-    if not structured.enabled(mesh):
-        return None
-    tab, dstc, srcc = structured.stencil_table(mesh, name, idx, dst, src,
-                                               weights)
-    return (tab, dstc, srcc, name) if tab is not None else None
+    """Fast-path stencil table — uniform planar rolls (name-tagged for
+    the conv/Pallas dispatch) or icosahedral patch slices — or None."""
+    if structured.enabled(mesh):
+        tab, dstc, srcc = structured.stencil_table(mesh, name, idx, dst,
+                                                   src, weights)
+        return (tab, dstc, srcc, name) if tab is not None else None
+    from omega_tpu.ops import patch_stencil
+    if patch_stencil.enabled(mesh):
+        t = patch_stencil.table(mesh, name)
+        if t is not None:
+            return ("patch", t)
+    return None
 
 
 def col(mesh: HorzMesh, attr: str):
@@ -188,7 +193,8 @@ def _pair(mesh, f, name0, name1, idx0, idx1, dst, src):
     from omega_tpu.ops import structured_conv
     # merged pair convs measured SLOWER (union kernels waste MACs:
     # 44.0 vs 37.4 ms/step at 256^2x100); keep separate convs by default
-    if structured_conv.enabled() and structured_conv.pair_enabled():
+    if t0[0] != "patch" and structured_conv.enabled() \
+            and structured_conv.pair_enabled():
         return structured_conv.apply_pair_conv(mesh, name0, name1, f)
     t1 = _struct(mesh, name1, idx1, dst, src)
     return (structured.apply_stencil(mesh, t0, f),
@@ -212,13 +218,12 @@ def _two_slot(mesh, f, name, idx2, w01, combine, dst, src):
     pass — the separate pair gathers cost a full sweep each, and most
     consumers only need the difference or mean (48 stencil passes per FB
     step before fusing, 18 of them fusible pairs)."""
-    if structured.enabled(mesh):
-        w_np = None
-        if isinstance(idx2, np.ndarray):
-            w_np = np.tile(np.asarray(w01, np.float64), (idx2.shape[0], 1))
-        t = _struct(mesh, name, idx2, dst, src, w_np)
-        if t is not None:
-            return structured.apply_stencil(mesh, t, f)
+    w_np = None
+    if isinstance(idx2, np.ndarray):
+        w_np = np.tile(np.asarray(w01, np.float64), (idx2.shape[0], 1))
+    t = _struct(mesh, name, idx2, dst, src, w_np)
+    if t is not None:
+        return structured.apply_stencil(mesh, t, f)
     g = _gtab(mesh, name)
     if g is not None:
         from omega_tpu.ops import pallas_gather
@@ -267,15 +272,14 @@ def cell_to_vertex_kite(mesh: HorzMesh, f):
 def edge_to_cell_signed(mesh: HorzMesh, g):
     """sum_e -sign(c,e)/A_c * g[e]: the shared edge->cell accumulation of
     the tracer laplacian/diffusion terms (TracerAuxVars.h:70-105)."""
-    if structured.enabled(mesh):
-        w_np = None
-        if isinstance(mesh.edge_sign_on_cell, np.ndarray):
-            w_np = -np.asarray(mesh.edge_sign_on_cell) / np.asarray(
-                mesh.area_cell)[:, None]
-        t = _struct(mesh, "signed_div", mesh.edges_on_cell, "cell", "edge",
-                    w_np)
-        if t is not None:
-            return structured.apply_stencil(mesh, t, g)
+    w_np = None
+    if isinstance(mesh.edge_sign_on_cell, np.ndarray):
+        w_np = -np.asarray(mesh.edge_sign_on_cell) / np.asarray(
+            mesh.area_cell)[:, None]
+    t = _struct(mesh, "signed_div", mesh.edges_on_cell, "cell", "edge",
+                w_np)
+    if t is not None:
+        return structured.apply_stencil(mesh, t, g)
     gt = _gtab(mesh, "signed_div")
     if gt is not None:
         from omega_tpu.ops import pallas_gather
@@ -300,14 +304,13 @@ def ke_cell(mesh: HorzMesh, u):
 
 def _signed_div_part(mesh: HorzMesh, g, positive: bool):
     name = "div_pos" if positive else "div_neg"
-    if structured.enabled(mesh):
-        w_np = None
-        if isinstance(mesh.w_div_cell, np.ndarray):
-            w_np = np.maximum(np.asarray(mesh.w_div_cell)
-                              * (1.0 if positive else -1.0), 0.0)
-        t = _struct(mesh, name, mesh.edges_on_cell, "cell", "edge", w_np)
-        if t is not None:
-            return structured.apply_stencil(mesh, t, g)
+    w_np = None
+    if isinstance(mesh.w_div_cell, np.ndarray):
+        w_np = np.maximum(np.asarray(mesh.w_div_cell)
+                          * (1.0 if positive else -1.0), 0.0)
+    t = _struct(mesh, name, mesh.edges_on_cell, "cell", "edge", w_np)
+    if t is not None:
+        return structured.apply_stencil(mesh, t, g)
     gt = _gtab(mesh, name)
     if gt is not None:
         from omega_tpu.ops import pallas_gather
