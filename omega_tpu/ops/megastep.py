@@ -10,10 +10,14 @@ variable and tendency term in VMEM, and writes h_new, u_new, tr_new
 once — the minimal-traffic formulation of the step.
 
 Mechanics:
-  * fields keep the native (..., N, K) layout; the (T, ny, nx, K) grid
-    view is a free reshape; K sits on lanes (padded to 128)
-  * the periodic wrap is materialized once per step per field by
-    padding R rows/columns (one copy), not once per stencil
+  * state lives in ONE stacked (CH, ny, nx, K128) array (CH = 1 h
+    channel + 3 edge-class u channels + L tracer channels); K sits on
+    lanes padded to 128 once per run, not per step — `run_steps` keeps
+    the stacked layout across its whole scan so a step is exactly one
+    kernel launch with no host-side glue copies
+  * the periodic wrap is NOT materialized: each tile's in-DMA is split
+    into 9 rectangles (3 y-bands x 3 x-bands, halo bands wrapped with a
+    mod-ny/mod-nx start offset), so the kernel reads the native array
   * inside the kernel every structured-table stencil becomes static
     shifted rolls of the tile slab (garbage creeps in from the slab
     edge by one ring per application; the owned center stays valid
@@ -67,6 +71,11 @@ def supported(mesh, cfg) -> bool:
     """The flagship configuration this kernel implements."""
     tc = cfg.tendencies
     if not structured.enabled(mesh):
+        return False
+    nx, ny = mesh.structured_nx, mesh.structured_ny
+    by, bx = _pick_tile(ny, nx)
+    # the 9-rectangle wrapped DMA needs each halo band contiguous mod n
+    if by < R or bx < R:
         return False
     need = ("dc_edge", "dv_edge", "area_cell", "area_triangle", "f_vertex",
             "bottom_depth", "edge_mask", "mesh_scaling_del2",
@@ -123,44 +132,178 @@ def _apply(tab, val_list, even, pd):
     return outs
 
 
-def _kernel(h_hbm, u_hbm, tr_hbm, hn_hbm, un_hbm, trn_hbm, *,
-            tabs, consts, L, ny, nx, K, by, bx, nby, nbx):
-    """Slab-resident FB step. Inputs are wrap-padded (ch, ny+2R, nx+2R, K);
-    outputs are (ch, ny, nx, K)."""
+def _fb_compute(h, u, tr, even, tabs, consts, L):
+    """The FB step chain on one VMEM slab (valid on the center; garbage
+    creeps in from the slab edge by the chain radius).
+
+    h: (Y, X, K); u, tr: lists of (Y, X, K). Returns (h_new, un, trn).
+    """
     (dt, grav, nu2, nu4, div_factor, ed2, ed4, inv_dc, inv_dv, inv_dv_floor,
      geo, f0v, scal2, scal4) = consts
+
+    ap = lambda name, vals, pd: _apply(tabs[name], vals, even, pd)
+
+    # --- thickness
+    mean_h = ap("cmean", [h], 3)
+    flux = [mean_h[i] * u[i] for i in range(3)]
+    dh = ap("div", flux, 1)[0]
+    h_new = h + dt * (-dh)
+
+    # --- tracers (center flux + del2 + del4)
+    trn = []
+    for l in range(L):
+        htr = ap("cmean", [h * tr[l]], 3)
+        adv = -ap("div", [htr[i] * u[i] for i in range(3)], 1)[0]
+        ctr = ap("cdiff", [tr[l]], 3)
+        d2tr = ap("signed_div",
+                  [geo * mean_h[i] * ctr[i] for i in range(3)],
+                  1)[0]
+        cd2 = ap("cdiff", [d2tr], 3)
+        hyp = ap("signed_div", [geo * scal4 * cd2[i]
+                                for i in range(3)], 1)[0]
+        dtr = adv + ed2 * scal2 * d2tr - ed4 * hyp
+        trn.append((tr[l] * h + dt * dtr) / h_new)
+
+    # --- velocity aux (momentum aux on h_new, FB order)
+    ke = ap("ke", [ui * ui for ui in u], 1)[0]
+    div_u = ap("div", u, 1)[0]
+    rvort = ap("curl", u, 2)
+    h_v = ap("kite", [h_new], 2)
+    nrv = [rvort[i] / h_v[i] for i in range(2)]
+    npv = [f0v / h_v[i] for i in range(2)]
+    nrv_e = ap("vmean", nrv, 3)
+    npv_e = ap("vmean", npv, 3)
+    q_e = [nrv_e[i] + npv_e[i] for i in range(3)]
+
+    cdd = ap("cdiff", [div_u], 3)
+    vdr = ap("vdiff", rvort, 3)
+    del2_e = [cdd[i] * inv_dc - vdr[i] * inv_dv_floor
+              for i in range(3)]
+    del2_div = ap("div", del2_e, 1)[0]
+    del2_rv = ap("curl", del2_e, 2)
+
+    mean_hn = ap("cmean", [h_new], 3)
+    F = [mean_hn[i] * u[i] for i in range(3)]
+    tf = ap("tang", F, 3)
+    tfq = ap("tang", [F[i] * q_e[i] for i in range(3)], 3)
+    pv = [0.5 * (q_e[i] * tf[i] + tfq[i]) for i in range(3)]
+
+    gke = ap("cdiff", [ke], 3)
+    gssh = ap("cdiff", [h_new], 3)       # stacked ssh, uniform depth
+    cd4 = ap("cdiff", [del2_div], 3)
+    vd4 = ap("vdiff", del2_rv, 3)
+
+    # the du diff terms use plain 1/dv (TendencyTerms), while
+    # del2_e above used the dv >= 0.25 dc floor (Del2AuxVars)
+    un = []
+    for i in range(3):
+        du = (pv[i]
+              - gke[i] * inv_dc
+              - grav * gssh[i] * inv_dc
+              + nu2 * scal2 * (cdd[i] * inv_dc - vdr[i] * inv_dv)
+              - nu4 * scal4 * (div_factor * cd4[i] * inv_dc
+                               - vd4[i] * inv_dv))
+        un.append(u[i] + dt * du)
+    return h_new, un, trn
+
+
+def _kernel(s_hbm, o_hbm, *, tabs, consts, L, ny, nx, K, by, bx, nby, nbx):
+    """Slab-resident FB step over the native (CH, ny, nx, K) state.
+
+    Each tile's input slab (CH, by+2R, bx+2R, K) is assembled by 9
+    rectangle DMAs (3 y-bands x 3 x-bands); the halo bands wrap with a
+    mod-n start offset, so no padded copy of the state ever exists in
+    HBM. Requires by >= R and bx >= R (band contiguity)."""
+    CH = s_hbm.shape[0]
     YY, XX = by + 2 * R, bx + 2 * R
 
-    def body(h_s, u_s, tr_s, hn_s, un_s, trn_s, sem):
+    def body(in_s, out_s, sem):
         nblocks = nby * nbx
         cp = pltpu.make_async_copy
 
-        def in_dmas(slot, bidx):
+        def _interior(bidx):
             biy = bidx // nbx
             bix = bidx % nbx
-            y0 = biy * by          # offset into the PADDED input
+            return ((biy > 0) & (biy < nby - 1)
+                    & (bix > 0) & (bix < nbx - 1))
+
+        def in_dmas_interior(slot, bidx):
+            # tiles whose halo ring does not touch the wrap read ONE
+            # contiguous slab (small-rectangle DMAs measured ~3x off
+            # peak HBM bandwidth; one big rect is near it)
+            biy = bidx // nbx
+            bix = bidx % nbx
+            return (cp(s_hbm.at[:, pl.ds(biy * by - R, by + 2 * R),
+                                pl.ds(bix * bx - R, bx + 2 * R)],
+                       in_s.at[slot], sem.at[9 * slot]),)
+
+        def in_dmas_wrap(slot, bidx):
+            biy = bidx // nbx
+            bix = bidx % nbx
+            y0 = biy * by
             x0 = bix * bx
-            return (cp(h_hbm.at[:, pl.ds(y0, YY), pl.ds(x0, XX)],
-                       h_s.at[slot], sem.at[3 * slot + 0]),
-                    cp(u_hbm.at[:, pl.ds(y0, YY), pl.ds(x0, XX)],
-                       u_s.at[slot], sem.at[3 * slot + 1]),
-                    cp(tr_hbm.at[:, pl.ds(y0, YY), pl.ds(x0, XX)],
-                       tr_s.at[slot], sem.at[3 * slot + 2]))
+            # (src_start, length, slab_start) per band; halo bands are
+            # contiguous mod n because the tile edge is at least R from
+            # the wrap except when it IS the wrap (then start is exact)
+            ybands = (((y0 - R + ny) % ny, R, 0),
+                      (y0, by, R),
+                      ((y0 + by) % ny, R, R + by))
+            xbands = (((x0 - R + nx) % nx, R, 0),
+                      (x0, bx, R),
+                      ((x0 + bx) % nx, R, R + bx))
+            dmas = []
+            for yi, (sy, ly, dy) in enumerate(ybands):
+                for xi, (sx, lx, dx) in enumerate(xbands):
+                    dmas.append(cp(
+                        s_hbm.at[:, pl.ds(sy, ly), pl.ds(sx, lx)],
+                        in_s.at[slot, :, pl.ds(dy, ly), pl.ds(dx, lx)],
+                        sem.at[9 * slot + 3 * yi + xi]))
+            return dmas
+
+        # the interior fast path only exists when the grid has interior
+        # tiles (and its full-slab slice is then statically in bounds)
+        has_interior = nby > 2 and nbx > 2
+
+        def start_in(slot, bidx):
+            if not has_interior:
+                for d in in_dmas_wrap(slot, bidx):
+                    d.start()
+                return
+
+            @pl.when(_interior(bidx))
+            def _():
+                for d in in_dmas_interior(slot, bidx):
+                    d.start()
+
+            @pl.when(jnp.logical_not(_interior(bidx)))
+            def _():
+                for d in in_dmas_wrap(slot, bidx):
+                    d.start()
+
+        def wait_in(slot, bidx):
+            if not has_interior:
+                for d in in_dmas_wrap(slot, bidx):
+                    d.wait()
+                return
+
+            @pl.when(_interior(bidx))
+            def _():
+                for d in in_dmas_interior(slot, bidx):
+                    d.wait()
+
+            @pl.when(jnp.logical_not(_interior(bidx)))
+            def _():
+                for d in in_dmas_wrap(slot, bidx):
+                    d.wait()
 
         def out_dmas(slot, bidx):
             biy = bidx // nbx
             bix = bidx % nbx
-            ys = pl.ds(biy * by, by)
-            xs = pl.ds(bix * bx, bx)
-            return (cp(hn_s.at[slot], hn_hbm.at[:, ys, xs],
-                       sem.at[6 + 3 * slot + 0]),
-                    cp(un_s.at[slot], un_hbm.at[:, ys, xs],
-                       sem.at[6 + 3 * slot + 1]),
-                    cp(trn_s.at[slot], trn_hbm.at[:, ys, xs],
-                       sem.at[6 + 3 * slot + 2]))
+            return (cp(out_s.at[slot],
+                       o_hbm.at[:, pl.ds(biy * by, by), pl.ds(bix * bx, bx)],
+                       sem.at[18 + slot]),)
 
-        for d in in_dmas(0, 0):
-            d.start()
+        start_in(0, 0)
 
         def loop(bidx, _):
             cur = bidx % 2
@@ -169,11 +312,9 @@ def _kernel(h_hbm, u_hbm, tr_hbm, hn_hbm, un_hbm, trn_hbm, *,
 
             @pl.when(bidx + 1 < nblocks)
             def _():
-                for d in in_dmas(nxt, bidx + 1):
-                    d.start()
+                start_in(nxt, bidx + 1)
 
-            for d in in_dmas(cur, bidx):
-                d.wait()
+            wait_in(cur, bidx)
 
             # destination-row parity: global row of slab row iy is
             # biy*by - R + iy (mod ny); ny is even so parity is exact
@@ -181,73 +322,16 @@ def _kernel(h_hbm, u_hbm, tr_hbm, hn_hbm, un_hbm, trn_hbm, *,
                 jnp.int32, (YY, XX, K), 0)
             even = (row % 2) == 0
 
-            h = h_s[cur, 0]
-            u = [u_s[cur, i] for i in range(3)]
-            tr = [tr_s[cur, i] for i in range(L)]
+            h = in_s[cur, 0]
+            u = [in_s[cur, 1 + i] for i in range(3)]
+            tr = [in_s[cur, 4 + l] for l in range(L)]
 
-            ap = lambda name, vals, pd: _apply(tabs[name], vals, even, pd)
-
-            # --- thickness
-            mean_h = ap("cmean", [h], 3)
-            flux = [mean_h[i] * u[i] for i in range(3)]
-            dh = ap("div", flux, 1)[0]
-            h_new = h + dt * (-dh)
-
-            # --- tracers (center flux + del2 + del4)
-            trn = []
-            for l in range(L):
-                htr = ap("cmean", [h * tr[l]], 3)
-                adv = -ap("div", [htr[i] * u[i] for i in range(3)], 1)[0]
-                ctr = ap("cdiff", [tr[l]], 3)
-                d2tr = ap("signed_div",
-                          [geo * mean_h[i] * ctr[i] for i in range(3)],
-                          1)[0]
-                cd2 = ap("cdiff", [d2tr], 3)
-                hyp = ap("signed_div", [geo * scal4 * cd2[i]
-                                        for i in range(3)], 1)[0]
-                dtr = adv + ed2 * scal2 * d2tr - ed4 * hyp
-                trn.append((tr[l] * h + dt * dtr) / h_new)
-
-            # --- velocity aux (momentum aux on h_new, FB order)
-            ke = ap("ke", [ui * ui for ui in u], 1)[0]
-            div_u = ap("div", u, 1)[0]
-            rvort = ap("curl", u, 2)
-            h_v = ap("kite", [h_new], 2)
-            nrv = [rvort[i] / h_v[i] for i in range(2)]
-            npv = [f0v / h_v[i] for i in range(2)]
-            nrv_e = ap("vmean", nrv, 3)
-            npv_e = ap("vmean", npv, 3)
-            q_e = [nrv_e[i] + npv_e[i] for i in range(3)]
-
-            cdd = ap("cdiff", [div_u], 3)
-            vdr = ap("vdiff", rvort, 3)
-            del2_e = [cdd[i] * inv_dc - vdr[i] * inv_dv_floor
-                      for i in range(3)]
-            del2_div = ap("div", del2_e, 1)[0]
-            del2_rv = ap("curl", del2_e, 2)
-
-            mean_hn = ap("cmean", [h_new], 3)
-            F = [mean_hn[i] * u[i] for i in range(3)]
-            tf = ap("tang", F, 3)
-            tfq = ap("tang", [F[i] * q_e[i] for i in range(3)], 3)
-            pv = [0.5 * (q_e[i] * tf[i] + tfq[i]) for i in range(3)]
-
-            gke = ap("cdiff", [ke], 3)
-            gssh = ap("cdiff", [h_new], 3)       # stacked ssh, uniform depth
-            cd4 = ap("cdiff", [del2_div], 3)
-            vd4 = ap("vdiff", del2_rv, 3)
-
-            # the du diff terms use plain 1/dv (TendencyTerms), while
-            # del2_e above used the dv >= 0.25 dc floor (Del2AuxVars)
-            un = []
-            for i in range(3):
-                du = (pv[i]
-                      - gke[i] * inv_dc
-                      - grav * gssh[i] * inv_dc
-                      + nu2 * scal2 * (cdd[i] * inv_dc - vdr[i] * inv_dv)
-                      - nu4 * scal4 * (div_factor * cd4[i] * inv_dc
-                                       - vd4[i] * inv_dv))
-                un.append(u[i] + dt * du)
+            if os.environ.get("OMEGA_MEGA_NOP") == "1":
+                # diagnostic: pure-DMA roofline of this kernel (copy
+                # through, no stencil work) — NOT a time step
+                h_new, un, trn = h, u, tr
+            else:
+                h_new, un, trn = _fb_compute(h, u, tr, even, tabs, consts, L)
 
             # --- write owned centers (wait for this slot's previous
             # write to drain before overwriting)
@@ -258,11 +342,11 @@ def _kernel(h_hbm, u_hbm, tr_hbm, hn_hbm, un_hbm, trn_hbm, *,
 
             c = slice(R, R + by)
             cx = slice(R, R + bx)
-            hn_s[cur, 0] = h_new[c, cx]
+            out_s[cur, 0] = h_new[c, cx]
             for i in range(3):
-                un_s[cur, i] = un[i][c, cx]
+                out_s[cur, 1 + i] = un[i][c, cx]
             for l in range(L):
-                trn_s[cur, l] = trn[l][c, cx]
+                out_s[cur, 4 + l] = trn[l][c, cx]
 
             for d in out_dmas(cur, bidx):
                 d.start()
@@ -278,13 +362,9 @@ def _kernel(h_hbm, u_hbm, tr_hbm, hn_hbm, un_hbm, trn_hbm, *,
 
     pl.run_scoped(
         body,
-        h_s=pltpu.VMEM((2, 1, YY, XX, K), h_hbm.dtype),
-        u_s=pltpu.VMEM((2, 3, YY, XX, K), h_hbm.dtype),
-        tr_s=pltpu.VMEM((2, L, YY, XX, K), h_hbm.dtype),
-        hn_s=pltpu.VMEM((2, 1, by, bx, K), h_hbm.dtype),
-        un_s=pltpu.VMEM((2, 3, by, bx, K), h_hbm.dtype),
-        trn_s=pltpu.VMEM((2, L, by, bx, K), h_hbm.dtype),
-        sem=pltpu.SemaphoreType.DMA((12,)),
+        in_s=pltpu.VMEM((2, CH, YY, XX, K), s_hbm.dtype),
+        out_s=pltpu.VMEM((2, CH, by, bx, K), s_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((20,)),
     )
 
 
@@ -307,41 +387,24 @@ def _pick_tile(ny, nx):
 
 @functools.partial(jax.jit, static_argnames=(
     "tabs", "consts", "L", "ny", "nx", "interpret"))
-def _call(hp, up, trp, *, tabs, consts, L, ny, nx, interpret):
-    K = hp.shape[-1]
+def _call(stacked, *, tabs, consts, L, ny, nx, interpret):
+    K = stacked.shape[-1]
     by, bx = _pick_tile(ny, nx)
+    CH = stacked.shape[0]
     kern = functools.partial(_kernel, tabs=dict(tabs), consts=consts, L=L,
                              ny=ny, nx=nx, K=K, by=by, bx=bx,
                              nby=ny // by, nbx=nx // bx)
     return pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct((1, ny, nx, K), hp.dtype),
-                   jax.ShapeDtypeStruct((3, ny, nx, K), hp.dtype),
-                   jax.ShapeDtypeStruct((L, ny, nx, K), hp.dtype)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),) * 3,
+        out_shape=jax.ShapeDtypeStruct((CH, ny, nx, K), stacked.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         interpret=interpret,
-    )(hp, up, trp)
+    )(stacked)
 
 
-def _wrap_pad(g, ny, nx):
-    """Pad R rows and R columns with the periodic wrap + lane-align K."""
-    g = jnp.concatenate([g[:, ny - R:], g, g[:, :R]], axis=1)
-    g = jnp.concatenate([g[:, :, nx - R:], g, g[:, :, :R]], axis=2)
-    K = g.shape[-1]
-    Kp = -(-K // 128) * 128
-    if Kp != K:
-        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, Kp - K)))
-    return g
-
-
-def fb_megastep(mesh, cfg, state, t, dt, interpret=None):
-    """One forward-backward step (== stepping.forward_backward_step) for
-    the supported flagship configuration."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def _mega_args(mesh, cfg, dt):
     tc = cfg.tendencies
-    nx, ny = mesh.structured_nx, mesh.structured_ny
     us = lambda a: structured.uniform_scalar(mesh, a)
     dc, dv = us("dc_edge"), us("dv_edge")
     inv_dv_floor = 1.0 / max(dv, 0.25 * dc)
@@ -354,18 +417,54 @@ def fb_megastep(mesh, cfg, state, t, dt, interpret=None):
     names = ("div", "ke", "curl", "kite", "tang", "cdiff", "cmean",
              "vdiff", "vmean", "signed_div")
     tabs = tuple((n, _table(mesh, n)) for n in names)
+    return tabs, consts
 
+
+def stack_state(mesh, state):
+    """ModelState -> the kernel's stacked (1+3+L, ny, nx, K128) layout.
+
+    K pads to the 128-lane boundary ONCE here: h pads with 1.0 (keeps
+    the kernel's tracer h-division finite in dead lanes), u/tracers with
+    0.0; dead lanes then stay inert across any number of steps."""
+    nx, ny = mesh.structured_nx, mesh.structured_ny
     h, u, tr = state
     K = h.shape[-1]
     L = tr.shape[0]
-    hp = _wrap_pad(h.reshape(1, ny, nx, K), ny, nx)
-    up = _wrap_pad(u.reshape(3, ny, nx, K), ny, nx)
-    trp = _wrap_pad(tr.reshape(L, ny, nx, K), ny, nx)
+    Kp = -(-K // 128) * 128
+    hg = h.reshape(1, ny, nx, K)
+    ug = u.reshape(3, ny, nx, K)
+    trg = tr.reshape(L, ny, nx, K)
+    if Kp != K:
+        pad = ((0, 0), (0, 0), (0, 0), (0, Kp - K))
+        hg = jnp.pad(hg, pad, constant_values=1.0)
+        ug = jnp.pad(ug, pad)
+        trg = jnp.pad(trg, pad)
+    return jnp.concatenate([hg, ug, trg], axis=0)
 
-    hn, un, trn = _call(hp, up, trp, tabs=tabs, consts=consts,
-                        L=L, ny=ny, nx=nx, interpret=interpret)
-    if hn.shape[-1] != K:
-        hn, un, trn = hn[..., :K], un[..., :K], trn[..., :K]
-    return state._replace(h=hn.reshape(ny * nx, K),
-                          u=un.reshape(3 * ny * nx, K),
-                          tracers=trn.reshape(L, ny * nx, K))
+
+def unstack_state(mesh, stacked, K, L, state_type):
+    nx, ny = mesh.structured_nx, mesh.structured_ny
+    s = stacked[..., :K] if stacked.shape[-1] != K else stacked
+    return state_type(h=s[0].reshape(ny * nx, K),
+                      u=s[1:4].reshape(3 * ny * nx, K),
+                      tracers=s[4:].reshape(L, ny * nx, K))
+
+
+def fb_megastep_stacked(mesh, cfg, stacked, dt, interpret=None):
+    """One FB step on the stacked layout (stacked -> stacked): exactly
+    one kernel launch, zero glue. Used directly by run_steps' scan."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tabs, consts = _mega_args(mesh, cfg, dt)
+    nx, ny = mesh.structured_nx, mesh.structured_ny
+    return _call(stacked, tabs=tabs, consts=consts,
+                 L=stacked.shape[0] - 4, ny=ny, nx=nx, interpret=interpret)
+
+
+def fb_megastep(mesh, cfg, state, t, dt, interpret=None):
+    """One forward-backward step (== stepping.forward_backward_step) for
+    the supported flagship configuration."""
+    h, _, tr = state
+    stacked = stack_state(mesh, state)
+    out = fb_megastep_stacked(mesh, cfg, stacked, dt, interpret=interpret)
+    return unstack_state(mesh, out, h.shape[-1], tr.shape[0], type(state))

@@ -165,6 +165,23 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
     """Advance `nsteps` with a compiled lax.scan (the ocnRun loop,
     ocn/OceanRun.cpp:16-70, minus host-side IO which is handled by the
     driver between scan segments)."""
+    if (stepper is forward_backward_step and halo is _identity
+            and wind_stress is None and isinstance(dt, (int, float))):
+        from omega_tpu.ops import megastep
+        if megastep.enabled() and megastep.supported(mesh, cfg):
+            # stacked fast path: keep the mega-step kernel's single
+            # (CH, ny, nx, K128) array as the scan carry so each step is
+            # exactly one kernel launch (no per-step stack/pad glue)
+            h, _, tr = state
+            stacked = megastep.stack_state(mesh, state)
+
+            def mbody(carry, _):
+                return megastep.fb_megastep_stacked(mesh, cfg, carry, dt), None
+
+            stacked, _ = jax.lax.scan(mbody, stacked, None, length=nsteps)
+            return megastep.unstack_state(mesh, stacked, h.shape[-1],
+                                          tr.shape[0], type(state))
+
     def body(carry, i):
         st, t = carry
         st = stepper(mesh, cfg, st, t, dt, halo, wind_stress)

@@ -190,3 +190,65 @@ def test_megastep_matches_composed_fb_step():
         np.testing.assert_allclose(np.asarray(getattr(out, n)),
                                    np.asarray(getattr(ref, n)),
                                    rtol=1e-10, atol=1e-10, err_msg=n)
+
+
+def test_megastep_interior_fast_path_tiles():
+    """A mesh with >2 tiles per axis exercises the kernel's interior
+    single-rectangle DMA branch alongside the 9-rect wrap branch."""
+    from omega_tpu.core import ModelConfig, ModelState, TendencyConfig
+    from omega_tpu.ops.megastep import fb_megastep, supported
+    from omega_tpu.stepping import forward_backward_step
+
+    mesh = planar_hex_mesh(64, 48, dc=5000.0, f0=1e-4, bottom_depth=1000.0)
+    cfg = ModelConfig(nvertlayers=2, ntracers=1,
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e9))
+    assert supported(mesh, cfg)
+    rng = np.random.default_rng(7)
+    kx = 2 * np.pi / mesh.x_period
+    ky = 2 * np.pi / mesh.y_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell)) * \
+        np.sin(ky * np.asarray(mesh.y_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / 2) * jnp.ones((1, 2))
+    st = ModelState(
+        h=h,
+        u=jnp.asarray(0.01 * rng.standard_normal((mesh.nedges, 2))),
+        tracers=jnp.asarray(10.0 + rng.standard_normal((1, mesh.ncells, 2))))
+    ref = forward_backward_step(mesh, cfg, st, 0.0, 30.0)
+    out = fb_megastep(mesh, cfg, st, 0.0, 30.0, interpret=True)
+    for n in ("h", "u", "tracers"):
+        np.testing.assert_allclose(np.asarray(getattr(out, n)),
+                                   np.asarray(getattr(ref, n)),
+                                   rtol=1e-10, atol=1e-10, err_msg=n)
+
+
+def test_megastep_run_steps_stacked_carry(monkeypatch):
+    """run_steps' stacked fast path (scan carry = the kernel's stacked
+    (CH, ny, nx, K128) array, one kernel launch per step) matches the
+    composed scan over multiple steps."""
+    from omega_tpu.core import ModelConfig, ModelState, TendencyConfig
+    from omega_tpu.stepping import forward_backward_step, run_steps
+
+    monkeypatch.setenv("OMEGA_MEGA_STEP", "1")
+    mesh = planar_hex_mesh(32, 16, dc=5000.0, f0=1e-4, bottom_depth=1000.0)
+    cfg = ModelConfig(nvertlayers=3, ntracers=2,
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e9))
+    rng = np.random.default_rng(1)
+    kx = 2 * np.pi / mesh.x_period
+    ky = 2 * np.pi / mesh.y_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell)) * \
+        np.sin(ky * np.asarray(mesh.y_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / 3) * jnp.ones((1, 3))
+    st = ModelState(
+        h=h,
+        u=jnp.asarray(0.01 * rng.standard_normal((mesh.nedges, 3))),
+        tracers=jnp.asarray(10.0 + rng.standard_normal((2, mesh.ncells, 3))))
+
+    out = run_steps(mesh, cfg, st, 0.0, 30.0, 3)
+    monkeypatch.setenv("OMEGA_MEGA_STEP", "0")
+    ref = run_steps(mesh, cfg, st, 0.0, 30.0, 3)
+    for n in ("h", "u", "tracers"):
+        np.testing.assert_allclose(np.asarray(getattr(out, n)),
+                                   np.asarray(getattr(ref, n)),
+                                   rtol=1e-10, atol=1e-10, err_msg=n)
