@@ -1,0 +1,753 @@
+"""Mega-step build artifacts for patch-structured icosahedral meshes.
+
+The composed patch path (ops/patch_stencil.py) rebuilds a halo-2 frame
+per stencil pass and patches seams with gather fix-ups BETWEEN passes.
+A whole-step kernel cannot fix up mid-chain, so this module builds the
+static data that lets the FULL forward-backward chain run on halo-MH
+frames with NO mid-chain fix-ups:
+
+  * wide content maps — element ids at every frame position out to a
+    MH+2 ring, grown from the patch builder's halo-2 maps by pure
+    connectivity walking (no orientation bookkeeping; stops at the 12
+    pentagon defects and the 2 poles)
+  * GEOMETRIC stencil tables on the padded domain: for every position p
+    holding element X, X's stencil is re-expressed as offsets into THIS
+    patch frame with per-position weight planes (10, S, S).  Rotated
+    seam offsets become extra low-support entries instead of fix-ups,
+    so chained applications stay valid under the usual creep rule.
+    Geometry factors are folded in (1/dc, 1/dv, the del2 dv-floor,
+    dv/dc and the del2/del4 mesh scalings on the tracer laplacians).
+  * positions that cannot resolve (the pole wedges) and the closure of
+    outputs their garbage can reach; elements with no clean frame
+    position anywhere form the FIX SET, recomputed each step on a tiny
+    extracted submesh (a few hundred cells around the poles) by the
+    ordinary composed stepper and scattered over the kernel result
+  * paste/scatter maps: one reshape paste covers the grid ids; rim
+    positions recover seam orphans and tail elements; dead rows zero
+
+Reference: operators unchanged (ocn/HorzOperators.h:9-187); this is
+layout work the reference does not need (its gathers are cheap on CPU,
+base/Decomp.cpp:968 buys locality from METIS instead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from omega_tpu.mesh import icos_patches as ip
+from omega_tpu.mesh.horz_mesh import HorzMesh, finalize_mesh, \
+    unclamped_connectivity
+from omega_tpu.mesh.icos_patches import EDGE_DIRS, HALO, NPER, VERTEX_TRIS
+
+MH = 8        # mega frame halo (>= the FB chain radius, like megastep.R)
+OH = 2        # output rim written around each owned patch region
+SUB_GROW = 10  # BFS closure width of the fix submesh (chain + halo)
+
+
+@dataclasses.dataclass
+class MegaTable:
+    """One stencil as padded-domain entries with weight planes."""
+    name: str
+    dst_class: str
+    src_class: str
+    # [(t_dst, t_src, da, db, wplane (10, S, S) float64)], S = n + 2*MH
+    entries: List[Tuple[int, int, int, int, np.ndarray]]
+
+
+@dataclasses.dataclass
+class MegaInfo:
+    n: int
+    by: int                              # kernel tile size (divides S)
+    content: Dict[str, np.ndarray]       # (T, 10, S, S) element ids, S wide
+    fills: Dict[str, Tuple[np.ndarray, np.ndarray]]  # frame pos <- flat id
+    tables: Dict[str, MegaTable]
+    const_planes: Dict[str, np.ndarray]  # name -> (T, 10, S, S) float64
+    # paste-back per output field ("h"/"u"/"tr"): (rim_rows, rim_pos,
+    # dead_rows, fix_rows) from _pasteback_one
+    outputs: Dict[str, tuple]
+    # exactness mask of every chain value (diagnostic + tests)
+    masks: Dict[str, np.ndarray]
+    # pole/defect fix: extracted submesh + row maps
+    sub_mesh: HorzMesh
+    sub_cells: np.ndarray      # global cell ids of submesh rows
+    sub_edges: np.ndarray      # global edge ids of submesh rows
+    fix_cells_local: np.ndarray   # submesh-local rows to harvest
+    fix_cells_global: np.ndarray
+    fix_edges_local: np.ndarray
+    fix_edges_global: np.ndarray
+
+    @property
+    def S(self) -> int:
+        return self.n + 2 * MH
+
+
+_MEGA: Dict[int, MegaInfo] = {}
+
+
+def get_mega(mesh) -> Optional[MegaInfo]:
+    key = getattr(mesh, "patch_key", 0)
+    return _MEGA.get(key) if key else None
+
+
+def ensure_mega(mesh) -> MegaInfo:
+    """Build (once) and return the mega artifacts for a patch mesh."""
+    key = getattr(mesh, "patch_key", 0)
+    info = ip.get_info(mesh)
+    if not key or info is None:
+        raise ValueError("mesh is not patch-structured")
+    if key not in _MEGA:
+        _MEGA[key] = _build(mesh, info)
+    return _MEGA[key]
+
+
+# ----------------------------------------------------------------------
+# wide content maps
+
+def _widen_cells(mesh, info: ip.PatchInfo) -> np.ndarray:
+    """Grow the cell content map from HALO to MH+2 rings by connectivity
+    walking on the renumbered mesh (same rule as icos_patches'
+    _resolve_slot, id-agnostic)."""
+    n = info.n
+    reach = MH + 2
+    S = n + 2 * reach
+    Sold = n + 2 * HALO
+    grow = reach - HALO
+    fr_all = np.full((10, S, S), -1, np.int64)
+    fr_all[:, grow:grow + Sold, grow:grow + Sold] = info.content["cell"][0]
+    adj = ip._adjacency_sets(mesh)
+    for r in range(10):
+        fr = fr_all[r]
+        for _ in range(grow + 2):
+            progress = False
+            for bi in range(S):
+                for ai in range(S):
+                    if fr[bi, ai] >= 0:
+                        continue
+                    placed = ip._resolve_slot(fr, adj, bi, ai, S)
+                    if placed >= 0:
+                        fr[bi, ai] = placed
+                        progress = True
+            if not progress:
+                break
+    return fr_all
+
+
+def _wide_content(mesh, info: ip.PatchInfo):
+    """(cell, edge, vertex) content maps out to the MH+2 ring."""
+    n = info.n
+    reach = MH + 2
+    S = n + 2 * reach
+    cells = _widen_cells(mesh, info)
+    epair, vtri = ip._elem_dicts(mesh)
+    cont_e = np.full((3, 10, S, S), -1, np.int64)
+    cont_v = np.full((2, 10, S, S), -1, np.int64)
+    for r in range(10):
+        fr = cells[r]
+        for b in range(S):
+            for a in range(S):
+                c0 = int(fr[b, a])
+                if c0 < 0:
+                    continue
+                for t, (da, db) in enumerate(EDGE_DIRS):
+                    bb, aa = b + db, a + da
+                    if 0 <= bb < S and 0 <= aa < S:
+                        e = ip._edge_at(epair, c0, int(fr[bb, aa]))
+                        if e >= 0:
+                            cont_e[t, r, b, a] = e
+                for t, tri in enumerate(VERTEX_TRIS):
+                    cs = []
+                    ok = True
+                    for (da, db) in tri:
+                        bb, aa = b + db, a + da
+                        if not (0 <= bb < S and 0 <= aa < S) or fr[bb, aa] < 0:
+                            ok = False
+                            break
+                        cs.append(int(fr[bb, aa]))
+                    if ok:
+                        v = vtri.get(frozenset(cs), -1)
+                        if v >= 0:
+                            cont_v[t, r, b, a] = v
+    # clip the MH+2 build ring to the MH frame the kernel uses
+    sl = slice(2, 2 + n + 2 * MH)
+    return {"cell": cells[None, :, sl, sl],
+            "edge": cont_e[:, :, sl, sl],
+            "vertex": cont_v[:, :, sl, sl]}
+
+
+def _fills_from_content(content: Dict[str, np.ndarray], n: int):
+    out = {}
+    for cls, cont in content.items():
+        T = cont.shape[0]
+        S = n + 2 * MH
+        NG = 10 * n * n
+        natural = np.full((T, 10, S, S), -1, np.int64)
+        grid_ids = np.arange(T * NG, dtype=np.int64).reshape(T, 10, n, n)
+        natural[:, :, MH:MH + n, MH:MH + n] = grid_ids
+        need = (cont >= 0) & (cont != natural)
+        pos = np.flatnonzero(need)
+        src = cont.reshape(-1)[pos]
+        out[cls] = (pos.astype(np.int32), src.astype(np.int32))
+    return out
+
+
+# ----------------------------------------------------------------------
+# geometric padded-domain tables
+
+def _positions_of(content: Dict[str, np.ndarray]):
+    """Per class, per patch: element id -> [(t, y, x)] frame positions
+    (padded coords)."""
+    out = {}
+    for cls, cont in content.items():
+        T, _, S, _ = cont.shape
+        per_r: List[Dict[int, list]] = [dict() for _ in range(10)]
+        for t in range(T):
+            for r in range(10):
+                ids = cont[t, r].reshape(-1)
+                for flat in np.flatnonzero(ids >= 0):
+                    y, x = divmod(int(flat), S)
+                    per_r[r].setdefault(int(ids[flat]), []).append((t, y, x))
+        out[cls] = per_r
+    return out
+
+
+def _build_mega_table(n, content, pos_of, name, idx, weights, dst_class,
+                      src_class, max_off):
+    """Geometric padded-domain factorization of one stencil.
+
+    For every padded-frame position p with live destination element D,
+    express D's row (idx[D], weights[D]) as offsets p -> source position
+    within the SAME patch frame; accumulate per-position planes.  Also
+    returns the bool mask of positions that fully resolved with offsets
+    <= max_off (offsets contribute to the chain creep radius, so each
+    table caps them: tang 4, everything else 2)."""
+    S = n + 2 * MH
+    idx = np.asarray(idx, np.int64)
+    if idx.ndim == 1:
+        idx = idx[:, None]
+    w = None if weights is None else np.asarray(weights, np.float64)
+    dst_cont = content[dst_class]
+    pos_src = pos_of[src_class]
+    Td = dst_cont.shape[0]
+    planes: Dict[tuple, np.ndarray] = {}
+    support: Dict[tuple, int] = {}
+    resolved = np.zeros((Td, 10, S, S), bool)
+    # destinations ordered by ring (owned first): interior positions
+    # establish the dominant entry slots, and seam/halo positions then
+    # consolidate onto already-used slots instead of minting near-
+    # duplicate offsets — this cuts tang from ~240 entries to ~60
+    order = []
+    for td in range(Td):
+        for r in range(10):
+            sl = dst_cont[td, r]
+            for flat in np.flatnonzero(sl.reshape(-1) >= 0):
+                yd, xd = divmod(int(flat), S)
+                ring = max(MH - yd, yd - (MH + n - 1), MH - xd,
+                           xd - (MH + n - 1), 0)
+                order.append((ring, td, r, yd, xd))
+    order.sort()
+    for (_, td, r, yd, xd) in order:
+        D = int(dst_cont[td, r, yd, xd])
+        terms = []
+        ok = True
+        for s in range(idx.shape[1]):
+            ws = 1.0 if w is None else float(w[D, s])
+            if ws == 0.0:
+                continue
+            X = int(idx[D, s])
+            best = None
+            for (ts, ys, xs) in pos_src[r].get(X, ()):
+                da, db = xs - xd, ys - yd
+                dist = max(abs(da), abs(db))
+                if dist > max_off:
+                    continue
+                slot = (td, ts, da, db)
+                key = (-support.get(slot, 0), dist)
+                if best is None or key < best[0]:
+                    best = (key, slot)
+            if best is None:
+                ok = False
+                break
+            terms.append((best[1], ws))
+        if not ok:
+            continue
+        resolved[td, r, yd, xd] = True
+        for (slot, ws) in terms:
+            if slot not in planes:
+                planes[slot] = np.zeros((10, S, S), np.float64)
+            planes[slot][r, yd, xd] += ws
+            support[slot] = support.get(slot, 0) + 1
+    entries = [(td, ts, da, db, pl)
+               for (td, ts, da, db), pl in sorted(planes.items())]
+    return MegaTable(name=name, dst_class=dst_class, src_class=src_class,
+                     entries=entries), resolved
+
+
+def _table_specs(mesh):
+    """The 14 stencils the sphere FB chain needs, with geometry factors
+    folded in (cites per core/tendencies.py + core/aux.py)."""
+    a = lambda nm: np.asarray(getattr(mesh, nm))
+    E = mesh.nedges
+    coe, voe = a("cells_on_edge"), a("vertices_on_edge")
+    dc, dv = a("dc_edge"), a("dv_edge")
+    mask = a("edge_mask")
+    w_signed = -a("edge_sign_on_cell") / a("area_cell")[:, None]
+    geo = mask * dv / dc                          # aux._weighted_cell_laplacian
+    s2, s4 = a("mesh_scaling_del2"), a("mesh_scaling_del4")
+    eoc = a("edges_on_cell")
+
+    def src_fold(idx, w, fac):
+        """w[D, s] *= fac[idx[D, s]] (source-side geometry factor)."""
+        return w * fac[np.maximum(np.asarray(idx, np.int64), 0)]
+
+    diff = np.tile([-1.0, 1.0], (E, 1))
+    inv_dvf = 1.0 / np.maximum(dv, 0.25 * dc)     # del2 dv-floor (aux.del2_aux)
+    return [
+        ("div", eoc, "cell", "edge", a("w_div_cell")),
+        ("ke", eoc, "cell", "edge", a("w_ke_cell")),
+        # tracer laplacians: geo / geo*scal2 / geo*scal4 on the source edge
+        ("sdiv_geo", eoc, "cell", "edge", src_fold(eoc, w_signed, geo)),
+        ("sdiv_geo2", eoc, "cell", "edge",
+         src_fold(eoc, w_signed, geo * s2)),
+        ("sdiv_geo4", eoc, "cell", "edge",
+         src_fold(eoc, w_signed, geo * s4)),
+        ("curl", a("edges_on_vertex"), "vertex", "edge", a("w_curl_vertex")),
+        ("kite", a("cells_on_vertex"), "vertex", "cell", a("w_kite_frac")),
+        ("tang", a("edges_on_edge"), "edge", "edge", a("weights_on_edge")),
+        ("cmean", coe, "edge", "cell", np.full((E, 2), 0.5)),
+        ("cdiff", coe, "edge", "cell", diff),
+        ("cgrad", coe, "edge", "cell", diff / dc[:, None]),
+        ("vgrad", voe, "edge", "vertex", diff / dv[:, None]),
+        ("vgrad_floor", voe, "edge", "vertex", diff * inv_dvf[:, None]),
+        ("vmean", voe, "edge", "vertex", np.full((E, 2), 0.5)),
+    ]
+
+
+def _const_planes(mesh, content):
+    """Per-position geometry fields the chain multiplies by directly."""
+    S = content["cell"].shape[-1]
+    f_v = np.asarray(mesh.f_vertex, np.float64)
+    cv = content["vertex"]
+    fv_pl = np.where(cv >= 0, f_v[np.maximum(cv, 0)], 0.0)
+    # grad of bottom depth on edges ((ssh = h - depth).grad, stacked form)
+    depth = np.asarray(mesh.bottom_depth, np.float64)
+    dc = np.asarray(mesh.dc_edge, np.float64)
+    coe = np.asarray(unclamped_connectivity(mesh)["cells_on_edge"], np.int64)
+    gd = np.where((coe[:, 0] >= 0) & (coe[:, 1] >= 0),
+                  (depth[np.maximum(coe[:, 1], 0)]
+                   - depth[np.maximum(coe[:, 0], 0)]) / dc, 0.0)
+    ce = content["edge"]
+    gd_pl = np.where(ce >= 0, gd[np.maximum(ce, 0)], 0.0)
+    # del2/del4 mesh scalings multiply the velocity diffusion terms
+    # directly (TendencyTerms.h velocityDiffusion/HyperDiff); the tracer
+    # variants are folded into the sdiv_geo2/4 tables instead
+    pls = {"f_vertex": fv_pl, "gdepth": gd_pl}
+    for nm in ("mesh_scaling_del2", "mesh_scaling_del4"):
+        arr = np.asarray(getattr(mesh, nm), np.float64)
+        pls["scal2" if nm.endswith("del2") else "scal4"] = np.where(
+            ce >= 0, arr[np.maximum(ce, 0)], 0.0)
+    return pls
+
+
+# ----------------------------------------------------------------------
+# the FB chain, declaratively — shared by the build-time validity pass
+# (numpy bool masks) and the runtime kernel (jnp slabs).
+#
+# ("name", "st", table, src)            stencil application
+# ("name", "ew", fn, args...)           elementwise combine (same class)
+# args starting with "$" are const planes; numeric literals allowed.
+# Mirrors stepping.forward_backward_step -> core/tendencies.py exactly
+# (flagship config: center fluxes, stacked ssh, all standard terms, no
+# wind/drag/vmix).
+
+def fb_chain(L: int):
+    ops = [
+        ("mean_h", "st", "cmean", "h"),
+        ("flux", "ew", "mul", "mean_h", "u"),
+        ("dh", "st", "div", "flux"),
+        ("h_new", "ew", "axpy", "h", -1.0, "dh"),     # h - dt*dh (dt folded)
+    ]
+    for l in range(L):
+        t = f"tr{l}"
+        ops += [
+            (f"htr{l}", "ew", "mul", "h", t),
+            (f"htre{l}", "st", "cmean", f"htr{l}"),
+            (f"hflux{l}", "ew", "mul", f"htre{l}", "u"),
+            (f"adv{l}", "st", "div", f"hflux{l}"),
+            (f"ctr{l}", "st", "cdiff", t),
+            (f"mc{l}", "ew", "mul", "mean_h", f"ctr{l}"),
+            (f"d2aux{l}", "st", "sdiv_geo", f"mc{l}"),
+            (f"diff2{l}", "st", "sdiv_geo2", f"mc{l}"),
+            (f"cd2{l}", "st", "cdiff", f"d2aux{l}"),
+            (f"hyp{l}", "st", "sdiv_geo4", f"cd2{l}"),
+            (f"dtr{l}", "ew", "tracer_rhs", f"adv{l}", f"diff2{l}",
+             f"hyp{l}"),
+            (f"trn{l}", "ew", "tracer_update", t, "h", f"dtr{l}", "h_new"),
+        ]
+    # velocity section ordered to MINIMIZE the peak VMEM live set: du
+    # accumulates term by term and every operand dies right after its
+    # contribution (the kernel frees dead chain values by liveness)
+    ops += [
+        ("h_v", "st", "kite", "h_new"),
+        ("rvort", "st", "curl", "u"),
+        ("qv", "ew", "q_vertex", "rvort", "$f_vertex", "h_v"),
+        ("q_e", "st", "vmean", "qv"),
+        ("mean_hn", "st", "cmean", "h_new"),
+        ("F", "ew", "mul", "mean_hn", "u"),
+        ("Fq", "ew", "mul", "F", "q_e"),
+        ("tf", "st", "tang", "F"),
+        ("tfq", "st", "tang", "Fq"),
+        ("du", "ew", "pv", "q_e", "tf", "tfq"),       # 0.5*(q_e*tf + tfq)
+        ("u2", "ew", "mul", "u", "u"),
+        ("ke", "st", "ke", "u2"),
+        ("gke", "st", "cgrad", "ke"),
+        ("du", "ew", "sub", "du", "gke"),
+        ("gh", "st", "cgrad", "h_new"),
+        ("du", "ew", "gssh", "du", "gh", "$gdepth"),  # du - g*(gh - gd)
+        ("div_u", "st", "div", "u"),
+        ("cdd", "st", "cgrad", "div_u"),
+        ("vdr", "st", "vgrad", "rvort"),
+        ("du", "ew", "visc2", "du", "cdd", "vdr", "$scal2"),
+        ("vdr_f", "st", "vgrad_floor", "rvort"),
+        ("del2_e", "ew", "sub", "cdd", "vdr_f"),
+        ("dd2", "st", "div", "del2_e"),
+        ("dr2", "st", "curl", "del2_e"),
+        ("cd4", "st", "cgrad", "dd2"),
+        ("vd4", "st", "vgrad", "dr2"),
+        ("du", "ew", "visc4", "du", "cd4", "vd4", "$scal4"),
+        ("u_new", "ew", "axpy", "u", 1.0, "du"),
+    ]
+    return ops
+
+
+CLASS_OF = {"h": "cell", "u": "edge", "mean_h": "edge", "flux": "edge",
+            "dh": "cell", "h_new": "cell", "u2": "edge", "ke": "cell",
+            "div_u": "cell", "rvort": "vertex", "h_v": "vertex",
+            "qv": "vertex", "q_e": "edge", "cdd": "edge", "vdr_f": "edge",
+            "vdr": "edge", "del2_e": "edge", "dd2": "cell", "dr2": "vertex",
+            "mean_hn": "edge", "F": "edge", "Fq": "edge", "tf": "edge",
+            "tfq": "edge", "gke": "edge", "gh": "edge", "cd4": "edge",
+            "vd4": "edge", "du": "edge", "u_new": "edge"}
+
+
+def chain_class(name: str) -> str:
+    if name in CLASS_OF:
+        return CLASS_OF[name]
+    for pre, cls in (("tr", "cell"), ("htre", "edge"), ("hflux", "edge"),
+                     ("htr", "cell"), ("adv", "cell"), ("ctr", "edge"),
+                     ("mc", "edge"), ("d2aux", "cell"), ("diff2", "cell"),
+                     ("cd2", "edge"), ("hyp", "cell"), ("dtr", "cell"),
+                     ("trn", "cell")):
+        if name.startswith(pre) and name[len(pre):].isdigit():
+            return cls
+    raise KeyError(name)
+
+
+def _erode(mask: np.ndarray, d: int) -> np.ndarray:
+    """Chebyshev-d erosion of a (T, 10, S, S) bool mask (edges erode)."""
+    if d == 0:
+        return mask
+    out = mask
+    S = mask.shape[-1]
+    acc = np.zeros_like(mask)
+    for dy in range(-d, d + 1):
+        for dx in range(-d, d + 1):
+            sh = np.zeros_like(mask)
+            ys = slice(max(0, -dy), min(S, S - dy))
+            yd = slice(max(0, dy), min(S, S + dy))
+            xs = slice(max(0, -dx), min(S, S - dx))
+            xd = slice(max(0, dx), min(S, S + dx))
+            sh[..., yd, xd] = mask[..., ys, xs]
+            acc = sh if (dy == -d and dx == -d) else (acc & sh)
+    return acc
+
+
+def table_max_offset(tab: MegaTable) -> int:
+    return max((max(abs(da), abs(db)) for (_, _, da, db, _) in tab.entries),
+               default=0)
+
+
+def chain_validity(tables: Dict[str, MegaTable], content, resolved,
+                   L: int, state_masks=None) -> Dict[str, np.ndarray]:
+    """Propagate exactness masks through fb_chain.
+
+    `resolved[name]` is the per-dst-position bool mask of positions whose
+    stencil fully resolved.  State values are exact wherever content
+    exists (override with `state_masks` (cell, edge) to emulate a tile
+    slab boundary).  Returns the mask of every chain value."""
+    if state_masks is None:
+        state_masks = {"cell": content["cell"] >= 0,
+                       "edge": content["edge"] >= 0}
+    masks: Dict[str, np.ndarray] = {
+        "h": state_masks["cell"],
+        "u": state_masks["edge"],
+    }
+    for l in range(L):
+        masks[f"tr{l}"] = masks["h"]
+    plane_mask = {"$f_vertex": content["vertex"] >= 0,
+                  "$gdepth": content["edge"] >= 0,
+                  "$scal2": content["edge"] >= 0,
+                  "$scal4": content["edge"] >= 0}
+    for op in fb_chain(L):
+        name, kind = op[0], op[1]
+        if kind == "st":
+            tab = tables[op[2]]
+            src = masks[op[3]]
+            # exact: a destination is valid iff its stencil resolved and
+            # every source position an entry actually reads (nonzero
+            # weight at this destination) holds a valid value — zero
+            # weights make lattice holes harmless, so they don't poison
+            out = resolved[op[2]].copy()
+            S = src.shape[-1]
+            for (td, ts, da, db, wpl) in tab.entries:
+                used = wpl != 0.0                    # (10, S, S)
+                sh = np.zeros((10, S, S), bool)      # src valid at p+off
+                ys = slice(max(0, db), min(S, S + db))
+                yd = slice(max(0, -db), min(S, S - db))
+                xs = slice(max(0, da), min(S, S + da))
+                xd = slice(max(0, -da), min(S, S - da))
+                sh[:, yd, xd] = src[ts][:, ys, xs]
+                out[td] &= ~used | sh
+            masks[name] = out
+        else:
+            m = None
+            for a in op[3:]:
+                if isinstance(a, str):
+                    am = plane_mask[a] if a.startswith("$") else masks[a]
+                    m = am if m is None else (m & am)
+            masks[name] = m
+    return masks
+
+
+def kernel_validity(tables, content, resolved, n, by, R):
+    """Exactness of the TILED kernel's outputs at every frame position.
+
+    The kernel partitions the S x S frame into (by, by) tiles, each
+    computed on a radius-R slab; values creep garbage inward from the
+    slab edge exactly as a frame boundary would.  Emulated by running
+    the chain-validity pass with state masks clipped to each tile's
+    slab box; a frame position's kernel validity is its validity in the
+    ONE tile that writes it.  (Identical slab boxes across the 10
+    patches let each (ty, tx) run cover all patches at once.)"""
+    S = n + 2 * MH
+    assert S % by == 0, (S, by)
+    nt = S // by
+    base = {"cell": content["cell"] >= 0, "edge": content["edge"] >= 0}
+    outs = {k: np.zeros_like(v)
+            for k, v in (("h_new", base["cell"]), ("u_new", base["edge"]),
+                         ("trn0", base["cell"]))}
+    for ty in range(nt):
+        for tx in range(nt):
+            box = np.zeros((1, 1, S, S), bool)
+            box[:, :, max(0, ty * by - R):ty * by + by + R,
+                max(0, tx * by - R):tx * by + by + R] = True
+            sm = {k: v & box for k, v in base.items()}
+            m = chain_validity(tables, content, resolved, 1, state_masks=sm)
+            ys = slice(ty * by, ty * by + by)
+            xs = slice(tx * by, tx * by + by)
+            for k in outs:
+                outs[k][:, :, ys, xs] = m[k][:, :, ys, xs]
+    return outs
+
+
+def _pasteback_one(cont, clean, n, N):
+    """Paste-back maps for ONE output field of one element class.
+
+    Natural grid slots with clean content==natural are covered by the
+    pure reshape paste of the kernel's rim output; all other live rows
+    (tail elements, dead-slot occupants pushed elsewhere, seam orphans)
+    are recovered from ANY clean rim position.  Rows with no clean
+    position anywhere form the fix set.  `N` is the TRUE flat row count.
+
+    Returns (rim_rows, rim_pos, dead_rows, fix_rows)."""
+    S = cont.shape[-1]
+    no = n + 2 * OH
+    NG = 10 * n * n
+    T = cont.shape[0]
+    nat = np.full((T, 10, S, S), -1, np.int64)
+    nat[:, :, MH:MH + n, MH:MH + n] = np.arange(
+        T * NG, dtype=np.int64).reshape(T, 10, n, n)
+    ok_nat = (cont == nat) & clean & (nat >= 0)
+    covered = np.zeros(N, bool)
+    covered_ids = np.unique(cont[ok_nat]) if ok_nat.any() else \
+        np.zeros(0, np.int64)
+    covered[covered_ids] = True
+    # candidates: clean rim positions [MH-OH, MH+n+OH)
+    rim = np.zeros((T, 10, S, S), bool)
+    rim[:, :, MH - OH:MH + n + OH, MH - OH:MH + n + OH] = True
+    cand = rim & clean & (cont >= 0)
+    rows, poss = [], []
+    seen = set()
+    ids = cont.reshape(-1)
+    for flat in np.flatnonzero(cand):
+        D = int(ids[flat])
+        if covered[D] or D in seen:
+            continue
+        seen.add(D)
+        # frame flat pos -> rim-output flat pos
+        t, rem = divmod(int(flat), 10 * S * S)
+        r, rem = divmod(rem, S * S)
+        y, x = divmod(rem, S)
+        yo, xo = y - (MH - OH), x - (MH - OH)
+        rows.append(D)
+        poss.append(((t * 10 + r) * no + yo) * no + xo)
+    rows_a = np.asarray(rows, np.int64)
+    alive = np.zeros(N, bool)
+    alive[covered_ids] = True
+    alive[rows_a] = True
+    # rows that are not real elements at all (dead grid slots):
+    # ids < T*NG never appearing as content anywhere
+    is_elem = np.zeros(N, bool)
+    is_elem[np.unique(cont[cont >= 0])] = True
+    dead_grid = np.zeros(N, bool)
+    dead_grid[:T * NG] = ~is_elem[:T * NG]
+    # tail ids (>= T*NG) are real elements by construction
+    is_elem[T * NG:] = True
+    fix = np.flatnonzero(is_elem & ~alive & ~dead_grid)
+    return (rows_a.astype(np.int32), np.asarray(poss, np.int32),
+            np.flatnonzero(dead_grid).astype(np.int32),
+            fix.astype(np.int32))
+
+
+# ----------------------------------------------------------------------
+# fix submesh (poles + anything else unresolved)
+
+def _extract_submesh(mesh, cell_ids: np.ndarray):
+    """Standalone HorzMesh over `cell_ids` (+nothing else): local ids in
+    the given order; edges/vertices = those fully inside, others padded
+    out.  Used only for the tiny pole-fix patch, where every fix row is
+    far from the cut."""
+    g = unclamped_connectivity(mesh)
+    a = lambda nm: np.asarray(getattr(mesh, nm))
+    C = mesh.ncells
+    c_o2n = np.full(C, -1, np.int64)
+    c_o2n[cell_ids] = np.arange(len(cell_ids))
+    # local edges/vertices: incident to any local cell
+    eoc = g["edges_on_cell"][cell_ids]
+    voc = g["vertices_on_cell"][cell_ids]
+    loc_e = np.unique(eoc[eoc >= 0])
+    loc_v = np.unique(voc[voc >= 0])
+    e_o2n = np.full(mesh.nedges, -1, np.int64)
+    e_o2n[loc_e] = np.arange(len(loc_e))
+    v_o2n = np.full(mesh.nvertices, -1, np.int64)
+    v_o2n[loc_v] = np.arange(len(loc_v))
+
+    def remap(idx, o2n):
+        idx = np.asarray(idx, np.int64)
+        out = o2n[np.maximum(idx, 0)]
+        return np.where(idx >= 0, out, -1)
+
+    ex = ip._expand
+    raw = dict(
+        x_cell=a("x_cell")[cell_ids], y_cell=a("y_cell")[cell_ids],
+        lon_cell=a("lon_cell")[cell_ids], lat_cell=a("lat_cell")[cell_ids],
+        area_cell=a("area_cell")[cell_ids], f_cell=a("f_cell")[cell_ids],
+        bottom_depth=a("bottom_depth")[cell_ids],
+        n_edges_on_cell=a("n_edges_on_cell")[cell_ids],
+        edges_on_cell=remap(g["edges_on_cell"][cell_ids], e_o2n),
+        cells_on_cell=remap(g["cells_on_cell"][cell_ids], c_o2n),
+        vertices_on_cell=remap(g["vertices_on_cell"][cell_ids], v_o2n),
+        x_edge=a("x_edge")[loc_e], y_edge=a("y_edge")[loc_e],
+        lon_edge=a("lon_edge")[loc_e], lat_edge=a("lat_edge")[loc_e],
+        dc_edge=a("dc_edge")[loc_e], dv_edge=a("dv_edge")[loc_e],
+        angle_edge=a("angle_edge")[loc_e], f_edge=a("f_edge")[loc_e],
+        cells_on_edge=remap(g["cells_on_edge"][loc_e], c_o2n),
+        vertices_on_edge=remap(g["vertices_on_edge"][loc_e], v_o2n),
+        n_edges_on_edge=a("n_edges_on_edge")[loc_e],
+        edges_on_edge=remap(g["edges_on_edge"][loc_e], e_o2n),
+        weights_on_edge=a("weights_on_edge")[loc_e],
+        mesh_scaling_del2=a("mesh_scaling_del2")[loc_e],
+        mesh_scaling_del4=a("mesh_scaling_del4")[loc_e],
+        x_vertex=a("x_vertex")[loc_v], y_vertex=a("y_vertex")[loc_v],
+        lon_vertex=a("lon_vertex")[loc_v], lat_vertex=a("lat_vertex")[loc_v],
+        area_triangle=a("area_triangle")[loc_v],
+        f_vertex=a("f_vertex")[loc_v],
+        cells_on_vertex=remap(g["cells_on_vertex"][loc_v], c_o2n),
+        edges_on_vertex=remap(g["edges_on_vertex"][loc_v], e_o2n),
+        kite_areas_on_vertex=a("kite_areas_on_vertex")[loc_v],
+    )
+    sub = finalize_mesh(raw, ncells=len(cell_ids), nedges=len(loc_e),
+                        nvertices=len(loc_v), max_edges=mesh.max_edges,
+                        vertex_degree=mesh.vertex_degree,
+                        on_sphere=mesh.on_sphere,
+                        sphere_radius=mesh.sphere_radius)
+    return sub, loc_e, loc_v
+
+
+def _grow(mesh, cells: set, width: int) -> np.ndarray:
+    coc = np.asarray(unclamped_connectivity(mesh)["cells_on_cell"], np.int64)
+    cur = set(cells)
+    frontier = set(cells)
+    for _ in range(width):
+        nxt = set()
+        for c in frontier:
+            for nb in coc[c]:
+                if nb >= 0 and nb not in cur:
+                    nxt.add(int(nb))
+        cur |= nxt
+        frontier = nxt
+    return np.array(sorted(cur), np.int64)
+
+
+# ----------------------------------------------------------------------
+
+def _build(mesh, info: ip.PatchInfo) -> MegaInfo:
+    n = info.n
+    content = _wide_content(mesh, info)
+    fills = _fills_from_content(content, n)
+    pos_of = _positions_of(content)
+
+    tables, resolved = {}, {}
+    for name, idx, dst, src, w in _table_specs(mesh):
+        max_off = 4 if name == "tang" else 2
+        tables[name], resolved[name] = _build_mega_table(
+            n, content, pos_of, name, idx, w, dst, src, max_off)
+
+    # exactness of every chain value at every frame position, INCLUDING
+    # the tiled kernel's slab-creep (validity erodes from lattice holes,
+    # unresolved stencils, and tile-slab edges by the real chain
+    # structure, not a conservative ball)
+    S = n + 2 * MH
+    by = next(b for b in (16, 8, 4) if S % b == 0)
+    masks = kernel_validity(tables, content, resolved, n, by, MH)
+
+    outputs = {}
+    for out_name, mask, cls, N in (
+            ("h", masks["h_new"], "cell", mesh.ncells),
+            ("u", masks["u_new"], "edge", mesh.nedges),
+            ("tr", masks["trn0"], "cell", mesh.ncells)):
+        outputs[out_name] = _pasteback_one(content[cls], mask, n, N)
+
+    # fix set -> cells to recompute on the submesh: fix cells (h and
+    # tracer rows) + both cells of every fix edge (u rows)
+    coe = np.asarray(unclamped_connectivity(mesh)["cells_on_edge"], np.int64)
+    fix_c = set(int(c) for c in outputs["h"][3]) | \
+        set(int(c) for c in outputs["tr"][3])
+    fix_edges_global = np.asarray(
+        sorted(int(e) for e in outputs["u"][3]), np.int64)
+    for e in fix_edges_global:
+        for c in coe[int(e)]:
+            if c >= 0:
+                fix_c.add(int(c))
+    fix_cells_global = np.asarray(sorted(fix_c), np.int64)
+    sub_cells = _grow(mesh, fix_c, SUB_GROW)
+    sub, loc_e, loc_v = _extract_submesh(mesh, sub_cells)
+    c_o2n = np.full(mesh.ncells, -1, np.int64)
+    c_o2n[sub_cells] = np.arange(len(sub_cells))
+    fix_cells_local = c_o2n[fix_cells_global]
+    e_o2n = np.full(mesh.nedges, -1, np.int64)
+    e_o2n[loc_e] = np.arange(len(loc_e))
+    fix_edges_local = e_o2n[fix_edges_global]
+    assert (fix_cells_local >= 0).all() and (fix_edges_local >= 0).all()
+
+    return MegaInfo(
+        n=n, by=by, content=content, fills=fills, tables=tables,
+        const_planes=_const_planes(mesh, content),
+        outputs=outputs, masks=masks,
+        sub_mesh=sub, sub_cells=sub_cells, sub_edges=loc_e,
+        fix_cells_local=fix_cells_local.astype(np.int32),
+        fix_cells_global=fix_cells_global.astype(np.int32),
+        fix_edges_local=fix_edges_local.astype(np.int32),
+        fix_edges_global=fix_edges_global.astype(np.int32))

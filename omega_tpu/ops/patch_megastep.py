@@ -1,0 +1,535 @@
+"""The whole forward-backward step as ONE Pallas kernel on the SPHERE.
+
+Sphere counterpart of ops/megastep.py: icosahedral meshes renumbered by
+mesh/icos_patches.py run the full FB chain per (patch, tile) slab using
+the padded-domain tables of mesh/icos_mega.py — per-position weight
+PLANES instead of the planar path's uniform scalars, plain 2-D shifts
+instead of parity selects (the rhombus lattice is unstaggered), and NO
+mid-chain fix-ups: rotated seam stencils are extra low-support entries,
+and the only rows the lattice cannot serve (the 2 pole cells, a handful
+of pole-adjacent edges — constant count at any resolution) are
+recomputed on a ~300-cell extracted submesh by the composed stepper and
+scattered over the kernel result.
+
+Execution model per step:
+  1. paste + one fill gather/scatter builds halo-MH state frames
+     (CH, 10, SS, SS, K128), SS = S + 2R so edge tiles' slabs stay in
+     bounds (the outer ring is zeros, never read by valid stencils)
+  2. the kernel tiles the S x S frame into (by, by) blocks; each block
+     reads a radius-R slab of state + weight planes, evaluates the
+     entire chain in VMEM, writes its block of the output frames
+  3. paste-back: a reshape covers the natural grid rows; seam orphans,
+     cross-seam duplicates and tails come from any exact frame position
+     (icos_mega validity masks, which model the tile slab creep
+     exactly); dead rows zero; fix rows from the submesh step
+
+Divisions guard against lattice-hole zeros (safe_div) because 0/0 NaN
+at a hole would otherwise poison valid sums through 0 * NaN entries.
+
+Semantics == stepping.forward_backward_step on the flagship sphere
+configuration; reference chain per core/tendencies.py / core/aux.py
+(TendencyTerms.h:70-340, AuxiliaryState.cpp:60-143).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from omega_tpu.mesh import icos_mega as imx
+from omega_tpu.mesh.icos_mega import MH, NPER, fb_chain, chain_class
+
+R = MH           # kernel slab halo ring == frame halo
+FR = R           # extra zero ring so edge-tile slabs stay in bounds
+
+
+def enabled() -> bool:
+    v = os.environ.get("OMEGA_PATCH_MEGA")
+    if v is not None:
+        return v in ("1", "true")
+    return jax.default_backend() == "tpu"
+
+
+_NO_LAND: Dict[int, bool] = {}
+
+
+def supported(mesh, cfg) -> bool:
+    """Flagship sphere configuration (mirrors megastep.supported)."""
+    tc = cfg.tendencies
+    if getattr(mesh, "patch_key", 0) == 0:
+        return False
+    from omega_tpu.ops import patch_stencil
+    if not patch_stencil.enabled(mesh):
+        return False
+    # no LAND edges: mask-0 rows are fine only as dead seam slots (no
+    # real adjacent cell) — a land edge would need mask gating the
+    # fused chain does not implement (cached: called per step)
+    key = mesh.patch_key
+    if key not in _NO_LAND:
+        from omega_tpu.mesh.horz_mesh import unclamped_connectivity
+        em = np.asarray(mesh.edge_mask) == 0.0
+        coe = np.asarray(unclamped_connectivity(mesh)["cells_on_edge"])
+        _NO_LAND[key] = not bool((coe[em] >= 0).any())
+    if not _NO_LAND[key]:
+        return False
+    return (cfg.flux_thickness_type == "center"
+            and cfg.flux_tracer_type == "center"
+            and cfg.ssh_formulation == "stacked"
+            and not cfg.vert_mix.enabled
+            and tc.thickness_flux_div and tc.pv_advection and tc.ke_gradient
+            and tc.ssh_gradient and tc.velocity_diffusion
+            and tc.velocity_hyperdiff and tc.tracer_horz_adv
+            and tc.tracer_diffusion and tc.tracer_hyperdiff
+            and not tc.wind_forcing and not tc.bottom_drag
+            and not tc.use_custom_tendency)
+
+
+# ----------------------------------------------------------------------
+# prep (host side, cached per mesh/dtype)
+
+class _Prep:
+    pass
+
+
+_PREP: Dict[tuple, _Prep] = {}
+
+
+def _prep(mesh, dtype):
+    key = (mesh.patch_key, np.dtype(dtype).str)
+    if key in _PREP:
+        return _PREP[key]
+    mg = imx.ensure_mega(mesh)
+    p = _Prep()
+    p.mg = mg
+    n, S, by = mg.n, mg.S, mg.by
+    p.n, p.S, p.by = n, S, by
+    p.SS = S + 2 * FR
+    p.nt = S // by
+
+    # ---- stack all entry planes (padded to SS) + const planes ----
+    planes, p.entry_lists = [], {}
+    for name, tab in mg.tables.items():
+        lst = []
+        for (td, ts, da, db, wpl) in tab.entries:
+            lst.append((td, ts, da, db, len(planes)))
+            planes.append(wpl)
+        p.entry_lists[name] = (NPER[tab.dst_class], NPER[tab.src_class], lst)
+    p.const_idx = {}
+    for cname, cpl in mg.const_planes.items():
+        T = cpl.shape[0]
+        flat = cpl.reshape(T, -1)
+        live = np.abs(flat) > 0
+        if not live.any():
+            p.const_idx[cname] = 0.0        # identically zero -> skip
+            continue
+        vals = flat[live]
+        if np.allclose(vals, vals[0]):
+            p.const_idx[cname] = float(vals[0])   # uniform -> scalar
+            continue
+        p.const_idx[cname] = (len(planes), T)
+        for t in range(T):
+            planes.append(cpl[t])
+    # lane-major plane storage: (10, SS, SS, NPLp) with the PLANE INDEX
+    # on lanes (padded to a 128-multiple) — per-tile DMA slices then keep
+    # the full lane extent (the TPU DMA engine requires 128-multiple
+    # lane extents; spatial dims ride sublanes, which slice freely), and
+    # the kernel extracts each entry's plane by a STATIC lane index
+    pstack = np.stack(planes).astype(dtype)            # (NPL, 10, S, S)
+    pstack = np.pad(pstack, ((0, 0), (0, 0), (FR, FR), (FR, FR)))
+    npl = pstack.shape[0]
+    nplp = -(-npl // 128) * 128
+    lane_major = np.zeros((10, p.SS, p.SS, nplp), dtype)
+    lane_major[..., :npl] = np.moveaxis(pstack, 0, -1)
+    p.planes = jnp.asarray(lane_major)
+    p.npl = nplp
+
+    # ---- fills in SS coords ----
+    p.fills = {}
+    for cls in ("cell", "edge"):
+        pos, src = mg.fills[cls]
+        T = NPER[cls]
+        t, rem = np.divmod(pos.astype(np.int64), 10 * S * S)
+        r, rem = np.divmod(rem, S * S)
+        y, x = np.divmod(rem, S)
+        pos2 = ((t * 10 + r) * p.SS + y + FR) * p.SS + x + FR
+        p.fills[cls] = (jnp.asarray(pos2.astype(np.int32)),
+                        jnp.asarray(src))
+
+    # ---- paste-back (rim positions -> full-frame S x S coords) ----
+    p.outputs = {}
+    no = n + 2 * imx.OH
+    for oname, (rim, rpos, dead, fix) in mg.outputs.items():
+        t, rem = np.divmod(rpos.astype(np.int64), 10 * no * no)
+        r, rem = np.divmod(rem, no * no)
+        yo, xo = np.divmod(rem, no)
+        rpos_full = (((t * 10 + r) * S + yo + MH - imx.OH) * S
+                     + xo + MH - imx.OH).astype(np.int32)
+        p.outputs[oname] = (jnp.asarray(rim), jnp.asarray(rpos_full),
+                            jnp.asarray(dead), jnp.asarray(fix))
+
+    # ---- fix submesh ----
+    p.sub_mesh = mg.sub_mesh.astype(dtype).device_put() \
+        if hasattr(mg.sub_mesh, "astype") else mg.sub_mesh
+    p.sub_cells = jnp.asarray(mg.sub_cells.astype(np.int32))
+    p.sub_edges = jnp.asarray(mg.sub_edges.astype(np.int32))
+    p.fix_cells_local = jnp.asarray(mg.fix_cells_local)
+    p.fix_cells_global = jnp.asarray(mg.fix_cells_global)
+    p.fix_edges_local = jnp.asarray(mg.fix_edges_local)
+    p.fix_edges_global = jnp.asarray(mg.fix_edges_global)
+
+    _PREP[key] = p
+    return p
+
+
+# ----------------------------------------------------------------------
+# chain evaluation on slabs (shared by kernel; planes via `pget`)
+
+def _roll(s, d, axis):
+    """out[i] = s[i + d] (slice+concat; wraps slab garbage — creep)."""
+    if d == 0:
+        return s
+    nn = s.shape[axis]
+    d = d % nn
+    lo = [slice(None)] * s.ndim
+    hi = [slice(None)] * s.ndim
+    lo[axis] = slice(d, None)
+    hi[axis] = slice(0, d)
+    return jnp.concatenate([s[tuple(lo)], s[tuple(hi)]], axis=axis)
+
+
+def _safe_div(a, b):
+    return jnp.where(b != 0, a / jnp.where(b != 0, b, 1), 0)
+
+
+def _op_inputs(op):
+    """Chain-value names an op reads (excluding $const planes)."""
+    args = [op[3]] if op[1] == "st" else list(op[3:])
+    return [a for a in args if isinstance(a, str) and not a.startswith("$")]
+
+
+def _last_use(ops, outputs):
+    """Op index after which each chain value is dead (outputs live to
+    the end). Keyed by NAME: a reassignment ('du') extends its life."""
+    last = {}
+    for i, op in enumerate(ops):
+        for nm in _op_inputs(op):
+            last[nm] = i
+    for nm in outputs:
+        last[nm] = len(ops)
+    return last
+
+
+def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None):
+    """Evaluate fb_chain on per-channel slab lists.
+
+    vals: dict name -> [ (Y, X, K) ] * T.  pget(i) -> (Y, X) plane slab.
+    cget(cname) -> list of planes or a python float.  Dead values are
+    DELETED from `vals` as soon as their last reader ran (Mosaic
+    allocates VMEM stack for every live jax value — without the frees
+    the whole chain stays resident and blows the scoped-vmem budget).
+    `sink(name, channels)`: called on finished outputs; when it returns
+    True the value is not kept in `vals` (the kernel stores it to the
+    output buffer immediately)."""
+    (dt, grav, nu2, nu4, div_factor, ed2, ed4) = consts
+
+    def ap(tname, src):
+        Td, Ts, lst = entry_lists[tname]
+        outs = [None] * Td
+        for (td, ts, da, db, pidx) in lst:
+            w = pget(pidx)[..., None]       # (Y, X, 1) lane-broadcasts
+            term = w * _roll(_roll(src[ts], db, 0), da, 1)
+            outs[td] = term if outs[td] is None else outs[td] + term
+        zero = jnp.zeros_like(src[0])
+        return [o if o is not None else zero for o in outs]
+
+    def cval(cname, T):
+        c = cget(cname)
+        if isinstance(c, float):
+            return [c] * T
+        return [pli[..., None] for pli in c]
+
+    def run(op):
+        name, kind = op[0], op[1]
+        if kind == "st":
+            return ap(op[2], vals[op[3]])
+        fn = op[2]
+        a = op[3:]
+        v = lambda nm: vals[nm]
+        if fn == "mul":
+            return [x * y for x, y in zip(v(a[0]), v(a[1]))]
+        if fn == "sub":
+            return [x - y for x, y in zip(v(a[0]), v(a[1]))]
+        if fn == "axpy":            # x + dt * coef * y
+            coef = a[1]
+            return [x + dt * coef * y for x, y in zip(v(a[0]), v(a[2]))]
+        if fn == "tracer_rhs":      # -adv + ed2*diff2 - ed4*hyp
+            return [-x + ed2 * y - ed4 * z
+                    for x, y, z in zip(v(a[0]), v(a[1]), v(a[2]))]
+        if fn == "tracer_update":   # (tr*h + dt*dtr) / h_new
+            return [_safe_div(tr * h + dt * dtr, hn)
+                    for tr, h, dtr, hn in zip(v(a[0]), v(a[1]),
+                                              v(a[2]), v(a[3]))]
+        if fn == "q_vertex":        # (rvort + f) / h_v
+            fv = cval(a[1][1:], 2)
+            return [_safe_div(rv + f, hv)
+                    for rv, f, hv in zip(v(a[0]), fv, v(a[2]))]
+        if fn == "pv":              # 0.5 * (q_e*tf + tfq)
+            return [0.5 * (q * t_ + tq)
+                    for q, t_, tq in zip(v(a[0]), v(a[1]), v(a[2]))]
+        if fn == "gssh":            # du - g*(gh - gdepth)
+            gd = cval(a[2][1:], 3)
+            return [du - grav * (gh - g)
+                    for du, gh, g in zip(v(a[0]), v(a[1]), gd)]
+        if fn == "visc2":           # du + nu2*s2*(cdd - vdr)
+            s2 = cval(a[3][1:], 3)
+            return [du + nu2 * s * (c - r)
+                    for du, c, r, s in zip(v(a[0]), v(a[1]), v(a[2]), s2)]
+        if fn == "visc4":           # du - nu4*s4*(df*cd4 - vd4)
+            s4 = cval(a[3][1:], 3)
+            return [du - nu4 * s * (div_factor * c - r)
+                    for du, c, r, s in zip(v(a[0]), v(a[1]), v(a[2]), s4)]
+        raise ValueError(fn)
+
+    ops = fb_chain(L)
+    outputs = ["h_new", "u_new"] + [f"trn{l}" for l in range(L)]
+    last = _last_use(ops, outputs)
+    for i, op in enumerate(ops):
+        name = op[0]
+        res = run(op)
+        dead = [nm for nm in _op_inputs(op)
+                if last.get(nm, -1) == i and nm != name and nm in vals]
+        for nm in dead:
+            del vals[nm]
+        if name in outputs and sink is not None and sink(name, res):
+            continue
+        vals[name] = res
+    return vals
+
+
+# ----------------------------------------------------------------------
+# the kernel
+
+def _kernel(f_hbm, p_hbm, o_hbm, *, entry_lists, const_idx, consts,
+            L, S, SS, by, nt, K, npl):
+    CH = f_hbm.shape[0]
+    YY = by + 2 * R
+
+    def body(in_s, pl_s, out_s, sem):
+        nblocks = 10 * nt * nt
+        cp = pltpu.make_async_copy
+
+        def dmas(slot, bidx):
+            r = bidx // (nt * nt)
+            rem = bidx % (nt * nt)
+            ty, tx = rem // nt, rem % nt
+            ys = pl.ds(ty * by, YY)      # SS coords: tile - R + FR
+            xs = pl.ds(tx * by, YY)
+            return (cp(f_hbm.at[:, r, ys, xs], in_s.at[slot],
+                       sem.at[2 * slot]),
+                    cp(p_hbm.at[r, ys, xs], pl_s.at[slot],
+                       sem.at[2 * slot + 1]))
+
+        def out_dmas(slot, bidx):
+            r = bidx // (nt * nt)
+            rem = bidx % (nt * nt)
+            ty, tx = rem // nt, rem % nt
+            return (cp(out_s.at[slot],
+                       o_hbm.at[:, r, pl.ds(ty * by, by),
+                                pl.ds(tx * by, by)],
+                       sem.at[4 + slot]),)
+
+        for d in dmas(0, 0):
+            d.start()
+
+        def loop(bidx, _):
+            cur = bidx % 2
+            nxt = (bidx + 1) % 2
+
+            @pl.when(bidx + 1 < nblocks)
+            def _():
+                for d in dmas(nxt, bidx + 1):
+                    d.start()
+
+            for d in dmas(cur, bidx):
+                d.wait()
+
+            vals = {
+                "h": [in_s[cur, 0]],
+                "u": [in_s[cur, 1 + i] for i in range(3)],
+            }
+            for l in range(L):
+                vals[f"tr{l}"] = [in_s[cur, 4 + l]]
+
+            pget = lambda i: pl_s[cur, :, :, i]
+
+            def cget(cname):
+                c = const_idx[cname]
+                if isinstance(c, float):
+                    return c
+                base, T = c
+                return [pl_s[cur, :, :, base + t] for t in range(T)]
+
+            @pl.when(bidx >= 2)
+            def _():
+                for d in out_dmas(cur, bidx - 2):
+                    d.wait()
+
+            # outputs stream into out_s as the chain finishes them, so
+            # finished values don't stay resident in the VMEM stack;
+            # h_new is kept — the velocity section still reads it
+            c = slice(R, R + by)
+
+            def sink(name, res):
+                if name == "h_new":
+                    out_s[cur, 0] = res[0][c, c]
+                    return False
+                if name == "u_new":
+                    for i in range(3):
+                        out_s[cur, 1 + i] = res[i][c, c]
+                    return True
+                out_s[cur, 4 + int(name[3:])] = res[0][c, c]
+                return True
+
+            _eval_chain(vals, entry_lists, pget, cget, consts, L,
+                        sink=sink)
+
+            for d in out_dmas(cur, bidx):
+                d.start()
+
+        jax.lax.fori_loop(0, nblocks, loop, None)
+
+        @pl.when(nblocks >= 2)
+        def _():
+            for d in out_dmas(nblocks % 2, nblocks - 2):
+                d.wait()
+        for d in out_dmas((nblocks - 1) % 2, nblocks - 1):
+            d.wait()
+
+    pl.run_scoped(
+        body,
+        in_s=pltpu.VMEM((2, f_hbm.shape[0], YY, YY, K), f_hbm.dtype),
+        pl_s=pltpu.VMEM((2, YY, YY, npl), p_hbm.dtype),
+        out_s=pltpu.VMEM((2, f_hbm.shape[0], by, by, K), f_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((6,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "entry_lists", "const_idx", "consts", "L", "S", "SS", "by", "nt",
+    "interpret"))
+def _call(frames, planes, *, entry_lists, const_idx, consts, L, S, SS,
+          by, nt, interpret):
+    K = frames.shape[-1]
+    CH = frames.shape[0]
+    kern = functools.partial(
+        _kernel, entry_lists=dict(entry_lists), const_idx=dict(const_idx),
+        consts=consts, L=L, S=S, SS=SS, by=by, nt=nt, K=K,
+        npl=planes.shape[-1])
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((CH, 10, S, S, K), frames.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        # the chain's live set + double-buffered slabs exceed the 16MB
+        # default scoped budget; v5e VMEM is large enough for ~2x that
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(frames, planes)
+
+
+# ----------------------------------------------------------------------
+# step assembly
+
+def _hashable(x):
+    if isinstance(x, dict):
+        return tuple(sorted((k, _hashable(v)) for k, v in x.items()))
+    if isinstance(x, (list, tuple)):
+        return tuple(_hashable(v) for v in x)
+    return x
+
+
+def fb_patch_megastep(mesh, cfg, state, t, dt, interpret=None):
+    """One forward-backward step on a patch-structured icos mesh."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h, u, tr = state
+    K = h.shape[-1]
+    L = tr.shape[0]
+    dtype = h.dtype
+    p = _prep(mesh, dtype)
+    n, S, SS, by, nt = p.n, p.S, p.SS, p.by, p.nt
+    NG = 10 * n * n
+    Kp = -(-K // 128) * 128
+    tc = cfg.tendencies
+    consts = (float(dt), cfg.gravity, tc.visc_del2, tc.visc_del4,
+              tc.div_factor, tc.eddy_diff2, tc.eddy_diff4)
+
+    # ---- frames ----
+    def frames_of(cls, flat, T, pad_val):
+        grid = flat[:T * NG].reshape(T, 10, n, n, K)
+        fr = jnp.full((T, 10, SS, SS, K), pad_val, dtype)
+        fr = fr.at[:, :, FR + MH:FR + MH + n, FR + MH:FR + MH + n].set(grid)
+        pos, src = p.fills[cls]
+        fr = fr.reshape(-1, K).at[pos].set(flat[src]).reshape(
+            T, 10, SS, SS, K)
+        return fr
+
+    hf = frames_of("cell", h, 1, 0.0)
+    uf = frames_of("edge", u, 3, 0.0)
+    trf = [frames_of("cell", tr[l], 1, 0.0) for l in range(L)]
+    frames = jnp.concatenate([hf, uf] + trf, axis=0)
+    if Kp != K:
+        frames = jnp.pad(frames, ((0, 0),) * 4 + ((0, Kp - K),))
+
+    out = _call(frames, p.planes,
+                entry_lists=_hashable(p.entry_lists),
+                const_idx=_hashable(p.const_idx),
+                consts=consts, L=L, S=S, SS=SS, by=by, nt=nt,
+                interpret=interpret)
+    if Kp != K:
+        out = out[..., :K]
+
+    # ---- submesh fix (independent of the kernel; composed stepper) ----
+    from omega_tpu.core.state import ModelState
+    from omega_tpu.stepping.steppers import forward_backward_step
+    sub_state = ModelState(h=h[p.sub_cells], u=u[p.sub_edges],
+                           tracers=tr[:, p.sub_cells])
+    sub_out = forward_backward_step(p.sub_mesh, cfg, sub_state, t, dt)
+
+    # ---- paste-back ----
+    def paste(oname, ch0, T, N, flat_fix):
+        grid = out[ch0:ch0 + T, :, MH:MH + n, MH:MH + n]
+        flat = jnp.concatenate(
+            [grid.reshape(T * NG, K),
+             jnp.zeros((N - T * NG, K), dtype)])
+        rim, rpos, dead, fix = p.outputs[oname]
+        if dead.size:
+            flat = flat.at[dead].set(0.0)
+        if rim.size:
+            flat = flat.at[rim].set(
+                out[ch0:ch0 + T].reshape(-1, K)[rpos])
+        if fix.size:
+            flat = flat.at[fix].set(flat_fix(fix))
+        return flat
+
+    E, C = mesh.nedges, mesh.ncells
+    h_new = paste("h", 0, 1, C,
+                  lambda fx: sub_out.h[p.fix_cells_local[
+                      jnp.searchsorted(p.fix_cells_global, fx)]])
+    u_new = paste("u", 1, 3, E,
+                  lambda fx: sub_out.u[p.fix_edges_local[
+                      jnp.searchsorted(p.fix_edges_global, fx)]])
+    trn = []
+    for l in range(L):
+        trn.append(paste("tr", 4 + l, 1, C,
+                         lambda fx: sub_out.tracers[l][p.fix_cells_local[
+                             jnp.searchsorted(p.fix_cells_global, fx)]]))
+    return type(state)(h=h_new, u=u_new, tracers=jnp.stack(trn))

@@ -53,7 +53,12 @@ def forward_backward_step(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
                           wind_stress=None) -> ModelState:
     """Forward h/tracer update, backward u update (uses new h)."""
     if wind_stress is None and isinstance(dt, (int, float)):
-        from omega_tpu.ops import megastep
+        from omega_tpu.ops import megastep, patch_megastep
+        if patch_megastep.enabled() and patch_megastep.supported(mesh, cfg):
+            # sphere counterpart (ops/patch_megastep.py): the full FB
+            # chain per patch tile, pole rows fixed on a tiny submesh
+            return halo(patch_megastep.fb_patch_megastep(
+                mesh, cfg, state, t, dt))
         if megastep.enabled() and megastep.supported(mesh, cfg):
             # single fused Pallas kernel for the flagship configuration
             # (ops/megastep.py): reads state once, writes state once.

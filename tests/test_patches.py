@@ -145,3 +145,37 @@ def test_conservation_and_dead_rows(pmesh):
     dead = np.asarray(pmesh.edge_mask) == 0.0
     assert dead.any()
     assert np.all(np.asarray(out.u)[dead] == 0.0)
+
+
+def test_patch_megastep_matches_composed(pmesh, monkeypatch):
+    """The whole-step sphere kernel (ops/patch_megastep.py, interpret
+    mode on CPU) equals the composed FB stepper to rounding, including
+    the pole rows recomputed on the fix submesh, and conserves volume
+    exactly."""
+    from omega_tpu.ops import patch_megastep
+    from omega_tpu.stepping.steppers import forward_backward_step
+
+    K = 3
+    cfg = ModelConfig(nvertlayers=K, ntracers=1,
+                      tendencies=TendencyConfig(visc_del2=1.0e3,
+                                                visc_del4=1.0e9))
+    assert patch_megastep.supported(pmesh, cfg)
+    state = _initial_state(pmesh, K, 1)
+    # give u structure so the velocity chain is exercised
+    rng = np.random.default_rng(7)
+    u0 = 0.1 * rng.standard_normal((pmesh.nedges, K))
+    u0 *= np.asarray(pmesh.edge_mask)[:, None]
+    state = ModelState(h=state.h, u=jnp.asarray(u0), tracers=state.tracers)
+
+    monkeypatch.setenv("OMEGA_PATCH_MEGA", "1")
+    on = run_steps(pmesh, cfg, state, 0.0, 60.0, 2)
+    monkeypatch.setenv("OMEGA_PATCH_MEGA", "0")
+    off = run_steps(pmesh, cfg, state, 0.0, 60.0, 2)
+    for fld in ("h", "u", "tracers"):
+        a, b = np.asarray(getattr(on, fld)), np.asarray(getattr(off, fld))
+        scale = np.max(np.abs(b)) + 1e-300
+        assert np.max(np.abs(a - b)) / scale < 1e-12, fld
+    area = np.asarray(pmesh.area_cell)[:, None]
+    v0 = float(np.sum(np.asarray(state.h) * area))
+    v1 = float(np.sum(np.asarray(on.h) * area))
+    assert abs(v1 - v0) / v0 < 1e-13
