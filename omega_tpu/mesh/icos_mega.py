@@ -33,6 +33,7 @@ base/Decomp.cpp:968 buys locality from METIS instead).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -710,7 +711,11 @@ def _build(mesh, info: ip.PatchInfo) -> MegaInfo:
     # unresolved stencils, and tile-slab edges by the real chain
     # structure, not a conservative ball)
     S = n + 2 * MH
-    by = next(b for b in (16, 8, 4) if S % b == 0)
+    # kernel tile: bigger tiles cut the slab read amplification
+    # ((by+2R)^2/by^2) and the per-output compute redundancy, at the
+    # price of VMEM (the 120MB scoped limit in ops/patch_megastep.py)
+    tile = int(os.environ.get("OMEGA_PATCH_TILE", "16"))
+    by = next(b for b in (tile, 16, 8, 4) if S % b == 0)
     masks = kernel_validity(tables, content, resolved, n, by, MH)
 
     outputs = {}

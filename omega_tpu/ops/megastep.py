@@ -399,6 +399,13 @@ def _call(stacked, *, tabs, consts, L, ny, nx, interpret):
         out_shape=jax.ShapeDtypeStruct((CH, ny, nx, K), stacked.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        # larger tiles shrink the halo-ring read amplification
+        # ((by+2R)(bx+2R)/(by*bx): 4x at 16, 2.25x at 32) but their
+        # chain live-set exceeds the 16MB default scoped budget; v5e
+        # has 128MB VMEM (measured working for the sphere kernel)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(os.environ.get(
+                "OMEGA_MEGA_VMEM_MB", "120")) * 1024 * 1024),
         interpret=interpret,
     )(stacked)
 
