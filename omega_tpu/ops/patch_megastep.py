@@ -246,6 +246,70 @@ def _prep(mesh, dtype):
     p.fix_edges_local = jnp.asarray(mg.fix_edges_local)
     p.fix_edges_global = jnp.asarray(mg.fix_edges_global)
 
+    # ---- persistent-frame maps (frames as the scan carry) ----
+    # After the kernel, mg.masks says which frame positions are exact;
+    # the rest refresh by copying from a valid position of the same
+    # element (the in-frame halo fill), pole/defect elements come from
+    # the fix submesh, and lattice holes re-zero (creep garbage there is
+    # multiplied by zero weights but must stay finite across steps).
+    p.persist = {}
+    src_of_np = {}
+    NG = 10 * n * n
+    for grp, mask_keys in (("cell", ("h_new", "trn0")),
+                           ("edge", ("u_new",))):
+        cont = mg.content[grp]
+        T = cont.shape[0]
+        keep = cont >= 0
+        for k_ in mask_keys:
+            keep = keep & mg.masks[k_]
+        ids = cont.reshape(-1)
+        keep_f = keep.reshape(-1)
+        t_, rem = np.divmod(np.arange(ids.size), 10 * S * S)
+        r_, rem = np.divmod(rem, S * S)
+        y_, x_ = np.divmod(rem, S)
+        ssf = (((t_ * 10 + r_) * p.SS + y_ + FR) * p.SS + x_ + FR)
+        natural_id = np.full(cont.shape, -1, np.int64)
+        natural_id[:, :, MH:MH + n, MH:MH + n] = \
+            np.arange(T * NG, dtype=np.int64).reshape(T, 10, n, n)
+        is_nat = ((cont == natural_id) & (natural_id >= 0)).reshape(-1)
+        Nel = mesh.ncells if grp == "cell" else mesh.nedges
+        src_of = np.full(Nel, -1, np.int64)
+        sel = np.flatnonzero(keep_f)
+        src_of[ids[sel]] = ssf[sel]          # any valid position...
+        sel2 = np.flatnonzero(keep_f & is_nat)
+        src_of[ids[sel2]] = ssf[sel2]        # ...natural one preferred
+        fixg = mg.fix_cells_global if grp == "cell" else mg.fix_edges_global
+        isfix = np.zeros(Nel, bool)
+        isfix[fixg] = True
+        refp = np.flatnonzero((ids >= 0) & ~keep_f)
+        gref = ids[refp]
+        from_fix = isfix[gref]
+        # every non-fix refreshed element must be exact SOMEWHERE in the
+        # frame — otherwise it belongs in the fix set by construction
+        assert (src_of[gref[~from_fix]] >= 0).all(), grp
+        p.persist[grp] = dict(
+            refill_pos=jnp.asarray(ssf[refp[~from_fix]].astype(np.int32)),
+            refill_src=jnp.asarray(
+                src_of[gref[~from_fix]].astype(np.int32)),
+            fix_pos=jnp.asarray(ssf[refp[from_fix]].astype(np.int32)),
+            fix_row=jnp.asarray(
+                np.searchsorted(fixg, gref[from_fix]).astype(np.int32)),
+            zero_pos=jnp.asarray(
+                ssf[np.flatnonzero(ids < 0)].astype(np.int32)))
+        src_of_np[grp] = src_of
+    # sub-state gathers (fix rows overwritten from the carried fix_vals)
+    p.sub_cell_src = jnp.asarray(
+        np.maximum(src_of_np["cell"][mg.sub_cells], 0).astype(np.int32))
+    p.sub_edge_src = jnp.asarray(
+        np.maximum(src_of_np["edge"][mg.sub_edges], 0).astype(np.int32))
+    # final read-out maps (refreshed frames hold every element somewhere)
+    p.cell_src = jnp.asarray(
+        np.maximum(src_of_np["cell"], 0).astype(np.int32))
+    p.cell_src_ok = jnp.asarray(src_of_np["cell"] >= 0)
+    p.edge_src = jnp.asarray(
+        np.maximum(src_of_np["edge"], 0).astype(np.int32))
+    p.edge_src_ok = jnp.asarray(src_of_np["edge"] >= 0)
+
     _PREP[key] = p
     return p
 
@@ -537,6 +601,40 @@ def _hashable(x):
     return x
 
 
+def _assemble_frames(p, state, L, K, Kp, dtype):
+    """Flat state -> stacked (CH, 10, SS, SS, Kp) content frames."""
+    h, u, tr = state
+    n, SS = p.n, p.SS
+    NG = 10 * n * n
+
+    def frames_of(cls, flat, T):
+        grid = flat[:T * NG].reshape(T, 10, n, n, K)
+        fr = jnp.zeros((T, 10, SS, SS, K), dtype)
+        fr = fr.at[:, :, FR + MH:FR + MH + n, FR + MH:FR + MH + n].set(grid)
+        pos, src = p.fills[cls]
+        fr = fr.reshape(-1, K).at[pos].set(flat[src]).reshape(
+            T, 10, SS, SS, K)
+        return fr
+
+    frames = jnp.concatenate(
+        [frames_of("cell", h, 1), frames_of("edge", u, 3)]
+        + [frames_of("cell", tr[l], 1) for l in range(L)], axis=0)
+    if Kp != K:
+        frames = jnp.pad(frames, ((0, 0),) * 4 + ((0, Kp - K),))
+    return frames
+
+
+def _run_kernel(p, cfg, frames, dt, L, interpret):
+    tc = cfg.tendencies
+    consts = (float(dt), cfg.gravity, tc.visc_del2, tc.visc_del4,
+              tc.div_factor, tc.eddy_diff2, tc.eddy_diff4)
+    return _call(frames, p.planes, p.block_class,
+                 class_lists=_hashable(p.class_lists),
+                 const_idx=_hashable(p.const_idx),
+                 consts=consts, L=L, S=p.S, SS=p.SS, by=p.by, nt=p.nt,
+                 interpret=interpret)
+
+
 def fb_patch_megastep(mesh, cfg, state, t, dt, interpret=None):
     """One forward-backward step on a patch-structured icos mesh."""
     if interpret is None:
@@ -546,35 +644,12 @@ def fb_patch_megastep(mesh, cfg, state, t, dt, interpret=None):
     L = tr.shape[0]
     dtype = h.dtype
     p = _prep(mesh, dtype)
-    n, S, SS, by, nt = p.n, p.S, p.SS, p.by, p.nt
+    n, S, SS = p.n, p.S, p.SS
     NG = 10 * n * n
     Kp = -(-K // 128) * 128
-    tc = cfg.tendencies
-    consts = (float(dt), cfg.gravity, tc.visc_del2, tc.visc_del4,
-              tc.div_factor, tc.eddy_diff2, tc.eddy_diff4)
 
-    # ---- frames ----
-    def frames_of(cls, flat, T, pad_val):
-        grid = flat[:T * NG].reshape(T, 10, n, n, K)
-        fr = jnp.full((T, 10, SS, SS, K), pad_val, dtype)
-        fr = fr.at[:, :, FR + MH:FR + MH + n, FR + MH:FR + MH + n].set(grid)
-        pos, src = p.fills[cls]
-        fr = fr.reshape(-1, K).at[pos].set(flat[src]).reshape(
-            T, 10, SS, SS, K)
-        return fr
-
-    hf = frames_of("cell", h, 1, 0.0)
-    uf = frames_of("edge", u, 3, 0.0)
-    trf = [frames_of("cell", tr[l], 1, 0.0) for l in range(L)]
-    frames = jnp.concatenate([hf, uf] + trf, axis=0)
-    if Kp != K:
-        frames = jnp.pad(frames, ((0, 0),) * 4 + ((0, Kp - K),))
-
-    out = _call(frames, p.planes, p.block_class,
-                class_lists=_hashable(p.class_lists),
-                const_idx=_hashable(p.const_idx),
-                consts=consts, L=L, S=S, SS=SS, by=by, nt=nt,
-                interpret=interpret)
+    frames = _assemble_frames(p, state, L, K, Kp, dtype)
+    out = _run_kernel(p, cfg, frames, dt, L, interpret)
     if Kp != K:
         out = out[..., :K]
 
@@ -614,3 +689,106 @@ def fb_patch_megastep(mesh, cfg, state, t, dt, interpret=None):
                          lambda fx: sub_out.tracers[l][p.fix_cells_local[
                              jnp.searchsorted(p.fix_cells_global, fx)]]))
     return type(state)(h=h_new, u=u_new, tracers=jnp.stack(trn))
+
+
+# ----------------------------------------------------------------------
+# persistent-frame stepping (frames as the lax.scan carry)
+#
+# The per-step frame assembly + paste-back of fb_patch_megastep moves
+# ~4x the state size through HBM row scatters each step.  Keeping the
+# frames as the scan carry, a step is: kernel -> tiny submesh step ->
+# in-frame halo refresh (refill invalid positions from valid ones,
+# scatter the handful of pole rows, re-zero lattice holes).
+
+def stack_frames(mesh, cfg, state):
+    """Flat state -> (frames, fix_vals) scan carry."""
+    h, u, tr = state
+    K, L = h.shape[-1], tr.shape[0]
+    p = _prep(mesh, h.dtype)
+    Kp = -(-K // 128) * 128
+    frames = _assemble_frames(p, state, L, K, Kp, h.dtype)
+    fix = dict(h=h[p.fix_cells_global], u=u[p.fix_edges_global],
+               tr=tr[:, p.fix_cells_global])
+    return frames, fix
+
+
+def fb_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
+                             interpret=None):
+    """One FB step on the (frames, fix_vals) carry."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    frames, fix = carry
+    p = _prep(mesh, frames.dtype)
+    Kp = frames.shape[-1]
+
+    out = _run_kernel(p, cfg, frames, dt, L, interpret)
+
+    # ---- submesh state from the (fully refreshed) current frames ----
+    from omega_tpu.core.state import ModelState
+    from omega_tpu.stepping.steppers import forward_backward_step
+    cflat = frames[0].reshape(-1, Kp)
+    eflat = frames[1:4].reshape(-1, Kp)
+    h_sub = cflat[p.sub_cell_src][..., :K].at[p.fix_cells_local].set(
+        fix["h"])
+    u_sub = eflat[p.sub_edge_src][..., :K].at[p.fix_edges_local].set(
+        fix["u"])
+    tr_sub = jnp.stack([
+        frames[4 + l].reshape(-1, Kp)[p.sub_cell_src][..., :K]
+        for l in range(L)]).at[:, p.fix_cells_local].set(fix["tr"])
+    sub_out = forward_backward_step(
+        p.sub_mesh, cfg, ModelState(h=h_sub, u=u_sub, tracers=tr_sub),
+        t, dt)
+    nfix = dict(h=sub_out.h[p.fix_cells_local],
+                u=sub_out.u[p.fix_edges_local],
+                tr=sub_out.tracers[:, p.fix_cells_local])
+
+    # ---- frame refresh ----
+    nf = frames.at[:, :, FR:FR + p.S, FR:FR + p.S].set(out)
+    pc, pe = p.persist["cell"], p.persist["edge"]
+
+    def pad_rows(rows):
+        if Kp == K:
+            return rows
+        return jnp.pad(rows, ((0, 0), (0, Kp - K)))
+
+    def refresh(flat, m, fix_rows):
+        flat = flat.at[m["refill_pos"]].set(flat[m["refill_src"]])
+        if m["fix_pos"].size:
+            flat = flat.at[m["fix_pos"]].set(
+                pad_rows(fix_rows)[m["fix_row"]])
+        if m["zero_pos"].size:
+            flat = flat.at[m["zero_pos"]].set(0.0)
+        return flat
+
+    sh1 = nf[0].shape
+    nf = nf.at[0].set(refresh(nf[0].reshape(-1, Kp), pc,
+                              nfix["h"]).reshape(sh1))
+    nf = nf.at[1:4].set(refresh(nf[1:4].reshape(-1, Kp), pe,
+                                nfix["u"]).reshape(nf[1:4].shape))
+    for l in range(L):
+        nf = nf.at[4 + l].set(refresh(nf[4 + l].reshape(-1, Kp), pc,
+                                      nfix["tr"][l]).reshape(sh1))
+    return nf, nfix
+
+
+def unstack_frames(mesh, carry, K, L, state_cls):
+    """(frames, fix_vals) -> flat ModelState."""
+    frames, fix = carry
+    p = _prep(mesh, frames.dtype)
+    Kp = frames.shape[-1]
+    cflat = frames[0].reshape(-1, Kp)
+    eflat = frames[1:4].reshape(-1, Kp)
+
+    def read(flat, src, ok, fixg, fix_rows):
+        v = flat[src][..., :K]
+        v = jnp.where(ok[:, None], v, 0.0)
+        return v.at[fixg].set(fix_rows)
+
+    h = read(cflat, p.cell_src, p.cell_src_ok, p.fix_cells_global,
+             fix["h"])
+    u = read(eflat, p.edge_src, p.edge_src_ok, p.fix_edges_global,
+             fix["u"])
+    tr = jnp.stack([
+        read(frames[4 + l].reshape(-1, Kp), p.cell_src, p.cell_src_ok,
+             p.fix_cells_global, fix["tr"][l]) for l in range(L)])
+    return state_cls(h=h, u=u, tracers=tr)

@@ -172,7 +172,27 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
     driver between scan segments)."""
     if (stepper is forward_backward_step and halo is _identity
             and wind_stress is None and isinstance(dt, (int, float))):
-        from omega_tpu.ops import megastep
+        from omega_tpu.ops import megastep, patch_megastep
+        if patch_megastep.enabled() and patch_megastep.supported(mesh, cfg):
+            # persistent-frame fast path (sphere): the patch frames are
+            # the scan carry, so a step is one kernel + the tiny pole
+            # submesh step + the in-frame halo refresh — no per-step
+            # frame assembly / paste-back scatters
+            h, _, tr = state
+            K, L = h.shape[-1], tr.shape[0]
+            carry = patch_megastep.stack_frames(mesh, cfg, state)
+
+            def pbody(c, _):
+                cr, t = c
+                cr = patch_megastep.fb_patch_megastep_framed(
+                    mesh, cfg, cr, t, dt, K=K, L=L)
+                return (cr, t + dt), None
+
+            (carry, _), _ = jax.lax.scan(
+                pbody, (carry, jnp.asarray(t0, h.dtype)), None,
+                length=nsteps)
+            return patch_megastep.unstack_frames(mesh, carry, K, L,
+                                                 type(state))
         if megastep.enabled() and megastep.supported(mesh, cfg):
             # stacked fast path: keep the mega-step kernel's single
             # (CH, ny, nx, K128) array as the scan carry so each step is

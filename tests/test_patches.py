@@ -179,3 +179,45 @@ def test_patch_megastep_matches_composed(pmesh, monkeypatch):
     v0 = float(np.sum(np.asarray(state.h) * area))
     v1 = float(np.sum(np.asarray(on.h) * area))
     assert abs(v1 - v0) / v0 < 1e-13
+
+
+def test_patch_megastep_framed_carry(pmesh, monkeypatch):
+    """The persistent-frame scan carry (stack_frames -> N framed steps
+    -> unstack_frames) equals both the per-step kernel API and the
+    composed stepper: the in-frame halo refresh, pole fix_vals carry,
+    and hole re-zeroing reproduce the full re-assembly each step."""
+    from omega_tpu.core.state import ModelState as MS
+    from omega_tpu.ops import patch_megastep
+    from omega_tpu.stepping.steppers import forward_backward_step
+
+    K = 3
+    cfg = ModelConfig(nvertlayers=K, ntracers=1,
+                      tendencies=TendencyConfig(visc_del2=1.0e3,
+                                                visc_del4=1.0e9))
+    state = _initial_state(pmesh, K, 1)
+    rng = np.random.default_rng(11)
+    u0 = 0.1 * rng.standard_normal((pmesh.nedges, K))
+    u0 *= np.asarray(pmesh.edge_mask)[:, None]
+    state = MS(h=state.h, u=jnp.asarray(u0), tracers=state.tracers)
+    dt, nsteps = 60.0, 3
+
+    # framed carry
+    carry = patch_megastep.stack_frames(pmesh, cfg, state)
+    t = 0.0
+    for _ in range(nsteps):
+        carry = patch_megastep.fb_patch_megastep_framed(
+            pmesh, cfg, carry, t, dt, K=K, L=1)
+        t += dt
+    framed = patch_megastep.unstack_frames(pmesh, carry, K, 1, MS)
+
+    # per-step kernel API
+    st, t = state, 0.0
+    for _ in range(nsteps):
+        st = patch_megastep.fb_patch_megastep(pmesh, cfg, st, t, dt)
+        t += dt
+
+    for fld in ("h", "u", "tracers"):
+        a = np.asarray(getattr(framed, fld))
+        b = np.asarray(getattr(st, fld))
+        scale = np.max(np.abs(b)) + 1e-300
+        assert np.max(np.abs(a - b)) / scale < 1e-13, fld
