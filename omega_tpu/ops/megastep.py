@@ -46,11 +46,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from omega_tpu.ops import structured
 
-# slab halo ring; the longest chain is exactly 6 columns
+# slab halo ring; the longest FB chain is exactly 6 columns
 # (cmean+div+kite+vmean = 4, then tang's +-2) and 5 rows.
 # Measured on v5e at 256^2 x 100: (R=8, tile 16) 6.8 ms beats
-# (R=6, tile 16) 7.3 and (R=6, tile 24) 7.4; tile 32 OOMs VMEM.
+# (R=6, tile 16) 7.3 and (R=6, tile 24) 7.4; tile 32 OOMed the
+# default 16MB scoped VMEM (the scope is 120MB now — see _call).
 R = int(os.environ.get("OMEGA_MEGA_R", 8))
+# RK2 runs TWO tendency chains back to back (radius 2x6 = 12), so it
+# needs a wider ring; redundancy (by+2R)^2/by^2 says prefer tile 32.
+R_RK2 = int(os.environ.get("OMEGA_MEGA_R_RK2", 12))
+
+
+def _ring(kind):
+    return R_RK2 if kind == "rk2" else R
 
 
 def enabled() -> bool:
@@ -67,15 +75,15 @@ def _table(mesh, name):
     return None if tab is None else tuple(tab)
 
 
-def supported(mesh, cfg) -> bool:
+def supported(mesh, cfg, kind="fb") -> bool:
     """The flagship configuration this kernel implements."""
     tc = cfg.tendencies
     if not structured.enabled(mesh):
         return False
     nx, ny = mesh.structured_nx, mesh.structured_ny
-    by, bx = _pick_tile(ny, nx)
+    by, bx = _pick_tile(ny, nx, kind)
     # the 9-rectangle wrapped DMA needs each halo band contiguous mod n
-    if by < R or bx < R:
+    if by < _ring(kind) or bx < _ring(kind):
         return False
     need = ("dc_edge", "dv_edge", "area_cell", "area_triangle", "f_vertex",
             "bottom_depth", "edge_mask", "mesh_scaling_del2",
@@ -207,7 +215,101 @@ def _fb_compute(h, u, tr, even, tabs, consts, L):
     return h_new, un, trn
 
 
-def _kernel(s_hbm, o_hbm, *, tabs, consts, L, ny, nx, K, by, bx, nby, nbx):
+def _tend_compute(h, u, tr, even, tabs, consts, L):
+    """compute_all_tendencies on one VMEM slab: every aux variable at the
+    SAME (h, u, tr) time level (tendencies.py:178-186), unlike the FB
+    chain which re-evaluates momentum aux on h_new. Radius 6.
+
+    Returns (dh, du, dtr) as slab tendencies (du/dtr are channel lists).
+    """
+    (dt, grav, nu2, nu4, div_factor, ed2, ed4, inv_dc, inv_dv, inv_dv_floor,
+     geo, f0v, scal2, scal4) = consts
+
+    ap = lambda name, vals, pd: _apply(tabs[name], vals, even, pd)
+
+    # --- thickness: dh = -div(mean_h u)
+    mean_h = ap("cmean", [h], 3)
+    F = [mean_h[i] * u[i] for i in range(3)]
+    dh = -ap("div", F, 1)[0]
+
+    # --- tracers (center flux + del2 + del4), all on level h
+    dtr = []
+    for l in range(L):
+        htr = ap("cmean", [h * tr[l]], 3)
+        adv = -ap("div", [htr[i] * u[i] for i in range(3)], 1)[0]
+        ctr = ap("cdiff", [tr[l]], 3)
+        d2tr = ap("signed_div",
+                  [geo * mean_h[i] * ctr[i] for i in range(3)],
+                  1)[0]
+        cd2 = ap("cdiff", [d2tr], 3)
+        hyp = ap("signed_div", [geo * scal4 * cd2[i]
+                                for i in range(3)], 1)[0]
+        dtr.append(adv + ed2 * scal2 * d2tr - ed4 * hyp)
+
+    # --- velocity aux on (h, u) — the same level (RK semantics)
+    ke = ap("ke", [ui * ui for ui in u], 1)[0]
+    div_u = ap("div", u, 1)[0]
+    rvort = ap("curl", u, 2)
+    h_v = ap("kite", [h], 2)
+    nrv = [rvort[i] / h_v[i] for i in range(2)]
+    npv = [f0v / h_v[i] for i in range(2)]
+    nrv_e = ap("vmean", nrv, 3)
+    npv_e = ap("vmean", npv, 3)
+    q_e = [nrv_e[i] + npv_e[i] for i in range(3)]
+
+    cdd = ap("cdiff", [div_u], 3)
+    vdr = ap("vdiff", rvort, 3)
+    del2_e = [cdd[i] * inv_dc - vdr[i] * inv_dv_floor
+              for i in range(3)]
+    del2_div = ap("div", del2_e, 1)[0]
+    del2_rv = ap("curl", del2_e, 2)
+
+    tf = ap("tang", F, 3)
+    tfq = ap("tang", [F[i] * q_e[i] for i in range(3)], 3)
+    pv = [0.5 * (q_e[i] * tf[i] + tfq[i]) for i in range(3)]
+
+    gke = ap("cdiff", [ke], 3)
+    gssh = ap("cdiff", [h], 3)           # stacked ssh, uniform depth
+    cd4 = ap("cdiff", [del2_div], 3)
+    vd4 = ap("vdiff", del2_rv, 3)
+
+    du = []
+    for i in range(3):
+        du.append(pv[i]
+                  - gke[i] * inv_dc
+                  - grav * gssh[i] * inv_dc
+                  + nu2 * scal2 * (cdd[i] * inv_dc - vdr[i] * inv_dv)
+                  - nu4 * scal4 * (div_factor * cd4[i] * inv_dc
+                                   - vd4[i] * inv_dv))
+    return dh, du, dtr
+
+
+def _rk2_compute(h, u, tr, even, tabs, consts, L):
+    """Midpoint RK2 (steppers.rk2_step) on one VMEM slab: two radius-6
+    tendency chains back to back (total radius 12 <= R_RK2). Garbage
+    slab-edge values can divide by ~0 in the tracer mid-state; the
+    resulting non-finites stay outside the owned center by the same
+    radius accounting as any other creep."""
+    dt = consts[0]
+
+    dh1, du1, dtr1 = _tend_compute(h, u, tr, even, tabs, consts, L)
+    h_mid = h + (0.5 * dt) * dh1
+    u_mid = [u[i] + (0.5 * dt) * du1[i] for i in range(3)]
+    tr_mid = [(tr[l] * h + (0.5 * dt) * dtr1[l]) / h_mid for l in range(L)]
+
+    dh2, du2, dtr2 = _tend_compute(h_mid, u_mid, tr_mid, even, tabs,
+                                   consts, L)
+    h_new = h + dt * dh2
+    un = [u[i] + dt * du2[i] for i in range(3)]
+    trn = [(tr[l] * h + dt * dtr2[l]) / h_new for l in range(L)]
+    return h_new, un, trn
+
+
+_COMPUTE = {"fb": _fb_compute, "rk2": _rk2_compute}
+
+
+def _kernel(s_hbm, o_hbm, *, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
+            R, compute):
     """Slab-resident FB step over the native (CH, ny, nx, K) state.
 
     Each tile's input slab (CH, by+2R, bx+2R, K) is assembled by 9
@@ -331,7 +433,7 @@ def _kernel(s_hbm, o_hbm, *, tabs, consts, L, ny, nx, K, by, bx, nby, nbx):
                 # through, no stencil work) — NOT a time step
                 h_new, un, trn = h, u, tr
             else:
-                h_new, un, trn = _fb_compute(h, u, tr, even, tabs, consts, L)
+                h_new, un, trn = compute(h, u, tr, even, tabs, consts, L)
 
             # --- write owned centers (wait for this slot's previous
             # write to drain before overwriting)
@@ -368,10 +470,17 @@ def _kernel(s_hbm, o_hbm, *, tabs, consts, L, ny, nx, K, by, bx, nby, nbx):
     )
 
 
-def _pick_tile(ny, nx):
+def _pick_tile(ny, nx, kind="fb"):
     """Largest (by, bx) tile dividing (ny, nx) under a VMEM-driven cap
-    (OMEGA_MEGA_TILE accepts '16' or '16x32' for rectangular tiles)."""
-    spec = os.environ.get("OMEGA_MEGA_TILE", "16")
+    (OMEGA_MEGA_TILE accepts '16' or '16x32' for rectangular tiles).
+    RK2's wider ring (R_RK2) wants a bigger default tile to hold the
+    halo read amplification at (32+24)^2/32^2 = 3.1x."""
+    if kind == "rk2":
+        spec = os.environ.get("OMEGA_MEGA_TILE_RK2", "32")
+    else:
+        # tile 32 needs the raised VMEM scope (see _call); measured
+        # 5.63 ms vs 5.84 at tile 16 on the 256^2 x 100 flagship
+        spec = os.environ.get("OMEGA_MEGA_TILE", "32")
     if "x" in spec:
         cy, cx = (int(v) for v in spec.split("x"))
     else:
@@ -386,14 +495,15 @@ def _pick_tile(ny, nx):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tabs", "consts", "L", "ny", "nx", "interpret"))
-def _call(stacked, *, tabs, consts, L, ny, nx, interpret):
+    "tabs", "consts", "L", "ny", "nx", "interpret", "kind"))
+def _call(stacked, *, tabs, consts, L, ny, nx, interpret, kind="fb"):
     K = stacked.shape[-1]
-    by, bx = _pick_tile(ny, nx)
+    by, bx = _pick_tile(ny, nx, kind)
     CH = stacked.shape[0]
     kern = functools.partial(_kernel, tabs=dict(tabs), consts=consts, L=L,
                              ny=ny, nx=nx, K=K, by=by, bx=bx,
-                             nby=ny // by, nbx=nx // bx)
+                             nby=ny // by, nbx=nx // bx,
+                             R=_ring(kind), compute=_COMPUTE[kind])
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((CH, ny, nx, K), stacked.dtype),
@@ -474,4 +584,26 @@ def fb_megastep(mesh, cfg, state, t, dt, interpret=None):
     h, _, tr = state
     stacked = stack_state(mesh, state)
     out = fb_megastep_stacked(mesh, cfg, stacked, dt, interpret=interpret)
+    return unstack_state(mesh, out, h.shape[-1], tr.shape[0], type(state))
+
+
+def rk2_megastep_stacked(mesh, cfg, stacked, dt, interpret=None):
+    """One midpoint-RK2 step on the stacked layout: both tendency
+    evaluations fused into the one kernel (ring R_RK2 >= 12)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tabs, consts = _mega_args(mesh, cfg, dt)
+    nx, ny = mesh.structured_nx, mesh.structured_ny
+    return _call(stacked, tabs=tabs, consts=consts,
+                 L=stacked.shape[0] - 4, ny=ny, nx=nx, interpret=interpret,
+                 kind="rk2")
+
+
+def rk2_megastep(mesh, cfg, state, t, dt, interpret=None):
+    """One RK2 step (== stepping.rk2_step) for the supported flagship
+    configuration. Single-device only: the fused two-chain radius (12)
+    exceeds any halo width, so sharded runs keep the composed stepper."""
+    h, _, tr = state
+    stacked = stack_state(mesh, state)
+    out = rk2_megastep_stacked(mesh, cfg, stacked, dt, interpret=interpret)
     return unstack_state(mesh, out, h.shape[-1], tr.shape[0], type(state))

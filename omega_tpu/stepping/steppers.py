@@ -206,6 +206,23 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
             stacked, _ = jax.lax.scan(mbody, stacked, None, length=nsteps)
             return megastep.unstack_state(mesh, stacked, h.shape[-1],
                                           tr.shape[0], type(state))
+    if (stepper is rk2_step and halo is _identity
+            and wind_stress is None and isinstance(dt, (int, float))):
+        from omega_tpu.ops import megastep
+        if megastep.enabled() and megastep.supported(mesh, cfg, kind="rk2"):
+            # both RK2 tendency chains fused into one kernel launch per
+            # step (single-device only: the fused radius of 12 exceeds
+            # any halo width, so sharded runs keep the composed path)
+            h, _, tr = state
+            stacked = megastep.stack_state(mesh, state)
+
+            def rbody(carry, _):
+                return megastep.rk2_megastep_stacked(mesh, cfg, carry,
+                                                     dt), None
+
+            stacked, _ = jax.lax.scan(rbody, stacked, None, length=nsteps)
+            return megastep.unstack_state(mesh, stacked, h.shape[-1],
+                                          tr.shape[0], type(state))
 
     def body(carry, i):
         st, t = carry
