@@ -113,18 +113,29 @@ def split_forward_backward_step(mesh: HorzMesh, cfg: ModelConfig,
     edge_ex = getattr(halo, "edge", None) or (lambda x: x)
     cell_ex = getattr(halo, "cell", None) or (lambda x: x)
 
-    def subcycle(carry, _):
-        ub, ssh_s, acc = carry
-        ub = ub + dt_bt * (fast(ub, ssh_s) + g_slow)
-        ub = edge_ex(ub)
-        ssh_s = ssh_s - dt_bt * trisk.div_cell(mesh, h_edge_tot * ub)
-        ssh_s = cell_ex(ssh_s)
-        return (ub, ssh_s, acc + ub), None
+    from omega_tpu.ops import barotropic_kernel as btk
+    if (halo is _identity and btk.enabled() and btk.supported(mesh)
+            and isinstance(dt, (int, float))):
+        # single fused kernel: the whole 2-D barotropic state resides in
+        # VMEM for all M subcycles (ops/barotropic_kernel.py) — exact,
+        # since the resident doubly periodic domain has no tile creep
+        ub_final, _, ubar_avg = btk.bt_subcycles(
+            mesh, ubar, ssh, g_slow, h_edge_tot,
+            gravity=g, dt_bt=dt_bt, n_subcycles=n_subcycles,
+            bt_drag=bt_drag)
+    else:
+        def subcycle(carry, _):
+            ub, ssh_s, acc = carry
+            ub = ub + dt_bt * (fast(ub, ssh_s) + g_slow)
+            ub = edge_ex(ub)
+            ssh_s = ssh_s - dt_bt * trisk.div_cell(mesh, h_edge_tot * ub)
+            ssh_s = cell_ex(ssh_s)
+            return (ub, ssh_s, acc + ub), None
 
-    (ub_final, _, acc), _ = jax.lax.scan(
-        subcycle, (ubar, ssh, jnp.zeros_like(ubar)), None,
-        length=n_subcycles)
-    ubar_avg = acc / n_subcycles
+        (ub_final, _, acc), _ = jax.lax.scan(
+            subcycle, (ubar, ssh, jnp.zeros_like(ubar)), None,
+            length=n_subcycles)
+        ubar_avg = acc / n_subcycles
 
     # --- baroclinic velocity update (slow modes only)
     uprime_new = uprime + dt * (du_full - du_bar)

@@ -176,3 +176,27 @@ def test_split_decomposition_invariance():
     np.testing.assert_allclose(np.asarray(out.tracers),
                                np.asarray(ref.tracers),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_bt_kernel_matches_scan(monkeypatch):
+    """The fused barotropic-subcycle kernel (all M subcycles in one
+    VMEM-resident Pallas launch, ops/barotropic_kernel.py; interpret
+    mode on CPU) reproduces the composed lax.scan subcycling exactly."""
+    mesh, cfg, st = _setup()
+    from omega_tpu.ops import barotropic_kernel as btk
+    assert btk.supported(mesh)
+    rng = np.random.default_rng(5)
+    st = ModelState(h=st.h,
+                    u=jnp.asarray(0.02 * rng.standard_normal(st.u.shape)),
+                    tracers=st.tracers)
+
+    monkeypatch.setenv("OMEGA_BT_KERNEL", "1")
+    fast = split_forward_backward_step(mesh, cfg, st, 0.0, 120.0,
+                                       n_subcycles=7, bt_drag=1e-4)
+    monkeypatch.setenv("OMEGA_BT_KERNEL", "0")
+    slow = split_forward_backward_step(mesh, cfg, st, 0.0, 120.0,
+                                       n_subcycles=7, bt_drag=1e-4)
+    for n in ("h", "u", "tracers"):
+        a, b = np.asarray(getattr(fast, n)), np.asarray(getattr(slow, n))
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-14,
+                                   err_msg=n)
