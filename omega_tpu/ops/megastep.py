@@ -305,18 +305,104 @@ def _rk2_compute(h, u, tr, even, tabs, consts, L):
     return h_new, un, trn
 
 
-_COMPUTE = {"fb": _fb_compute, "rk2": _rk2_compute}
+def _state_compute(fn):
+    """Adapt an (h, u, tr) -> (h, u, tr) chain to the kernel's flat
+    slab-list interface (slabs[0]=h, [1:4]=u, [4:4+L]=tracers)."""
+    def wrapped(slabs, even, tabs, consts, L):
+        h_new, un, trn = fn(slabs[0], slabs[1:4], slabs[4:4 + L],
+                            even, tabs, consts, L)
+        return [h_new] + list(un) + list(trn)
+    return wrapped
 
 
-def _kernel(s_hbm, o_hbm, *, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
-            R, compute):
-    """Slab-resident FB step over the native (CH, ny, nx, K) state.
+# ---- RK4 stage kernels (RungeKutta4Stepper.cpp:68-137 semantics) ----
+# Each stage runs ONE radius-6 tendency chain (same R=8 ring as FB);
+# the step is four kernel launches threading (acc, prov) 2CH arrays:
+#   s1: state            -> acc = state + b0 dt k1 ; prov1
+#   s2: state, acc, prov -> acc += b1 dt k2 ; prov2     (a=1/2)
+#   s3: state, acc, prov -> acc += b2 dt k3 ; prov3     (a=1)
+#   s4: acc, prov        -> final (tracers = tr_acc / h_acc)
+# Tracer accumulators live in thickness-weighted tr*h units, exactly as
+# the composed rk4_step / the reference's weightTracers machinery
+# (TimeStepper.h:205-237).
 
-    Each tile's input slab (CH, by+2R, bx+2R, K) is assembled by 9
-    rectangle DMAs (3 y-bands x 3 x-bands); the halo bands wrap with a
-    mod-n start offset, so no padded copy of the state ever exists in
-    HBM. Requires by >= R and bx >= R (band contiguity)."""
-    CH = s_hbm.shape[0]
+def _stage_out(dt, b, h, u, tr_h, dh, du, dtr, acc, a, L):
+    """acc' = acc + b dt k ; prov = state + a dt k  (tr via tr_h)."""
+    accp = ([acc[0] + b * dt * dh]
+            + [acc[1 + i] + b * dt * du[i] for i in range(3)]
+            + [acc[4 + l] + b * dt * dtr[l] for l in range(L)])
+    hp = h + a * dt * dh
+    prov = ([hp] + [u[i] + a * dt * du[i] for i in range(3)]
+            + [(tr_h[l] + a * dt * dtr[l]) / hp for l in range(L)])
+    return accp + prov
+
+
+def _rk4_s1(slabs, even, tabs, consts, L):
+    dt = consts[0]
+    h, u, tr = slabs[0], slabs[1:4], slabs[4:4 + L]
+    dh, du, dtr = _tend_compute(h, u, tr, even, tabs, consts, L)
+    tr_h = [tr[l] * h for l in range(L)]
+    acc0 = [h] + list(u) + tr_h
+    return _stage_out(dt, 1.0 / 6.0, h, u, tr_h, dh, du, dtr,
+                      acc0, 0.5, L)
+
+
+def _rk4_mid(a, b):
+    def fn(slabs, even, tabs, consts, L):
+        dt = consts[0]
+        CH = 4 + L
+        st, acc, prov = slabs[:CH], slabs[CH:2 * CH], slabs[2 * CH:]
+        h, u = st[0], st[1:4]
+        tr_h = [st[4 + l] * h for l in range(L)]
+        dh, du, dtr = _tend_compute(prov[0], prov[1:4], prov[4:],
+                                    even, tabs, consts, L)
+        return _stage_out(dt, b, h, u, tr_h, dh, du, dtr, acc, a, L)
+    return fn
+
+
+def _rk4_s4(slabs, even, tabs, consts, L):
+    dt = consts[0]
+    CH = 4 + L
+    acc, prov = slabs[:CH], slabs[CH:]
+    dh, du, dtr = _tend_compute(prov[0], prov[1:4], prov[4:],
+                                even, tabs, consts, L)
+    b = 1.0 / 6.0
+    h_new = acc[0] + b * dt * dh
+    un = [acc[1 + i] + b * dt * du[i] for i in range(3)]
+    trn = [(acc[4 + l] + b * dt * dtr[l]) / h_new for l in range(L)]
+    return [h_new] + un + trn
+
+
+_COMPUTE = {
+    "fb": _state_compute(_fb_compute),
+    "rk2": _state_compute(_rk2_compute),
+    "rk4s1": _rk4_s1,
+    "rk4s2": _rk4_mid(0.5, 1.0 / 3.0),
+    "rk4s3": _rk4_mid(1.0, 1.0 / 3.0),
+    "rk4s4": _rk4_s4,
+}
+
+
+def _kernel(*refs, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
+            R, compute, nin):
+    """Slab-resident step over native (CH_i, ny, nx, K) state arrays.
+
+    refs = nin input arrays + 1 output array; the inputs' channels are
+    stacked into one (CHT, by+2R, bx+2R, K) slab per tile (multi-input
+    support exists for the RK4 stage kernels, whose stages read state /
+    accumulator / provisional arrays side by side). Each tile's input
+    slab is assembled by 9 rectangle DMAs per input (3 y-bands x 3
+    x-bands); the halo bands wrap with a mod-n start offset, so no
+    padded copy of the state ever exists in HBM. Requires by >= R and
+    bx >= R (band contiguity)."""
+    s_hbms = refs[:nin]
+    o_hbm = refs[nin]
+    CHs = [s.shape[0] for s in s_hbms]
+    offs = [0]
+    for c in CHs:
+        offs.append(offs[-1] + c)
+    CHT = offs[-1]
+    CHO = o_hbm.shape[0]
     YY, XX = by + 2 * R, bx + 2 * R
 
     def body(in_s, out_s, sem):
@@ -331,13 +417,16 @@ def _kernel(s_hbm, o_hbm, *, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
 
         def in_dmas_interior(slot, bidx):
             # tiles whose halo ring does not touch the wrap read ONE
-            # contiguous slab (small-rectangle DMAs measured ~3x off
-            # peak HBM bandwidth; one big rect is near it)
+            # contiguous slab per input (small-rectangle DMAs measured
+            # ~3x off peak HBM bandwidth; one big rect is near it)
             biy = bidx // nbx
             bix = bidx % nbx
-            return (cp(s_hbm.at[:, pl.ds(biy * by - R, by + 2 * R),
-                                pl.ds(bix * bx - R, bx + 2 * R)],
-                       in_s.at[slot], sem.at[9 * slot]),)
+            return tuple(
+                cp(s.at[:, pl.ds(biy * by - R, by + 2 * R),
+                        pl.ds(bix * bx - R, bx + 2 * R)],
+                   in_s.at[slot, pl.ds(offs[i], CHs[i])],
+                   sem.at[9 * (slot * nin + i)])
+                for i, s in enumerate(s_hbms))
 
         def in_dmas_wrap(slot, bidx):
             biy = bidx // nbx
@@ -354,12 +443,14 @@ def _kernel(s_hbm, o_hbm, *, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
                       (x0, bx, R),
                       ((x0 + bx) % nx, R, R + bx))
             dmas = []
-            for yi, (sy, ly, dy) in enumerate(ybands):
-                for xi, (sx, lx, dx) in enumerate(xbands):
-                    dmas.append(cp(
-                        s_hbm.at[:, pl.ds(sy, ly), pl.ds(sx, lx)],
-                        in_s.at[slot, :, pl.ds(dy, ly), pl.ds(dx, lx)],
-                        sem.at[9 * slot + 3 * yi + xi]))
+            for i, s in enumerate(s_hbms):
+                for yi, (sy, ly, dy) in enumerate(ybands):
+                    for xi, (sx, lx, dx) in enumerate(xbands):
+                        dmas.append(cp(
+                            s.at[:, pl.ds(sy, ly), pl.ds(sx, lx)],
+                            in_s.at[slot, pl.ds(offs[i], CHs[i]),
+                                    pl.ds(dy, ly), pl.ds(dx, lx)],
+                            sem.at[9 * (slot * nin + i) + 3 * yi + xi]))
             return dmas
 
         # the interior fast path only exists when the grid has interior
@@ -403,7 +494,7 @@ def _kernel(s_hbm, o_hbm, *, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
             bix = bidx % nbx
             return (cp(out_s.at[slot],
                        o_hbm.at[:, pl.ds(biy * by, by), pl.ds(bix * bx, bx)],
-                       sem.at[18 + slot]),)
+                       sem.at[18 * nin + slot]),)
 
         start_in(0, 0)
 
@@ -424,16 +515,14 @@ def _kernel(s_hbm, o_hbm, *, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
                 jnp.int32, (YY, XX, K), 0)
             even = (row % 2) == 0
 
-            h = in_s[cur, 0]
-            u = [in_s[cur, 1 + i] for i in range(3)]
-            tr = [in_s[cur, 4 + l] for l in range(L)]
+            slabs = [in_s[cur, ch] for ch in range(CHT)]
 
             if os.environ.get("OMEGA_MEGA_NOP") == "1":
                 # diagnostic: pure-DMA roofline of this kernel (copy
                 # through, no stencil work) — NOT a time step
-                h_new, un, trn = h, u, tr
+                outs = slabs[:CHO]
             else:
-                h_new, un, trn = compute(h, u, tr, even, tabs, consts, L)
+                outs = compute(slabs, even, tabs, consts, L)
 
             # --- write owned centers (wait for this slot's previous
             # write to drain before overwriting)
@@ -444,11 +533,8 @@ def _kernel(s_hbm, o_hbm, *, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
 
             c = slice(R, R + by)
             cx = slice(R, R + bx)
-            out_s[cur, 0] = h_new[c, cx]
-            for i in range(3):
-                out_s[cur, 1 + i] = un[i][c, cx]
-            for l in range(L):
-                out_s[cur, 4 + l] = trn[l][c, cx]
+            for ch in range(CHO):
+                out_s[cur, ch] = outs[ch][c, cx]
 
             for d in out_dmas(cur, bidx):
                 d.start()
@@ -464,9 +550,9 @@ def _kernel(s_hbm, o_hbm, *, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
 
     pl.run_scoped(
         body,
-        in_s=pltpu.VMEM((2, CH, YY, XX, K), s_hbm.dtype),
-        out_s=pltpu.VMEM((2, CH, by, bx, K), s_hbm.dtype),
-        sem=pltpu.SemaphoreType.DMA((20,)),
+        in_s=pltpu.VMEM((2, CHT, YY, XX, K), s_hbms[0].dtype),
+        out_s=pltpu.VMEM((2, CHO, by, bx, K), s_hbms[0].dtype),
+        sem=pltpu.SemaphoreType.DMA((18 * nin + 2,)),
     )
 
 
@@ -495,19 +581,21 @@ def _pick_tile(ny, nx, kind="fb"):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tabs", "consts", "L", "ny", "nx", "interpret", "kind"))
-def _call(stacked, *, tabs, consts, L, ny, nx, interpret, kind="fb"):
-    K = stacked.shape[-1]
+    "tabs", "consts", "L", "ny", "nx", "interpret", "kind", "out_ch"))
+def _call(*stacked, tabs, consts, L, ny, nx, interpret, kind="fb",
+          out_ch=None):
+    K = stacked[0].shape[-1]
     by, bx = _pick_tile(ny, nx, kind)
-    CH = stacked.shape[0]
+    CHO = stacked[0].shape[0] if out_ch is None else out_ch
     kern = functools.partial(_kernel, tabs=dict(tabs), consts=consts, L=L,
                              ny=ny, nx=nx, K=K, by=by, bx=bx,
                              nby=ny // by, nbx=nx // bx,
-                             R=_ring(kind), compute=_COMPUTE[kind])
+                             R=_ring(kind), compute=_COMPUTE[kind],
+                             nin=len(stacked))
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((CH, ny, nx, K), stacked.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_shape=jax.ShapeDtypeStruct((CHO, ny, nx, K), stacked[0].dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(stacked),
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         # larger tiles shrink the halo-ring read amplification
         # ((by+2R)(bx+2R)/(by*bx): 4x at 16, 2.25x at 32) but their
@@ -517,7 +605,7 @@ def _call(stacked, *, tabs, consts, L, ny, nx, interpret, kind="fb"):
             vmem_limit_bytes=int(os.environ.get(
                 "OMEGA_MEGA_VMEM_MB", "120")) * 1024 * 1024),
         interpret=interpret,
-    )(stacked)
+    )(*stacked)
 
 
 def _mega_args(mesh, cfg, dt):
@@ -606,4 +694,31 @@ def rk2_megastep(mesh, cfg, state, t, dt, interpret=None):
     h, _, tr = state
     stacked = stack_state(mesh, state)
     out = rk2_megastep_stacked(mesh, cfg, stacked, dt, interpret=interpret)
+    return unstack_state(mesh, out, h.shape[-1], tr.shape[0], type(state))
+
+
+def rk4_megastep_stacked(mesh, cfg, stacked, dt, interpret=None):
+    """One classic-RK4 step on the stacked layout as FOUR stage kernels
+    (one radius-6 tendency chain each, standard R ring), threading the
+    (acc, prov) channels through HBM between launches."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tabs, consts = _mega_args(mesh, cfg, dt)
+    nx, ny = mesh.structured_nx, mesh.structured_ny
+    L = stacked.shape[0] - 4
+    kw = dict(tabs=tabs, consts=consts, L=L, ny=ny, nx=nx,
+              interpret=interpret)
+    CH = 4 + L
+    ap_ = _call(stacked, kind="rk4s1", out_ch=2 * CH, **kw)
+    ap_ = _call(stacked, ap_, kind="rk4s2", out_ch=2 * CH, **kw)
+    ap_ = _call(stacked, ap_, kind="rk4s3", out_ch=2 * CH, **kw)
+    return _call(ap_, kind="rk4s4", out_ch=CH, **kw)
+
+
+def rk4_megastep(mesh, cfg, state, t, dt, interpret=None):
+    """One RK4 step (== stepping.rk4_step with an identity halo) for the
+    supported flagship configuration, single-device only."""
+    h, _, tr = state
+    stacked = stack_state(mesh, state)
+    out = rk4_megastep_stacked(mesh, cfg, stacked, dt, interpret=interpret)
     return unstack_state(mesh, out, h.shape[-1], tr.shape[0], type(state))

@@ -206,19 +206,22 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
             stacked, _ = jax.lax.scan(mbody, stacked, None, length=nsteps)
             return megastep.unstack_state(mesh, stacked, h.shape[-1],
                                           tr.shape[0], type(state))
-    if (stepper is rk2_step and halo is _identity
+    if (stepper in (rk2_step, rk4_step) and halo is _identity
             and wind_stress is None and isinstance(dt, (int, float))):
         from omega_tpu.ops import megastep
-        if megastep.enabled() and megastep.supported(mesh, cfg, kind="rk2"):
-            # both RK2 tendency chains fused into one kernel launch per
-            # step (single-device only: the fused radius of 12 exceeds
-            # any halo width, so sharded runs keep the composed path)
+        kind = "rk2" if stepper is rk2_step else "rk4"
+        if megastep.enabled() and megastep.supported(mesh, cfg, kind=kind):
+            # RK2: both tendency chains fused into one kernel launch per
+            # step; RK4: four stage kernels threading (acc, prov)
+            # channels. Single-device only — the fused radii exceed any
+            # halo width, so sharded runs keep the composed path.
             h, _, tr = state
             stacked = megastep.stack_state(mesh, state)
+            stepfn = (megastep.rk2_megastep_stacked if kind == "rk2"
+                      else megastep.rk4_megastep_stacked)
 
             def rbody(carry, _):
-                return megastep.rk2_megastep_stacked(mesh, cfg, carry,
-                                                     dt), None
+                return stepfn(mesh, cfg, carry, dt), None
 
             stacked, _ = jax.lax.scan(rbody, stacked, None, length=nsteps)
             return megastep.unstack_state(mesh, stacked, h.shape[-1],

@@ -227,6 +227,41 @@ def test_rk2_megastep_matches_composed_rk2_step():
                                    rtol=1e-10, atol=1e-10, err_msg=n)
 
 
+def test_rk4_megastep_matches_composed_rk4_step():
+    """The four-stage RK4 mega-step (one radius-6 tendency chain per
+    kernel, (acc, prov) channels threaded between launches; interpret
+    mode on CPU) reproduces the composed rk4_step to roundoff."""
+    from omega_tpu.core import ModelConfig, ModelState, TendencyConfig
+    from omega_tpu.ops.megastep import rk4_megastep, supported
+    from omega_tpu.stepping import rk4_step
+
+    mesh = planar_hex_mesh(32, 16, dc=5000.0, f0=1e-4, bottom_depth=1000.0)
+    cfg = ModelConfig(nvertlayers=3, ntracers=2,
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e9))
+    assert supported(mesh, cfg, kind="rk4")
+
+    rng = np.random.default_rng(4)
+    kx = 2 * np.pi / mesh.x_period
+    ky = 2 * np.pi / mesh.y_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell)) * \
+        np.sin(ky * np.asarray(mesh.y_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / 3) * jnp.ones((1, 3))
+    st = ModelState(
+        h=h,
+        u=jnp.asarray(0.01 * rng.standard_normal((mesh.nedges, 3))),
+        tracers=jnp.asarray(10.0 + rng.standard_normal((2, mesh.ncells, 3))))
+
+    ref, out = st, st
+    for _ in range(2):
+        ref = rk4_step(mesh, cfg, ref, 0.0, 30.0)
+        out = rk4_megastep(mesh, cfg, out, 0.0, 30.0, interpret=True)
+    for n in ("h", "u", "tracers"):
+        np.testing.assert_allclose(np.asarray(getattr(out, n)),
+                                   np.asarray(getattr(ref, n)),
+                                   rtol=1e-10, atol=1e-10, err_msg=n)
+
+
 def test_megastep_interior_fast_path_tiles():
     """A mesh with >2 tiles per axis exercises the kernel's interior
     single-rectangle DMA branch alongside the 9-rect wrap branch."""
