@@ -368,9 +368,23 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None):
     def ap(tname, src):
         Td, Ts, lst = entry_lists[tname]
         outs = [None] * Td
+        # the X roll (axis 1 = sublanes) is the expensive one (a real
+        # sublane rotate per vreg; the Y roll is a major-dim reindex) —
+        # hoist it and share across entries with the same (ts, da).
+        # Rolls on different axes commute, so this is bit-identical.
+        nuse: Dict[tuple, int] = {}
         for (td, ts, da, db, pidx) in lst:
+            nuse[(ts, da)] = nuse.get((ts, da), 0) + 1
+        xroll = {}
+        for (td, ts, da, db, pidx) in lst:
+            key = (ts, da)
+            base = xroll.get(key)
+            if base is None:
+                base = _roll(src[ts], da, 1)
+                if nuse[key] > 1:           # cache only reused slabs
+                    xroll[key] = base       # (bounds VMEM live set)
             w = pget(pidx)[..., None]       # (Y, X, 1) lane-broadcasts
-            term = w * _roll(_roll(src[ts], db, 0), da, 1)
+            term = w * _roll(base, db, 0)
             outs[td] = term if outs[td] is None else outs[td] + term
         zero = jnp.zeros_like(src[0])
         return [o if o is not None else zero for o in outs]
