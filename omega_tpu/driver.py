@@ -109,10 +109,19 @@ def _build_mesh(cfg: Config, directory: str) -> HorzMesh:
                     bottom_depth=g.get_float("BottomDepth", 1000.0))
             if kind == "sphere":
                 from omega_tpu.mesh.spherical import spherical_icos_mesh
-                return spherical_icos_mesh(
-                    g.get_int("Subdivisions"),
+                subdiv = g.get_int("Subdivisions")
+                mesh = spherical_icos_mesh(
+                    subdiv,
                     bottom_depth=g.get_float("BottomDepth", 4000.0),
                     lloyd_iters=g.get_int("LloydIters", 0))
+                # PatchLayout: renumber onto the 10 n x n rhombus
+                # lattice so the streaming stencils and the fused patch
+                # kernel (ops/patch_megastep.py) apply — the fast path
+                # for single-chip global runs
+                if g.get_bool("PatchLayout", False):
+                    from omega_tpu.mesh.icos_patches import patch_icos_mesh
+                    mesh = patch_icos_mesh(mesh, subdiv)
+                return mesh
             raise ConfigError(f"unknown mesh Generate Kind {kind!r}")
     raise ConfigError("config needs a Mesh group with MeshFileName or "
                       "Generate")

@@ -349,6 +349,8 @@ def _const_planes(mesh, content):
         arr = np.asarray(getattr(mesh, nm), np.float64)
         pls["scal2" if nm.endswith("del2") else "scal4"] = np.where(
             ce >= 0, arr[np.maximum(ce, 0)], 0.0)
+    em = np.asarray(mesh.edge_mask, np.float64)
+    pls["edge_mask"] = np.where(ce >= 0, em[np.maximum(ce, 0)], 0.0)
     return pls
 
 
@@ -369,13 +371,17 @@ def fb_chain(L: int):
         ("flux", "ew", "mul", "mean_h", "u"),
         ("dh", "st", "div", "flux"),
         ("h_new", "ew", "axpy", "h", -1.0, "dh"),     # h - dt*dh (dt folded)
+        # masked velocity for the tracer advective flux (tendencies.py
+        # `h_tracers_edge * (mask * u)`); on land-free meshes the mask
+        # collapses to the scalar 1.0 and this op is a free alias
+        ("u_m", "ew", "mulc", "u", "$edge_mask"),
     ]
     for l in range(L):
         t = f"tr{l}"
         ops += [
             (f"htr{l}", "ew", "mul", "h", t),
             (f"htre{l}", "st", "cmean", f"htr{l}"),
-            (f"hflux{l}", "ew", "mul", f"htre{l}", "u"),
+            (f"hflux{l}", "ew", "mul", f"htre{l}", "u_m"),
             (f"adv{l}", "st", "div", f"hflux{l}"),
             (f"ctr{l}", "st", "cdiff", t),
             (f"mc{l}", "ew", "mul", "mean_h", f"ctr{l}"),
@@ -412,18 +418,24 @@ def fb_chain(L: int):
         ("vdr", "st", "vgrad", "rvort"),
         ("du", "ew", "visc2", "du", "cdd", "vdr", "$scal2"),
         ("vdr_f", "st", "vgrad_floor", "rvort"),
-        ("del2_e", "ew", "sub", "cdd", "vdr_f"),
+        # EdgeMask applies to the grad-div part of Del2Edge only
+        # (VelocityDel2AuxVars.h:40-45, aux.del2_aux)
+        ("del2_e", "ew", "sub_mc", "cdd", "vdr_f", "$edge_mask"),
         ("dd2", "st", "div", "del2_e"),
         ("dr2", "st", "curl", "del2_e"),
         ("cd4", "st", "cgrad", "dd2"),
         ("vd4", "st", "vgrad", "dr2"),
         ("du", "ew", "visc4", "du", "cd4", "vd4", "$scal4"),
-        ("u_new", "ew", "axpy", "u", 1.0, "du"),
+        # every momentum term carries the edge mask in the composed
+        # chain (tendencies.py velocity_tendency); with mask in {0, 1}
+        # gating the accumulated du once is bit-identical
+        ("u_new", "ew", "axpy_m", "u", 1.0, "du", "$edge_mask"),
     ]
     return ops
 
 
-CLASS_OF = {"h": "cell", "u": "edge", "mean_h": "edge", "flux": "edge",
+CLASS_OF = {"h": "cell", "u": "edge", "u_m": "edge",
+            "mean_h": "edge", "flux": "edge",
             "dh": "cell", "h_new": "cell", "u2": "edge", "ke": "cell",
             "div_u": "cell", "rvort": "vertex", "h_v": "vertex",
             "qv": "vertex", "q_e": "edge", "cdd": "edge", "vdr_f": "edge",
@@ -490,7 +502,8 @@ def chain_validity(tables: Dict[str, MegaTable], content, resolved,
     plane_mask = {"$f_vertex": content["vertex"] >= 0,
                   "$gdepth": content["edge"] >= 0,
                   "$scal2": content["edge"] >= 0,
-                  "$scal4": content["edge"] >= 0}
+                  "$scal4": content["edge"] >= 0,
+                  "$edge_mask": content["edge"] >= 0}
     for op in fb_chain(L):
         name, kind = op[0], op[1]
         if kind == "st":
@@ -674,6 +687,17 @@ def _extract_submesh(mesh, cell_ids: np.ndarray):
                         vertex_degree=mesh.vertex_degree,
                         on_sphere=mesh.on_sphere,
                         sphere_radius=mesh.sphere_radius)
+    # finalize re-derives edge_mask / kite weights from geometry alone,
+    # which loses any LAND masking applied to the parent (mesh/
+    # icos_patches.apply_land_mask).  Fold the parent's zeros back in
+    # multiplicatively so finalize's own zeros (submesh-boundary edges,
+    # out-of-submesh kite slots) survive.
+    p_em = a("edge_mask")[loc_e]
+    p_kite = a("w_kite_frac")[loc_v]
+    sub = dataclasses.replace(
+        sub,
+        edge_mask=np.asarray(sub.edge_mask) * (p_em != 0.0),
+        w_kite_frac=np.asarray(sub.w_kite_frac) * (p_kite != 0.0))
     return sub, loc_e, loc_v
 
 

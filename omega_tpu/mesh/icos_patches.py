@@ -657,3 +657,69 @@ def _resolve_slot(fr, adj, bi, ai, S) -> int:
             if len(cand) == 1:
                 return cand.pop()
     return -1
+
+
+def apply_land_mask(mesh: HorzMesh, land_cells) -> HorzMesh:
+    """A land-masked variant of a patch-renumbered icos mesh.
+
+    Land on the patch layout is expressed by MASKING, not by removing
+    elements (removal would puncture the 10 n x n lattice the streaming
+    stencils and the mega kernel depend on): the full lattice stays, and
+
+      - `edge_mask` is zeroed on every edge touching a land cell (so all
+        masked momentum/tracer-flux terms vanish there, exactly as the
+        reference's boundary EdgeMask does, ocn/HorzMesh.cpp:581-604);
+      - the kite interpolation weights of land cells are zeroed (what
+        carve_mesh gets from finalize zeroing removed-cell kites), so
+        vertex thickness h_v never reads land state.
+
+    With zero initial velocity on masked edges, the ocean cells evolve
+    identically to the same ocean carved out with mesh/carve.py (land
+    rows stay frozen at their initial state).  The fused patch kernel
+    (ops/patch_megastep.py) implements the mask gates of the composed
+    chain, so land meshes stay on the fast path.
+
+    `land_cells`: bool (ncells,) in the PATCH numbering.  Returns a new
+    HorzMesh with a fresh patch_key (stencil tables rebuilt against the
+    masked weights)."""
+    import jax.numpy as jnp
+
+    info = get_info(mesh)
+    if info is None:
+        raise ValueError("apply_land_mask needs a patch-renumbered mesh "
+                         "(mesh.patch_key set by patch_icos_mesh)")
+    land = np.asarray(land_cells, bool)
+    if land.shape != (mesh.ncells,):
+        raise ValueError(f"land_cells must be ({mesh.ncells},), "
+                         f"got {land.shape}")
+
+    unc = unclamped_connectivity(mesh)
+    coe = np.asarray(unc["cells_on_edge"], np.int64)
+    touch = np.zeros(mesh.nedges, bool)
+    for s in range(coe.shape[1]):
+        ok = coe[:, s] >= 0
+        touch[ok] |= land[coe[ok, s]]
+    em = np.asarray(mesh.edge_mask).copy()
+    em[touch] = 0.0
+
+    cov = np.asarray(unc["cells_on_vertex"], np.int64)
+    kite = np.asarray(mesh.w_kite_frac).copy()
+    valid = cov >= 0
+    is_land = valid & land[np.maximum(cov, 0)]
+    # a vertex whose EVERY valid cell is land must keep its original
+    # weights: zeroing all of them gives h_v = 0 and qv = f/0 = inf,
+    # which 0*inf = NaN's through the edge-mask gates.  Its (finite,
+    # junk) qv only reaches land edges, where the mask zeroes it exactly.
+    all_land = valid.any(axis=1) & (is_land == valid).all(axis=1)
+    kite[is_land & ~all_land[:, None]] = 0.0
+
+    new = dataclasses.replace(
+        mesh,
+        edge_mask=jnp.asarray(em, np.asarray(mesh.edge_mask).dtype),
+        w_kite_frac=jnp.asarray(kite, np.asarray(mesh.w_kite_frac).dtype))
+    _NEXT_KEY[0] += 1
+    key = _NEXT_KEY[0]
+    _REGISTRY[key] = info
+    new = dataclasses.replace(new, patch_key=key)
+    _warm_tables(new, info)
+    return new

@@ -57,27 +57,20 @@ def enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
-_NO_LAND: Dict[int, bool] = {}
-
-
 def supported(mesh, cfg) -> bool:
-    """Flagship sphere configuration (mirrors megastep.supported)."""
+    """Flagship sphere configuration (mirrors megastep.supported).
+
+    Land (edge_mask == 0 on real edges, built by
+    mesh/icos_patches.apply_land_mask) is supported: the chain carries
+    the mask gates of the composed path (tracer-flux mask*u, the
+    del2_e grad-part mask, the accumulated-du gate), and on land-free
+    meshes the mask collapses to the scalar 1.0 so those gates are
+    free aliases."""
     tc = cfg.tendencies
     if getattr(mesh, "patch_key", 0) == 0:
         return False
     from omega_tpu.ops import patch_stencil
     if not patch_stencil.enabled(mesh):
-        return False
-    # no LAND edges: mask-0 rows are fine only as dead seam slots (no
-    # real adjacent cell) — a land edge would need mask gating the
-    # fused chain does not implement (cached: called per step)
-    key = mesh.patch_key
-    if key not in _NO_LAND:
-        from omega_tpu.mesh.horz_mesh import unclamped_connectivity
-        em = np.asarray(mesh.edge_mask) == 0.0
-        coe = np.asarray(unclamped_connectivity(mesh)["cells_on_edge"])
-        _NO_LAND[key] = not bool((coe[em] >= 0).any())
-    if not _NO_LAND[key]:
         return False
     return (cfg.flux_thickness_type == "center"
             and cfg.flux_tracer_type == "center"
@@ -173,11 +166,15 @@ def _prep(mesh, dtype):
     for cname, cpl in mg.const_planes.items():
         T = cpl.shape[0]
         flat = cpl.reshape(T, -1)
-        live = np.abs(flat) > 0
-        if not live.any():
+        # uniformity over LIVE CONTENT slots (not over nonzero values:
+        # a zero at a live slot is semantic — a land edge's mask, an
+        # equal-depth gdepth — and must not collapse to a scalar)
+        cls = "vertex" if cname == "f_vertex" else "edge"
+        live = (mg.content[cls] >= 0).reshape(T, -1)
+        vals = flat[live]
+        if not live.any() or not vals.any():
             p.const_idx[cname] = 0.0        # identically zero -> skip
             continue
-        vals = flat[live]
         if np.allclose(vals, vals[0]):
             p.const_idx[cname] = float(vals[0])   # uniform -> scalar
             continue
@@ -406,6 +403,28 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None):
             return [x * y for x, y in zip(v(a[0]), v(a[1]))]
         if fn == "sub":
             return [x - y for x, y in zip(v(a[0]), v(a[1]))]
+        if fn == "mulc":            # x * const plane; alias when == 1.0
+            c = cget(a[1][1:])
+            if isinstance(c, float):
+                return (list(v(a[0])) if c == 1.0
+                        else [x * c for x in v(a[0])])
+            return [x * pli[..., None] for x, pli in zip(v(a[0]), c)]
+        if fn == "sub_mc":          # mask*x - y (del2_e grad-part mask)
+            m = cget(a[2][1:])
+            if isinstance(m, float) and m == 1.0:
+                return [x - y for x, y in zip(v(a[0]), v(a[1]))]
+            mm = cval(a[2][1:], len(v(a[0])))
+            return [mi * x - y
+                    for x, y, mi in zip(v(a[0]), v(a[1]), mm)]
+        if fn == "axpy_m":          # x + dt*coef*(mask*y)
+            coef = a[1]
+            m = cget(a[3][1:])
+            if isinstance(m, float) and m == 1.0:
+                return [x + dt * coef * y
+                        for x, y in zip(v(a[0]), v(a[2]))]
+            mm = cval(a[3][1:], len(v(a[0])))
+            return [x + dt * coef * (mi * y)
+                    for x, y, mi in zip(v(a[0]), v(a[2]), mm)]
         if fn == "axpy":            # x + dt * coef * y
             coef = a[1]
             return [x + dt * coef * y for x, y in zip(v(a[0]), v(a[2]))]
@@ -460,9 +479,10 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
             L, S, SS, by, nt, K, npl):
     CH = f_hbm.shape[0]
     YY = by + 2 * R
+    NP = f_hbm.shape[1]     # 10 on one device; a subset under sharding
 
     def body(in_s, pl_s, out_s, sem):
-        nblocks = 10 * nt * nt
+        nblocks = NP * nt * nt
         cp = pltpu.make_async_copy
 
         def dmas(slot, bidx):
@@ -592,7 +612,8 @@ def _call(frames, planes, block_class, *, class_lists, const_idx, consts,
         npl=planes.shape[-1])
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((CH, 10, S, S, K), frames.dtype),
+        out_shape=jax.ShapeDtypeStruct((CH, frames.shape[1], S, S, K),
+                                       frames.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),

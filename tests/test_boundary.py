@@ -170,3 +170,97 @@ def test_carved_sphere_continent():
     vol1 = np.sum(area * np.asarray(out.h))
     assert abs(vol1 - vol0) / vol0 < 1e-13
     assert np.abs(np.asarray(out.u)[em == 1]).max() > 1e-6
+
+
+# ----------------------------------------------------------------------
+# land on the patch-structured sphere layout (mesh/icos_patches.
+# apply_land_mask): land is masked, not carved, so the fused patch
+# kernel keeps its 10 n x n lattice
+
+def _patch_land(n=8, latdeg=55.0):
+    from omega_tpu.mesh.icos_patches import apply_land_mask, patch_icos_mesh
+    from omega_tpu.mesh.spherical import spherical_icos_mesh
+    pmesh = patch_icos_mesh(spherical_icos_mesh(n, bottom_depth=1000.0), n)
+    land = np.asarray(pmesh.lat_cell) > np.deg2rad(latdeg)
+    assert land.sum() > 10
+    return pmesh, apply_land_mask(pmesh, land), land
+
+
+def _sphere_state(mesh, K, L):
+    ssh = 2.0 * np.sin(2 * np.asarray(mesh.lat_cell)) * \
+        np.cos(np.asarray(mesh.lon_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / K) * jnp.ones((1, K))
+    trc = 10.0 + jnp.asarray(
+        np.cos(np.asarray(mesh.lat_cell))[None, :, None]
+        * np.ones((L, 1, K)))
+    return ModelState(h=h, u=jnp.zeros((mesh.nedges, K)), tracers=trc)
+
+
+def test_land_masked_patch_megastep_matches_composed():
+    """The fused patch kernel implements the mask gates (tracer-flux
+    mask*u, del2_e grad-part mask, accumulated-du gate): on a
+    land-masked patch mesh it reproduces the composed FB step."""
+    from omega_tpu.ops import patch_megastep
+
+    _, masked, land = _patch_land()
+    cfg = ModelConfig(nvertlayers=3, ntracers=2,
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e7))
+    assert patch_megastep.supported(masked, cfg)
+    p = patch_megastep._prep(masked, np.float64)
+    assert not isinstance(p.const_idx["edge_mask"], float), \
+        "land mask must stay a per-position plane"
+
+    st = _sphere_state(masked, 3, 2)
+    out = st
+    for _ in range(3):
+        out = patch_megastep.fb_patch_megastep(masked, cfg, out, 0.0,
+                                               300.0, interpret=True)
+    ref = run_steps(masked, cfg, st, 0.0, 300.0, 3,
+                    stepper=forward_backward_step)
+    for nme in ("h", "u", "tracers"):
+        np.testing.assert_allclose(np.asarray(getattr(out, nme)),
+                                   np.asarray(getattr(ref, nme)),
+                                   rtol=1e-10, atol=1e-10, err_msg=nme)
+    em = np.asarray(masked.edge_mask)
+    np.testing.assert_array_equal(np.asarray(out.u)[em == 0], 0.0)
+
+
+def test_land_masked_patch_matches_carved():
+    """The mask formulation is the same ocean as carving: composed runs
+    on the masked patch mesh and on carve_mesh(base, ~land) agree on
+    every ocean cell (matched by physical position)."""
+    from omega_tpu.mesh.spherical import spherical_icos_mesh
+
+    n, latdeg = 8, 55.0
+    pmesh, masked, land = _patch_land(n, latdeg)
+    base = spherical_icos_mesh(n, bottom_depth=1000.0)
+    land_b = np.asarray(base.lat_cell) > np.deg2rad(latdeg)
+    carved = carve_mesh(base, ~land_b)
+
+    cfg = ModelConfig(nvertlayers=3, ntracers=1,
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e7))
+    out_m = run_steps(masked, cfg, _sphere_state(masked, 3, 1),
+                      0.0, 300.0, 10, stepper=forward_backward_step)
+    out_c = run_steps(carved, cfg, _sphere_state(carved, 3, 1),
+                      0.0, 300.0, 10, stepper=forward_backward_step)
+
+    key = lambda m: {(round(float(la), 9), round(float(lo), 9)): i
+                     for i, (la, lo) in enumerate(zip(
+                         np.asarray(m.lat_cell), np.asarray(m.lon_cell)))}
+    km, kc = key(masked), key(carved)
+    rows_m, rows_c = [], []
+    for k, i in kc.items():
+        rows_c.append(i)
+        rows_m.append(km[k])
+    assert len(rows_c) == carved.ncells
+    np.testing.assert_allclose(np.asarray(out_m.h)[rows_m],
+                               np.asarray(out_c.h)[rows_c],
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out_m.tracers)[:, rows_m],
+                               np.asarray(out_c.tracers)[:, rows_c],
+                               rtol=1e-9, atol=1e-9)
+    # land rows frozen at their initial state
+    h0 = np.asarray(_sphere_state(masked, 3, 1).h)
+    np.testing.assert_array_equal(np.asarray(out_m.h)[land], h0[land])

@@ -283,6 +283,51 @@ def test_multiframe_stream(tmp_path):
     assert frames == [2, 3, 1], frames
 
 
+def test_driver_sphere_patch_layout(tmp_path):
+    """Mesh.Generate.PatchLayout: true builds the patch-renumbered icos
+    mesh (fast streaming-stencil path); physics matches the plain
+    sphere generator cell-for-cell (matched by coordinates)."""
+    tmp = str(tmp_path)
+    cfg_path = _base_config(tmp, stop="0001-01-01_00:10:00")
+    doc = yaml.safe_load(open(cfg_path))
+    doc["Omega"]["Mesh"] = {"Generate": {"Kind": "sphere", "Subdivisions": 8,
+                                         "BottomDepth": 1000.0,
+                                         "PatchLayout": True}}
+    yaml.safe_dump(doc, open(cfg_path, "w"))
+
+    def perturb(model):
+        mesh = model.mesh
+        ssh = np.sin(2 * np.asarray(mesh.lat_cell)) * \
+            np.cos(np.asarray(mesh.lon_cell))
+        K = model.model_cfg.nvertlayers
+        h = np.asarray(model.state.h) + ssh[:, None] / K
+        model.state = model.state._replace(h=jnp.asarray(h))
+        return model
+
+    mA = ocn_init(config_file=cfg_path, directory=tmp)
+    assert getattr(mA.mesh, "patch_key", 0) != 0
+    meshA = mA.mesh
+    mA = perturb(mA)
+    stA = ocn_finalize(ocn_run(mA))
+
+    doc["Omega"]["Mesh"]["Generate"]["PatchLayout"] = False
+    yaml.safe_dump(doc, open(cfg_path, "w"))
+    mB = ocn_init(config_file=cfg_path, directory=tmp)
+    assert getattr(mB.mesh, "patch_key", 0) == 0
+    meshB = mB.mesh
+    mB = perturb(mB)
+    stB = ocn_finalize(ocn_run(mB))
+
+    key = lambda m: {(round(float(la), 9), round(float(lo), 9)): i
+                     for i, (la, lo) in enumerate(zip(
+                         np.asarray(m.lat_cell), np.asarray(m.lon_cell)))}
+    ka, kb = key(meshA), key(meshB)
+    rows_a = [ka[k] for k in kb]
+    np.testing.assert_allclose(np.asarray(stA.h)[rows_a],
+                               np.asarray(stB.h),
+                               rtol=0, atol=1e-11)
+
+
 def test_sharded_driver_sphere_general_decomp(tmp_path):
     """Config-driven multi-device execution of an UNSTRUCTURED mesh: a
     generated sphere with Decomp.NShards > 1 must dispatch to the general
