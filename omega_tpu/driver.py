@@ -247,9 +247,9 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
         dc_ = config.get_group("Decomp")
         nshards = dc_.get_int("NShards", 1)
         decomp_method = dc_.get_str("Method", "auto").lower()
-        if decomp_method not in ("auto", "structured", "sfc"):
-            raise ConfigError(f"Decomp.Method must be auto|structured|sfc, "
-                              f"got {decomp_method!r}")
+        if decomp_method not in ("auto", "structured", "sfc", "patch"):
+            raise ConfigError(f"Decomp.Method must be auto|structured|sfc|"
+                              f"patch, got {decomp_method!r}")
         sharded_io = bool(dc_.get("ShardedIO", False)) and nshards > 1
 
     # --- IO streams
@@ -514,8 +514,30 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
         from omega_tpu.parallel.sharded import default_device_mesh
         dmesh = default_device_mesh(model.nshards)
 
+        use_patch = False
+        if (model.decomp_method == "patch"
+                or (model.decomp_method == "auto"
+                    and jax.default_backend() == "tpu")):
+            # patch-sphere fast path: whole rhombi per device, the fused
+            # FB kernel per shard, ppermute rings for the frame refresh
+            from omega_tpu.ops import patch_megastep as _pm
+            from omega_tpu.stepping.steppers import \
+                forward_backward_step as _fb
+            eligible = (getattr(mesh, "patch_key", 0) != 0
+                        and model.nshards in (2, 5, 10)
+                        and model.wind_stress is None
+                        and model.stepper is _fb
+                        and _pm.supported(mesh, cfg))
+            if eligible:
+                use_patch = True
+            elif model.decomp_method == "patch":
+                raise ConfigError(
+                    "Decomp.Method: patch needs a PatchLayout sphere mesh, "
+                    "NShards in (2, 5, 10), the forward-backward stepper "
+                    "and the flagship tendency configuration")
+
         use_structured = False
-        if model.decomp_method in ("auto", "structured"):
+        if not use_patch and model.decomp_method in ("auto", "structured"):
             from omega_tpu.parallel import structured_shard as sshard
             try:
                 ss = sshard.decompose_structured(mesh, model.nshards)
@@ -527,7 +549,16 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                     "Decomp: mesh not structured-shardable, using the "
                     "general SFC decomposition")
 
-        if use_structured:
+        if use_patch:
+            from omega_tpu.parallel.patch_shard import \
+                make_patch_sharded_run
+            run_p = make_patch_sharded_run(mesh, cfg, model.nshards)
+            model._gather = lambda st: st      # state stays global
+            if model.sharded_io:
+                get_logger().info("ShardedIO: not needed on the patch "
+                                  "path (IO sees global state)")
+                model.sharded_io = False
+        elif use_structured:
             sstep = sshard.make_sharded_step(
                 ss, cfg, model.stepper, dmesh,
                 wind_stress=model.wind_stress)
@@ -571,18 +602,23 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                         st_.spec.name)
                     st_.spec.format = "hdf5"
 
-        @partial(jax.jit, static_argnums=2)
-        def segment_sharded(state, t0, nsteps, wind=None):
-            def body(carry, i):
-                st, t = carry
-                return (sstep(st, t, model.dt, wind), t + model.dt), None
-            (state, _), _ = jax.lax.scan(
-                body, (state, jnp_asarray(t0)), None, length=nsteps)
-            return state
+        if use_patch:
+            def segment_sharded(state, t0, nsteps, wind=None):
+                return run_p(state, t0, model.dt, nsteps)
+        else:
+            @partial(jax.jit, static_argnums=2)
+            def segment_sharded(state, t0, nsteps, wind=None):
+                def body(carry, i):
+                    st, t = carry
+                    return (sstep(st, t, model.dt, wind),
+                            t + model.dt), None
+                (state, _), _ = jax.lax.scan(
+                    body, (state, jnp_asarray(t0)), None, length=nsteps)
+                return state
 
-        import jax.numpy as _jnp
-        jnp_asarray = lambda t0: _jnp.asarray(t0, model.state.h.dtype)
-        model._scatter_wind = sstep.scatter_wind
+            import jax.numpy as _jnp
+            jnp_asarray = lambda t0: _jnp.asarray(t0, model.state.h.dtype)
+            model._scatter_wind = sstep.scatter_wind
 
     @partial(jax.jit, static_argnums=2)
     def segment(state, t0, nsteps, wind=None):

@@ -1,0 +1,67 @@
+"""Multi-device patch-sphere fast path (parallel/patch_shard.py).
+
+The sharded framed step must reproduce the single-device framed step to
+roundoff: the kernel output and the refresh copies are bit-identical
+(verified while developing), and the replicated pole-fix substep — the
+same tiny composed step, recompiled inside the shard_map context — may
+differ by 1-2 ulp where XLA fuses differently, so the whole-state check
+allows 1e-13.
+"""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401  (forces CPU backend, 8 virtual devices)
+
+import jax
+import jax.numpy as jnp
+
+from omega_tpu.core import ModelConfig, ModelState, TendencyConfig
+from omega_tpu.mesh.icos_patches import patch_icos_mesh
+from omega_tpu.mesh.spherical import spherical_icos_mesh
+from omega_tpu.ops import patch_megastep as pm
+from omega_tpu.parallel.patch_shard import make_patch_sharded_run
+
+N_SUB, K, L = 8, 3, 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = patch_icos_mesh(spherical_icos_mesh(N_SUB, bottom_depth=1000.0),
+                           N_SUB)
+    cfg = ModelConfig(nvertlayers=K, ntracers=L,
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e7))
+    ssh = 2.0 * np.sin(2 * np.asarray(mesh.lat_cell)) * \
+        np.cos(np.asarray(mesh.lon_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / K) * jnp.ones((1, K))
+    st = ModelState(h=h, u=jnp.zeros((mesh.nedges, K)),
+                    tracers=10.0 + jnp.asarray(
+                        np.cos(np.asarray(mesh.lat_cell))[None, :, None]
+                        * np.ones((L, 1, K))))
+    # single-device framed reference (same kernel + refresh machinery)
+    carry = pm.stack_frames(mesh, cfg, st)
+    t, dt, nsteps = 0.0, 300.0, 3
+    for i in range(nsteps):
+        carry = pm.fb_patch_megastep_framed(
+            mesh, cfg, carry, t + i * dt, dt, K=K, L=L, interpret=True)
+    ref = pm.unstack_frames(mesh, carry, K, L, ModelState)
+    return mesh, cfg, st, ref, dt, nsteps
+
+
+@pytest.mark.parametrize("nshards", [2, 5])
+def test_patch_sharded_matches_single(setup, nshards):
+    mesh, cfg, st, ref, dt, nsteps = setup
+    run = make_patch_sharded_run(mesh, cfg, nshards, interpret=True)
+    out = run(st, 0.0, dt, nsteps)
+    for nm in ("h", "u", "tracers"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, nm)), np.asarray(getattr(ref, nm)),
+            rtol=0, atol=1e-13, err_msg=f"{nm} @ {nshards} shards")
+
+
+def test_patch_sharded_rejects_bad_counts(setup):
+    mesh, cfg, *_ = setup
+    from omega_tpu.parallel.patch_shard import build_patch_shard
+    with pytest.raises(ValueError):
+        build_patch_shard(mesh, 4, np.float64)
