@@ -60,6 +60,42 @@ def test_patch_sharded_matches_single(setup, nshards):
             rtol=0, atol=1e-13, err_msg=f"{nm} @ {nshards} shards")
 
 
+def test_patch_sharded_land_masked():
+    """Sharding composes with land masking: the masked mesh's chain
+    (mask gates + per-position edge_mask plane) runs under 2 shards and
+    matches the single-device framed step; land edges stay at rest."""
+    from omega_tpu.mesh.icos_patches import apply_land_mask
+
+    base = patch_icos_mesh(spherical_icos_mesh(N_SUB, bottom_depth=1000.0),
+                           N_SUB)
+    land = np.asarray(base.lat_cell) > np.deg2rad(55.0)
+    mesh = apply_land_mask(base, land)
+    cfg = ModelConfig(nvertlayers=K, ntracers=1,
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e7))
+    ssh = 2.0 * np.sin(2 * np.asarray(mesh.lat_cell)) * \
+        np.cos(np.asarray(mesh.lon_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / K) * jnp.ones((1, K))
+    st = ModelState(h=h, u=jnp.zeros((mesh.nedges, K)),
+                    tracers=10.0 + jnp.zeros((1, mesh.ncells, K)))
+    dt, nsteps = 300.0, 3
+
+    carry = pm.stack_frames(mesh, cfg, st)
+    for i in range(nsteps):
+        carry = pm.fb_patch_megastep_framed(
+            mesh, cfg, carry, i * dt, dt, K=K, L=1, interpret=True)
+    ref = pm.unstack_frames(mesh, carry, K, 1, ModelState)
+
+    run = make_patch_sharded_run(mesh, cfg, 2, interpret=True)
+    out = run(st, 0.0, dt, nsteps)
+    for nm in ("h", "u", "tracers"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, nm)), np.asarray(getattr(ref, nm)),
+            rtol=0, atol=1e-13, err_msg=nm)
+    em = np.asarray(mesh.edge_mask)
+    np.testing.assert_array_equal(np.asarray(out.u)[em == 0], 0.0)
+
+
 def test_patch_sharded_rejects_bad_counts(setup):
     mesh, cfg, *_ = setup
     from omega_tpu.parallel.patch_shard import build_patch_shard
