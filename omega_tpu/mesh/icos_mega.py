@@ -365,43 +365,51 @@ def _const_planes(mesh, content):
 # (flagship config: center fluxes, stacked ssh, all standard terms, no
 # wind/drag/vmix).
 
-def fb_chain(L: int):
-    ops = [
+def _pre_ops():
+    return [
         ("mean_h", "st", "cmean", "h"),
         ("flux", "ew", "mul", "mean_h", "u"),
         ("dh", "st", "div", "flux"),
-        ("h_new", "ew", "axpy", "h", -1.0, "dh"),     # h - dt*dh (dt folded)
         # masked velocity for the tracer advective flux (tendencies.py
         # `h_tracers_edge * (mask * u)`); on land-free meshes the mask
         # collapses to the scalar 1.0 and this op is a free alias
         ("u_m", "ew", "mulc", "u", "$edge_mask"),
     ]
-    for l in range(L):
-        t = f"tr{l}"
-        ops += [
-            (f"htr{l}", "ew", "mul", "h", t),
-            (f"htre{l}", "st", "cmean", f"htr{l}"),
-            (f"hflux{l}", "ew", "mul", f"htre{l}", "u_m"),
-            (f"adv{l}", "st", "div", f"hflux{l}"),
-            (f"ctr{l}", "st", "cdiff", t),
-            (f"mc{l}", "ew", "mul", "mean_h", f"ctr{l}"),
-            (f"d2aux{l}", "st", "sdiv_geo", f"mc{l}"),
-            (f"diff2{l}", "st", "sdiv_geo2", f"mc{l}"),
-            (f"cd2{l}", "st", "cdiff", f"d2aux{l}"),
-            (f"hyp{l}", "st", "sdiv_geo4", f"cd2{l}"),
-            (f"dtr{l}", "ew", "tracer_rhs", f"adv{l}", f"diff2{l}",
-             f"hyp{l}"),
-            (f"trn{l}", "ew", "tracer_update", t, "h", f"dtr{l}", "h_new"),
-        ]
+
+
+def _tracer_tend_ops(l: int):
+    t = f"tr{l}"
+    return [
+        (f"htr{l}", "ew", "mul", "h", t),
+        (f"htre{l}", "st", "cmean", f"htr{l}"),
+        (f"hflux{l}", "ew", "mul", f"htre{l}", "u_m"),
+        (f"adv{l}", "st", "div", f"hflux{l}"),
+        (f"ctr{l}", "st", "cdiff", t),
+        (f"mc{l}", "ew", "mul", "mean_h", f"ctr{l}"),
+        (f"d2aux{l}", "st", "sdiv_geo", f"mc{l}"),
+        (f"diff2{l}", "st", "sdiv_geo2", f"mc{l}"),
+        (f"cd2{l}", "st", "cdiff", f"d2aux{l}"),
+        (f"hyp{l}", "st", "sdiv_geo4", f"cd2{l}"),
+        (f"dtr{l}", "ew", "tracer_rhs", f"adv{l}", f"diff2{l}",
+         f"hyp{l}"),
+    ]
+
+
+def _vel_tend_ops(hv: str):
     # velocity section ordered to MINIMIZE the peak VMEM live set: du
     # accumulates term by term and every operand dies right after its
-    # contribution (the kernel frees dead chain values by liveness)
-    ops += [
-        ("h_v", "st", "kite", "h_new"),
+    # contribution (the kernel frees dead chain values by liveness).
+    # `hv` is the thickness feeding the momentum terms: "h_new" for the
+    # forward-backward stepper, "h" for RK stages (where mean_hn is a
+    # free alias of the already-computed mean_h)
+    mean_hn = (("mean_hn", "st", "cmean", hv) if hv != "h"
+               else ("mean_hn", "ew", "copy", "mean_h"))
+    return [
+        ("h_v", "st", "kite", hv),
         ("rvort", "st", "curl", "u"),
         ("qv", "ew", "q_vertex", "rvort", "$f_vertex", "h_v"),
         ("q_e", "st", "vmean", "qv"),
-        ("mean_hn", "st", "cmean", "h_new"),
+        mean_hn,
         ("F", "ew", "mul", "mean_hn", "u"),
         ("Fq", "ew", "mul", "F", "q_e"),
         ("tf", "st", "tang", "F"),
@@ -411,7 +419,7 @@ def fb_chain(L: int):
         ("ke", "st", "ke", "u2"),
         ("gke", "st", "cgrad", "ke"),
         ("du", "ew", "sub", "du", "gke"),
-        ("gh", "st", "cgrad", "h_new"),
+        ("gh", "st", "cgrad", hv),
         ("du", "ew", "gssh", "du", "gh", "$gdepth"),  # du - g*(gh - gd)
         ("div_u", "st", "div", "u"),
         ("cdd", "st", "cgrad", "div_u"),
@@ -426,6 +434,20 @@ def fb_chain(L: int):
         ("cd4", "st", "cgrad", "dd2"),
         ("vd4", "st", "vgrad", "dr2"),
         ("du", "ew", "visc4", "du", "cd4", "vd4", "$scal4"),
+    ]
+
+
+def fb_chain(L: int):
+    pre = _pre_ops()
+    ops = pre[:3] + [
+        ("h_new", "ew", "axpy", "h", -1.0, "dh"),     # h - dt*dh (dt folded)
+    ] + pre[3:]
+    for l in range(L):
+        ops += _tracer_tend_ops(l) + [
+            (f"trn{l}", "ew", "tracer_update", f"tr{l}", "h", f"dtr{l}",
+             "h_new"),
+        ]
+    ops += _vel_tend_ops("h_new") + [
         # every momentum term carries the edge mask in the composed
         # chain (tendencies.py velocity_tendency); with mask in {0, 1}
         # gating the accumulated du once is bit-identical
@@ -434,7 +456,89 @@ def fb_chain(L: int):
     return ops
 
 
+def rk2_stage_chain(L: int, base: str, coef: float):
+    """One RK2 stage (stepping.steppers.rk2_step): ALL tendencies at the
+    in-kernel state (h, u, tr*) — unlike the forward-backward chain the
+    momentum terms read the SAME h — then the state update from the
+    `base` state with `coef`*dt:
+
+      stage A: base "" (the in-kernel state itself), coef 0.5 -> midpoint
+      stage B: base "0" (the original state carried in extra channels
+               h0 / u0 / tr0{l}), coef 1.0 -> the full step
+
+    Outputs keep the h_new / u_new / trn{l} names so the kernel sinks,
+    exactness masks and frame-refresh maps of the FB chain apply
+    unchanged (both stages have radius <= the FB chain's, so the FB
+    masks are a conservative-correct exactness bound)."""
+    b = base
+    ops = list(_pre_ops())
+    for l in range(L):
+        ops += _tracer_tend_ops(l)
+    ops += _vel_tend_ops("h")
+    ops += [("h_new", "ew", "axpy", f"h{b}", -coef, "dh")]
+    for l in range(L):
+        ops += [(f"trn{l}", "ew", "tracer_updc", f"tr{b}{l}" if b
+                 else f"tr{l}", f"h{b}", f"dtr{l}", "h_new", coef)]
+    ops += [("u_new", "ew", "axpy_m", f"u{b}", coef, "du", "$edge_mask")]
+    return ops
+
+
+_RKA = (0.0, 0.5, 0.5, 1.0)
+_RKB = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
+
+
+def rk4_stage_chain(L: int, stage: int):
+    """One classic-RK4 stage (stepping.steppers.rk4_step): k_s = ALL
+    tendencies at the in-kernel state (h, u, tr*) — stage 1's in-kernel
+    state IS the original; stages 2-4 read the refreshed provisional,
+    with the original riding in h0/u0/tr0{l} and the accumulator in
+    h_a/u_a/tra{l} channel blocks.  Stages 1-3 emit the NEXT provisional
+    (named h_new/u_new/trn{l} so the FB exactness masks and refresh maps
+    apply) plus the updated accumulator (h_acc/u_acc/tracc{l},
+    thickness-weighted tracers); stage 4 emits the final state."""
+    ops = list(_pre_ops())
+    for l in range(L):
+        ops += _tracer_tend_ops(l)
+    ops += _vel_tend_ops("h")
+    b = "" if stage == 1 else "0"
+    rb = _RKB[stage - 1]
+    if stage < 4:
+        ra = _RKA[stage]
+        ops += [("h_new", "ew", "axpy", f"h{b}", -ra, "dh")]
+        for l in range(L):
+            ops += [(f"trn{l}", "ew", "tracer_updc",
+                     f"tr{b}{l}" if b else f"tr{l}", f"h{b}",
+                     f"dtr{l}", "h_new", ra)]
+        ops += [("u_new", "ew", "axpy_m", f"u{b}", ra, "du",
+                 "$edge_mask")]
+        if stage == 1:
+            ops += [("h_acc", "ew", "axpy", "h", -rb, "dh")]
+            for l in range(L):
+                ops += [(f"tracc{l}", "ew", "tracer_acc0", f"tr{l}",
+                         "h", f"dtr{l}", rb)]
+            ops += [("u_acc", "ew", "axpy_m", "u", rb, "du",
+                     "$edge_mask")]
+        else:
+            ops += [("h_acc", "ew", "axpy", "h_a", -rb, "dh")]
+            for l in range(L):
+                ops += [(f"tracc{l}", "ew", "axpy", f"tra{l}", rb,
+                         f"dtr{l}")]
+            ops += [("u_acc", "ew", "axpy_m", "u_a", rb, "du",
+                     "$edge_mask")]
+    else:
+        ops += [("h_new", "ew", "axpy", "h_a", -rb, "dh")]
+        for l in range(L):
+            ops += [(f"trn{l}", "ew", "tracer_fin", f"tra{l}",
+                     f"dtr{l}", "h_new", rb)]
+        ops += [("u_new", "ew", "axpy_m", "u_a", rb, "du",
+                 "$edge_mask")]
+    return ops
+
+
 CLASS_OF = {"h": "cell", "u": "edge", "u_m": "edge",
+            "h0": "cell", "u0": "edge",
+            "h_a": "cell", "u_a": "edge",
+            "h_acc": "cell", "u_acc": "edge",
             "mean_h": "edge", "flux": "edge",
             "dh": "cell", "h_new": "cell", "u2": "edge", "ke": "cell",
             "div_u": "cell", "rvort": "vertex", "h_v": "vertex",
@@ -448,7 +552,9 @@ CLASS_OF = {"h": "cell", "u": "edge", "u_m": "edge",
 def chain_class(name: str) -> str:
     if name in CLASS_OF:
         return CLASS_OF[name]
-    for pre, cls in (("tr", "cell"), ("htre", "edge"), ("hflux", "edge"),
+    for pre, cls in (("tr", "cell"), ("tra", "cell"), ("tracc", "cell"),
+                     ("tr0", "cell"),
+                     ("htre", "edge"), ("hflux", "edge"),
                      ("htr", "cell"), ("adv", "cell"), ("ctr", "edge"),
                      ("mc", "edge"), ("d2aux", "cell"), ("diff2", "cell"),
                      ("cd2", "edge"), ("hyp", "cell"), ("dtr", "cell"),

@@ -349,8 +349,9 @@ def _last_use(ops, outputs):
     return last
 
 
-def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None):
-    """Evaluate fb_chain on per-channel slab lists.
+def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
+                ops=None, outputs=None):
+    """Evaluate a chain (default fb_chain) on per-channel slab lists.
 
     vals: dict name -> [ (Y, X, K) ] * T.  pget(i) -> (Y, X) plane slab.
     cget(cname) -> list of planes or a python float.  Dead values are
@@ -435,6 +436,21 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None):
             return [_safe_div(tr * h + dt * dtr, hn)
                     for tr, h, dtr, hn in zip(v(a[0]), v(a[1]),
                                               v(a[2]), v(a[3]))]
+        if fn == "tracer_updc":     # (tr*h + coef*dt*dtr) / h_new
+            coef = a[4]
+            return [_safe_div(tr * h + coef * dt * dtr, hn)
+                    for tr, h, dtr, hn in zip(v(a[0]), v(a[1]),
+                                              v(a[2]), v(a[3]))]
+        if fn == "tracer_acc0":     # tr*h + coef*dt*dtr (weighted acc)
+            coef = a[3]
+            return [tr * h + coef * dt * dtr
+                    for tr, h, dtr in zip(v(a[0]), v(a[1]), v(a[2]))]
+        if fn == "tracer_fin":      # (acc + coef*dt*dtr) / h_new
+            coef = a[3]
+            return [_safe_div(acc + coef * dt * dtr, hn)
+                    for acc, dtr, hn in zip(v(a[0]), v(a[1]), v(a[2]))]
+        if fn == "copy":            # free alias
+            return list(v(a[0]))
         if fn == "q_vertex":        # (rvort + f) / h_v
             fv = cval(a[1][1:], 2)
             return [_safe_div(rv + f, hv)
@@ -456,8 +472,10 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None):
                     for du, c, r, s in zip(v(a[0]), v(a[1]), v(a[2]), s4)]
         raise ValueError(fn)
 
-    ops = fb_chain(L)
-    outputs = ["h_new", "u_new"] + [f"trn{l}" for l in range(L)]
+    if ops is None:
+        ops = fb_chain(L)
+    if outputs is None:
+        outputs = ["h_new", "u_new"] + [f"trn{l}" for l in range(L)]
     last = _last_use(ops, outputs)
     for i, op in enumerate(ops):
         name = op[0]
@@ -476,10 +494,40 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None):
 # the kernel
 
 def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
-            L, S, SS, by, nt, K, npl):
+            L, S, SS, by, nt, K, npl, chain_kind="fb"):
     CH = f_hbm.shape[0]
+    CHO = o_hbm.shape[0]    # rk2b reads 2 state blocks, writes one
     YY = by + 2 * R
     NP = f_hbm.shape[1]     # 10 on one device; a subset under sharding
+    B = 4 + L
+    chain_ops, outputs, in_blocks = None, None, ("",)
+    out_map = dict({"h_new": 0, "u_new": 1},
+                   **{f"trn{l}": 4 + l for l in range(L)})
+    if chain_kind in ("rk2a", "rk2b"):
+        from omega_tpu.mesh.icos_mega import rk2_stage_chain
+        chain_ops = (rk2_stage_chain(L, "", 0.5) if chain_kind == "rk2a"
+                     else rk2_stage_chain(L, "0", 1.0))
+        in_blocks = ("",) if chain_kind == "rk2a" else ("", "0")
+    elif chain_kind.startswith("rk4s"):
+        from omega_tpu.mesh.icos_mega import rk4_stage_chain
+        stage = int(chain_kind[4:])
+        chain_ops = rk4_stage_chain(L, stage)
+        in_blocks = ("",) if stage == 1 else ("", "0", "_a")
+        if stage < 4:
+            outputs = (list(out_map) + ["h_acc", "u_acc"]
+                       + [f"tracc{l}" for l in range(L)])
+            out_map.update(dict({"h_acc": B, "u_acc": B + 1},
+                                **{f"tracc{l}": B + 4 + l
+                                   for l in range(L)}))
+    # outputs that a LATER chain op reads must stay in vals after
+    # sinking (fb: the tracer updates read h_new)
+    keep = set()
+    _ops = chain_ops if chain_ops is not None else fb_chain(L)
+    prod = {op[0]: i for i, op in enumerate(_ops)}
+    for i, op in enumerate(_ops):
+        for nm in _op_inputs(op):
+            if nm in out_map and prod.get(nm, 10**9) < i:
+                keep.add(nm)
 
     def body(in_s, pl_s, out_s, sem):
         nblocks = NP * nt * nt
@@ -540,31 +588,33 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
             c = slice(R, R + by)
 
             def sink(name, res):
-                if name == "h_new":
-                    out_s[cur, 0] = res[0][c, c]
-                    return False
-                if name == "u_new":
-                    for i in range(3):
-                        out_s[cur, 1 + i] = res[i][c, c]
-                    return True
-                out_s[cur, 4 + int(name[3:])] = res[0][c, c]
-                return True
+                ch = out_map[name]
+                for i, r in enumerate(res):
+                    out_s[cur, ch + i] = r[c, c]
+                return name not in keep
 
             def eval_with(entry_lists):
-                vals = {
-                    "h": [in_s[cur, 0]],
-                    "u": [in_s[cur, 1 + i] for i in range(3)],
-                }
-                for l in range(L):
-                    vals[f"tr{l}"] = [in_s[cur, 4 + l]]
+                # input channel blocks: "" = the in-kernel state, "0" =
+                # the original state, "_a" = the RK4 accumulator (named
+                # h_a / u_a / tra{l} in the chain)
+                vals = {}
+                for bi, sfx in enumerate(in_blocks):
+                    o = bi * B
+                    tr_nm = ("tr{}" if sfx == "" else
+                             "tr0{}" if sfx == "0" else "tra{}")
+                    vals[f"h{sfx}"] = [in_s[cur, o]]
+                    vals[f"u{sfx}"] = [in_s[cur, o + 1 + i]
+                                       for i in range(3)]
+                    for l in range(L):
+                        vals[tr_nm.format(l)] = [in_s[cur, o + 4 + l]]
                 _eval_chain(vals, entry_lists, pget, cget, consts, L,
-                            sink=sink)
+                            sink=sink, ops=chain_ops, outputs=outputs)
 
             if os.environ.get("OMEGA_PATCH_NOP") == "1":
                 # diagnostic: the kernel's pure-DMA floor (state +
                 # plane slabs in, centers copied out; no chain) — NOT
                 # a time step
-                for ch in range(CH):
+                for ch in range(CHO):
                     out_s[cur, ch] = in_s[cur, ch, c, c]
             elif len(class_lists) == 1:
                 eval_with(class_lists[0])
@@ -593,27 +643,29 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
         body,
         in_s=pltpu.VMEM((2, f_hbm.shape[0], YY, YY, K), f_hbm.dtype),
         pl_s=pltpu.VMEM((2, YY, YY, npl), p_hbm.dtype),
-        out_s=pltpu.VMEM((2, f_hbm.shape[0], by, by, K), f_hbm.dtype),
+        out_s=pltpu.VMEM((2, o_hbm.shape[0], by, by, K), f_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA((6,)),
     )
 
 
 @functools.partial(jax.jit, static_argnames=(
     "class_lists", "const_idx", "consts", "L", "S", "SS", "by", "nt",
+    "chain_kind",
     "interpret"))
 def _call(frames, planes, block_class, *, class_lists, const_idx, consts,
-          L, S, SS, by, nt, interpret):
+          L, S, SS, by, nt, interpret, chain_kind="fb"):
     K = frames.shape[-1]
-    CH = frames.shape[0]
     kern = functools.partial(
         _kernel, class_lists=tuple(dict(cl) for cl in class_lists),
         const_idx=dict(const_idx),
         consts=consts, L=L, S=S, SS=SS, by=by, nt=nt, K=K,
-        npl=planes.shape[-1])
+        npl=planes.shape[-1], chain_kind=chain_kind)
+    ncho = 2 if (chain_kind.startswith("rk4s")
+                 and chain_kind != "rk4s4") else 1
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((CH, frames.shape[1], S, S, K),
-                                       frames.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (ncho * (4 + L), frames.shape[1], S, S, K), frames.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -659,7 +711,7 @@ def _assemble_frames(p, state, L, K, Kp, dtype):
     return frames
 
 
-def _run_kernel(p, cfg, frames, dt, L, interpret):
+def _run_kernel(p, cfg, frames, dt, L, interpret, chain_kind="fb"):
     tc = cfg.tendencies
     consts = (float(dt), cfg.gravity, tc.visc_del2, tc.visc_del4,
               tc.div_factor, tc.eddy_diff2, tc.eddy_diff4)
@@ -667,7 +719,7 @@ def _run_kernel(p, cfg, frames, dt, L, interpret):
                  class_lists=_hashable(p.class_lists),
                  const_idx=_hashable(p.const_idx),
                  consts=consts, L=L, S=p.S, SS=p.SS, by=p.by, nt=p.nt,
-                 interpret=interpret)
+                 interpret=interpret, chain_kind=chain_kind)
 
 
 def fb_patch_megastep(mesh, cfg, state, t, dt, interpret=None):
@@ -747,6 +799,36 @@ def stack_frames(mesh, cfg, state):
     return frames, fix
 
 
+def _refresh_frames(p, nf, nfix, K, Kp, L):
+    """In-frame halo refresh: refill invalid positions from exact ones,
+    scatter the fix rows, re-zero the lattice holes."""
+    pc, pe = p.persist["cell"], p.persist["edge"]
+
+    def pad_rows(rows):
+        if Kp == K:
+            return rows
+        return jnp.pad(rows, ((0, 0), (0, Kp - K)))
+
+    def refresh(flat, m, fix_rows):
+        flat = flat.at[m["refill_pos"]].set(flat[m["refill_src"]])
+        if m["fix_pos"].size:
+            flat = flat.at[m["fix_pos"]].set(
+                pad_rows(fix_rows)[m["fix_row"]])
+        if m["zero_pos"].size:
+            flat = flat.at[m["zero_pos"]].set(0.0)
+        return flat
+
+    sh1 = nf[0].shape
+    nf = nf.at[0].set(refresh(nf[0].reshape(-1, Kp), pc,
+                              nfix["h"]).reshape(sh1))
+    nf = nf.at[1:4].set(refresh(nf[1:4].reshape(-1, Kp), pe,
+                                nfix["u"]).reshape(nf[1:4].shape))
+    for l in range(L):
+        nf = nf.at[4 + l].set(refresh(nf[4 + l].reshape(-1, Kp), pc,
+                                      nfix["tr"][l]).reshape(sh1))
+    return nf
+
+
 def fb_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
                              interpret=None):
     """One FB step on the (frames, fix_vals) carry."""
@@ -779,30 +861,160 @@ def fb_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
 
     # ---- frame refresh ----
     nf = frames.at[:, :, FR:FR + p.S, FR:FR + p.S].set(out)
-    pc, pe = p.persist["cell"], p.persist["edge"]
+    return _refresh_frames(p, nf, nfix, K, Kp, L), nfix
 
-    def pad_rows(rows):
-        if Kp == K:
-            return rows
-        return jnp.pad(rows, ((0, 0), (0, Kp - K)))
 
-    def refresh(flat, m, fix_rows):
-        flat = flat.at[m["refill_pos"]].set(flat[m["refill_src"]])
-        if m["fix_pos"].size:
-            flat = flat.at[m["fix_pos"]].set(
-                pad_rows(fix_rows)[m["fix_row"]])
-        if m["zero_pos"].size:
-            flat = flat.at[m["zero_pos"]].set(0.0)
-        return flat
 
-    sh1 = nf[0].shape
-    nf = nf.at[0].set(refresh(nf[0].reshape(-1, Kp), pc,
-                              nfix["h"]).reshape(sh1))
-    nf = nf.at[1:4].set(refresh(nf[1:4].reshape(-1, Kp), pe,
-                                nfix["u"]).reshape(nf[1:4].shape))
-    for l in range(L):
-        nf = nf.at[4 + l].set(refresh(nf[4 + l].reshape(-1, Kp), pc,
-                                      nfix["tr"][l]).reshape(sh1))
+def rk2_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
+                              interpret=None):
+    """One midpoint-RK2 step on the (frames, fix_vals) carry.
+
+    The frame margins are MH=8 wide — one tendency-chain radius — so
+    RK2's two evaluations run as TWO kernel launches with an in-frame
+    refresh between (the same deep-halo tradeoff as the composed
+    stepper's mid-step exchange): stage A emits the midpoint state,
+    stage B reads (midpoint, original) stacked in the channel dim and
+    emits the full step (mesh/icos_mega.rk2_stage_chain).  The pole-fix
+    rows advance stage by stage on the standard fix submesh, re-gathered
+    from the REFRESHED frames at each stage boundary so one chain radius
+    of submesh padding suffices (mirrors steppers.rk2_step)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    frames, fix = carry
+    p = _prep(mesh, frames.dtype)
+    Kp = frames.shape[-1]
+    from omega_tpu.core import tendencies as tend_mod
+
+    def sub_state(fr, fx):
+        cflat = fr[0].reshape(-1, Kp)
+        eflat = fr[1:4].reshape(-1, Kp)
+        h = cflat[p.sub_cell_src][..., :K].at[
+            p.fix_cells_local].set(fx["h"])
+        u = eflat[p.sub_edge_src][..., :K].at[
+            p.fix_edges_local].set(fx["u"])
+        tr = jnp.stack([
+            fr[4 + l].reshape(-1, Kp)[p.sub_cell_src][..., :K]
+            for l in range(L)]).at[:, p.fix_cells_local].set(fx["tr"])
+        return h, u, tr
+
+    def fix_rows(h, u, tr):
+        return dict(h=h[p.fix_cells_local],
+                    u=u[p.fix_edges_local],
+                    tr=tr[:, p.fix_cells_local])
+
+    # ---- stage A: midpoint ----
+    out_a = _run_kernel(p, cfg, frames, dt, L, interpret,
+                        chain_kind="rk2a")
+    h0, u0, tr0 = sub_state(frames, fix)
+    k1 = tend_mod.compute_all_tendencies(p.sub_mesh, cfg,
+                                         h0, u0, tr0, t, None)
+    h_m = h0 + 0.5 * dt * k1.dh
+    u_m = u0 + 0.5 * dt * k1.du
+    tr_m = (tr0 * h0[None] + 0.5 * dt * k1.dtr) / h_m[None]
+    mid_fix = fix_rows(h_m, u_m, tr_m)
+
+    mid = frames.at[:, :, FR:FR + p.S, FR:FR + p.S].set(out_a)
+    mid = _refresh_frames(p, mid, mid_fix, K, Kp, L)
+
+    # ---- stage B: full step from the original state ----
+    out_b = _run_kernel(p, cfg, jnp.concatenate([mid, frames]), dt, L,
+                        interpret, chain_kind="rk2b")
+    h_m2, u_m2, tr_m2 = sub_state(mid, mid_fix)
+    k2 = tend_mod.compute_all_tendencies(p.sub_mesh, cfg,
+                                         h_m2, u_m2, tr_m2,
+                                         t + 0.5 * dt, None)
+    h_n = h0 + dt * k2.dh
+    u_n = u0 + dt * k2.du
+    tr_n = (tr0 * h0[None] + dt * k2.dtr) / h_n[None]
+    nfix = fix_rows(h_n, u_n, tr_n)
+
+    nf = frames.at[:, :, FR:FR + p.S, FR:FR + p.S].set(out_b)
+    return _refresh_frames(p, nf, nfix, K, Kp, L), nfix
+
+
+
+def rk4_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
+                              interpret=None):
+    """One classic-RK4 step on the (frames, fix_vals) carry: four stage
+    kernels (mesh/icos_mega.rk4_stage_chain), each followed by an
+    in-frame refresh of the provisional and accumulator frames (the
+    margins hold exactly one tendency-chain radius, so every stage
+    re-establishes them — the composed stepper's stage-2 exchange,
+    generalized).  The pole-fix rows advance on the fix submesh stage
+    by stage, re-gathered from the refreshed frames at each boundary
+    (mirrors stepping.steppers.rk4_step)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    frames, fix = carry
+    p = _prep(mesh, frames.dtype)
+    Kp = frames.shape[-1]
+    B = 4 + L
+    from omega_tpu.core import tendencies as tend_mod
+    from omega_tpu.stepping.steppers import _RKA, _RKB, _RKC
+
+    def sub_state(fr, fx):
+        cflat = fr[0].reshape(-1, Kp)
+        eflat = fr[1:4].reshape(-1, Kp)
+        h = cflat[p.sub_cell_src][..., :K].at[
+            p.fix_cells_local].set(fx["h"])
+        u = eflat[p.sub_edge_src][..., :K].at[
+            p.fix_edges_local].set(fx["u"])
+        tr = jnp.stack([
+            fr[4 + l].reshape(-1, Kp)[p.sub_cell_src][..., :K]
+            for l in range(L)]).at[:, p.fix_cells_local].set(fx["tr"])
+        return h, u, tr
+
+    def fix_rows(h, u, tr):
+        return dict(h=h[p.fix_cells_local],
+                    u=u[p.fix_edges_local],
+                    tr=tr[:, p.fix_cells_local])
+
+    def paste_refresh(out_block, fx):
+        nf = frames.at[:, :, FR:FR + p.S, FR:FR + p.S].set(out_block)
+        return _refresh_frames(p, nf, fx, K, Kp, L)
+
+    h0, u0, tr0 = sub_state(frames, fix)
+
+    # ---- stage 1: k1 at the original state ----
+    out = _run_kernel(p, cfg, frames, dt, L, interpret,
+                      chain_kind="rk4s1")
+    k = tend_mod.compute_all_tendencies(p.sub_mesh, cfg, h0, u0, tr0,
+                                        t, None)
+    ha = h0 + _RKB[0] * dt * k.dh
+    ua = u0 + _RKB[0] * dt * k.du
+    tra = tr0 * h0[None] + _RKB[0] * dt * k.dtr
+    hp = h0 + _RKA[1] * dt * k.dh
+    up = u0 + _RKA[1] * dt * k.du
+    trp = (tr0 * h0[None] + _RKA[1] * dt * k.dtr) / hp[None]
+    prov_fix = fix_rows(hp, up, trp)
+    acc_fix = fix_rows(ha, ua, tra)
+    prov = paste_refresh(out[:B], prov_fix)
+    acc = paste_refresh(out[B:], acc_fix)
+
+    # ---- stages 2-4 ----
+    for stage in (2, 3, 4):
+        stacked = jnp.concatenate([prov, frames, acc])
+        out = _run_kernel(p, cfg, stacked, dt, L, interpret,
+                          chain_kind=f"rk4s{stage}")
+        hp, up, trp = sub_state(prov, prov_fix)
+        ha, ua, tra = sub_state(acc, acc_fix)
+        k = tend_mod.compute_all_tendencies(
+            p.sub_mesh, cfg, hp, up, trp,
+            t + _RKC[stage - 1] * dt, None)
+        ha = ha + _RKB[stage - 1] * dt * k.dh
+        ua = ua + _RKB[stage - 1] * dt * k.du
+        tra = tra + _RKB[stage - 1] * dt * k.dtr
+        if stage < 4:
+            hp = h0 + _RKA[stage] * dt * k.dh
+            up = u0 + _RKA[stage] * dt * k.du
+            trp = (tr0 * h0[None] + _RKA[stage] * dt * k.dtr) / hp[None]
+            prov_fix = fix_rows(hp, up, trp)
+            acc_fix = fix_rows(ha, ua, tra)
+            prov = paste_refresh(out[:B], prov_fix)
+            acc = paste_refresh(out[B:], acc_fix)
+        else:
+            nfix = fix_rows(ha, ua, tra / ha[None])
+            nf = paste_refresh(out, nfix)
     return nf, nfix
 
 

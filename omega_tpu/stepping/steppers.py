@@ -208,8 +208,29 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
                                           tr.shape[0], type(state))
     if (stepper in (rk2_step, rk4_step) and halo is _identity
             and wind_stress is None and isinstance(dt, (int, float))):
-        from omega_tpu.ops import megastep
+        from omega_tpu.ops import megastep, patch_megastep
         kind = "rk2" if stepper is rk2_step else "rk4"
+        if patch_megastep.enabled() and patch_megastep.supported(mesh, cfg):
+            # sphere RK2/RK4: fused stage kernels per step with in-frame
+            # refreshes between (the margins hold one chain radius; see
+            # ops/patch_megastep.rk{2,4}_patch_megastep_framed)
+            h, _, tr = state
+            K, L = h.shape[-1], tr.shape[0]
+            carry = patch_megastep.stack_frames(mesh, cfg, state)
+            stepfn = (patch_megastep.rk2_patch_megastep_framed
+                      if stepper is rk2_step
+                      else patch_megastep.rk4_patch_megastep_framed)
+
+            def p2body(c, _):
+                cr, tt = c
+                cr = stepfn(mesh, cfg, cr, tt, dt, K=K, L=L)
+                return (cr, tt + dt), None
+
+            (carry, _), _ = jax.lax.scan(
+                p2body, (carry, jnp.asarray(t0, h.dtype)), None,
+                length=nsteps)
+            return patch_megastep.unstack_frames(mesh, carry, K, L,
+                                                 type(state))
         if megastep.enabled() and megastep.supported(mesh, cfg, kind=kind):
             # RK2: both tendency chains fused into one kernel launch per
             # step; RK4: four stage kernels threading (acc, prov)

@@ -181,6 +181,79 @@ def test_patch_megastep_matches_composed(pmesh, monkeypatch):
     assert abs(v1 - v0) / v0 < 1e-13
 
 
+def test_rk2_patch_megastep_matches_composed(pmesh):
+    """The two-stage RK2 patch kernel pair (ops/patch_megastep.
+    rk2_patch_megastep_framed: stage A emits the midpoint, an in-frame
+    refresh re-establishes the margins, stage B reads (mid, orig)
+    channel blocks) equals the composed rk2_step to rounding, with the
+    pole rows advanced on the wider rk2 fix submesh."""
+    from omega_tpu.core.state import ModelState as MS
+    from omega_tpu.ops import patch_megastep
+    from omega_tpu.stepping.steppers import rk2_step
+
+    K, L = 3, 2
+    cfg = ModelConfig(nvertlayers=K, ntracers=L,
+                      tendencies=TendencyConfig(visc_del2=1.0e3,
+                                                visc_del4=1.0e9))
+    state = _initial_state(pmesh, K, L)
+    rng = np.random.default_rng(13)
+    u0 = 0.1 * rng.standard_normal((pmesh.nedges, K))
+    u0 *= np.asarray(pmesh.edge_mask)[:, None]
+    state = MS(h=state.h, u=jnp.asarray(u0), tracers=state.tracers)
+    dt, nsteps = 60.0, 3
+
+    carry = patch_megastep.stack_frames(pmesh, cfg, state)
+    ref, t = state, 0.0
+    for _ in range(nsteps):
+        carry = patch_megastep.rk2_patch_megastep_framed(
+            pmesh, cfg, carry, t, dt, K=K, L=L, interpret=True)
+        ref = rk2_step(pmesh, cfg, ref, t, dt)
+        t += dt
+    out = patch_megastep.unstack_frames(pmesh, carry, K, L, MS)
+    for fld in ("h", "u", "tracers"):
+        a, b = np.asarray(getattr(out, fld)), np.asarray(getattr(ref, fld))
+        scale = np.max(np.abs(b)) + 1e-300
+        assert np.max(np.abs(a - b)) / scale < 1e-12, fld
+    area = np.asarray(pmesh.area_cell)[:, None]
+    v0 = float(np.sum(np.asarray(state.h) * area))
+    v1 = float(np.sum(np.asarray(out.h) * area))
+    assert abs(v1 - v0) / v0 < 1e-13
+
+
+def test_rk4_patch_megastep_matches_composed(pmesh):
+    """The four-stage RK4 patch kernel sequence (ops/patch_megastep.
+    rk4_patch_megastep_framed: each stage kernel emits the next
+    provisional + accumulator channel blocks, refreshed in-frame between
+    stages) equals the composed rk4_step to rounding."""
+    from omega_tpu.core.state import ModelState as MS
+    from omega_tpu.ops import patch_megastep
+    from omega_tpu.stepping.steppers import rk4_step
+
+    K, L = 3, 1
+    cfg = ModelConfig(nvertlayers=K, ntracers=L,
+                      tendencies=TendencyConfig(visc_del2=1.0e3,
+                                                visc_del4=1.0e9))
+    state = _initial_state(pmesh, K, L)
+    rng = np.random.default_rng(17)
+    u0 = 0.1 * rng.standard_normal((pmesh.nedges, K))
+    u0 *= np.asarray(pmesh.edge_mask)[:, None]
+    state = MS(h=state.h, u=jnp.asarray(u0), tracers=state.tracers)
+    dt, nsteps = 60.0, 2
+
+    carry = patch_megastep.stack_frames(pmesh, cfg, state)
+    ref, t = state, 0.0
+    for _ in range(nsteps):
+        carry = patch_megastep.rk4_patch_megastep_framed(
+            pmesh, cfg, carry, t, dt, K=K, L=L, interpret=True)
+        ref = rk4_step(pmesh, cfg, ref, t, dt)
+        t += dt
+    out = patch_megastep.unstack_frames(pmesh, carry, K, L, MS)
+    for fld in ("h", "u", "tracers"):
+        a, b = np.asarray(getattr(out, fld)), np.asarray(getattr(ref, fld))
+        scale = np.max(np.abs(b)) + 1e-300
+        assert np.max(np.abs(a - b)) / scale < 1e-12, fld
+
+
 def test_patch_megastep_framed_carry(pmesh, monkeypatch):
     """The persistent-frame scan carry (stack_frames -> N framed steps
     -> unstack_frames) equals both the per-step kernel API and the
