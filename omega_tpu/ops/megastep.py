@@ -61,6 +61,20 @@ def _ring(kind):
     return R_RK2 if kind == "rk2" else R
 
 
+def parity_enabled() -> bool:
+    """Parity-split layout: rows deinterleave into even/odd planes so
+    the hex stagger's per-row column-shift select disappears — every
+    stencil entry is ONE static roll per destination plane instead of
+    two rolls + a parity `where` (see _apply). Row radii halve too, so
+    the slab halo ring is (R//2, R) and read amplification drops."""
+    return os.environ.get("OMEGA_MEGA_PARITY", "0") in ("1", "true")
+
+
+def _rings(kind, parity):
+    r = _ring(kind)
+    return ((r + 1) // 2, r) if parity else (r, r)
+
+
 def enabled() -> bool:
     v = os.environ.get("OMEGA_MEGA_STEP")
     if v is not None:
@@ -81,9 +95,11 @@ def supported(mesh, cfg, kind="fb") -> bool:
     if not structured.enabled(mesh):
         return False
     nx, ny = mesh.structured_nx, mesh.structured_ny
-    by, bx = _pick_tile(ny, nx, kind)
+    parity = parity_enabled()
+    by, bx = _pick_tile(ny // 2 if parity else ny, nx, kind)
+    ry, rx = _rings(kind, parity)
     # the 9-rectangle wrapped DMA needs each halo band contiguous mod n
-    if by < _ring(kind) or bx < _ring(kind):
+    if by < ry or bx < rx:
         return False
     need = ("dc_edge", "dv_edge", "area_cell", "area_triangle", "f_vertex",
             "bottom_depth", "edge_mask", "mesh_scaling_del2",
@@ -126,7 +142,24 @@ def _apply(tab, val_list, even, pd):
 
     val_list: list of ps arrays (Y, X, K). Returns list of pd arrays.
     out[t_dst][y, x] = sum w * val[t_src][y + dj, x + di(parity(y))].
+
+    even=None selects the parity-split path: each value is a
+    (2, Y2, X, K) stack of (even-rows, odd-rows) planes.  A destination
+    plane p reads full row y = 2m+p+dj, i.e. source plane q=(p+dj)%2 at
+    split row m+(p+dj-q)//2, with the column shift fixed to di_e (p=0)
+    or di_o (p=1) — one static roll per plane, no `where`, and a dj=+-1
+    entry shifts only ONE of the two planes.
     """
+    if even is None:
+        outs = [[None, None] for _ in range(pd)]
+        for (t_dst, t_src, dj, di_e, di_o, w) in tab:
+            s = val_list[t_src]
+            for p, di in ((0, di_e), (1, di_o)):
+                q = (p + dj) % 2
+                a = _roll(_roll(s[q], (p + dj - q) // 2, 0), di, 1)
+                o = outs[t_dst][p]
+                outs[t_dst][p] = w * a if o is None else o + w * a
+        return [jnp.stack(o) for o in outs]
     outs = [None] * pd
     for (t_dst, t_src, dj, di_e, di_o, w) in tab:
         s = val_list[t_src]
@@ -384,17 +417,21 @@ _COMPUTE = {
 
 
 def _kernel(*refs, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
-            R, compute, nin):
+            ry, rx, compute, nin, parity):
     """Slab-resident step over native (CH_i, ny, nx, K) state arrays.
 
     refs = nin input arrays + 1 output array; the inputs' channels are
-    stacked into one (CHT, by+2R, bx+2R, K) slab per tile (multi-input
+    stacked into one (CHT, by+2ry, bx+2rx) slab per tile (multi-input
     support exists for the RK4 stage kernels, whose stages read state /
     accumulator / provisional arrays side by side). Each tile's input
     slab is assembled by 9 rectangle DMAs per input (3 y-bands x 3
     x-bands); the halo bands wrap with a mod-n start offset, so no
-    padded copy of the state ever exists in HBM. Requires by >= R and
-    bx >= R (band contiguity)."""
+    padded copy of the state ever exists in HBM. Requires by >= ry and
+    bx >= rx (band contiguity).
+
+    parity: ny is the split-plane row count (full ny/2), channels come
+    interleaved [c0_even, c0_odd, c1_even, ...], and `compute` sees one
+    (2, YY, XX, K) stack per logical channel (see _apply)."""
     s_hbms = refs[:nin]
     o_hbm = refs[nin]
     CHs = [s.shape[0] for s in s_hbms]
@@ -403,7 +440,7 @@ def _kernel(*refs, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
         offs.append(offs[-1] + c)
     CHT = offs[-1]
     CHO = o_hbm.shape[0]
-    YY, XX = by + 2 * R, bx + 2 * R
+    YY, XX = by + 2 * ry, bx + 2 * rx
 
     def body(in_s, out_s, sem):
         nblocks = nby * nbx
@@ -422,8 +459,8 @@ def _kernel(*refs, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
             biy = bidx // nbx
             bix = bidx % nbx
             return tuple(
-                cp(s.at[:, pl.ds(biy * by - R, by + 2 * R),
-                        pl.ds(bix * bx - R, bx + 2 * R)],
+                cp(s.at[:, pl.ds(biy * by - ry, by + 2 * ry),
+                        pl.ds(bix * bx - rx, bx + 2 * rx)],
                    in_s.at[slot, pl.ds(offs[i], CHs[i])],
                    sem.at[9 * (slot * nin + i)])
                 for i, s in enumerate(s_hbms))
@@ -434,14 +471,14 @@ def _kernel(*refs, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
             y0 = biy * by
             x0 = bix * bx
             # (src_start, length, slab_start) per band; halo bands are
-            # contiguous mod n because the tile edge is at least R from
+            # contiguous mod n because the tile edge is at least r from
             # the wrap except when it IS the wrap (then start is exact)
-            ybands = (((y0 - R + ny) % ny, R, 0),
-                      (y0, by, R),
-                      ((y0 + by) % ny, R, R + by))
-            xbands = (((x0 - R + nx) % nx, R, 0),
-                      (x0, bx, R),
-                      ((x0 + bx) % nx, R, R + bx))
+            ybands = (((y0 - ry + ny) % ny, ry, 0),
+                      (y0, by, ry),
+                      ((y0 + by) % ny, ry, ry + by))
+            xbands = (((x0 - rx + nx) % nx, rx, 0),
+                      (x0, bx, rx),
+                      ((x0 + bx) % nx, rx, rx + bx))
             dmas = []
             for i, s in enumerate(s_hbms):
                 for yi, (sy, ly, dy) in enumerate(ybands):
@@ -509,18 +546,23 @@ def _kernel(*refs, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
 
             wait_in(cur, bidx)
 
-            # destination-row parity: global row of slab row iy is
-            # biy*by - R + iy (mod ny); ny is even so parity is exact
-            row = (biy * by - R) + jax.lax.broadcasted_iota(
-                jnp.int32, (YY, XX, K), 0)
-            even = (row % 2) == 0
-
-            slabs = [in_s[cur, ch] for ch in range(CHT)]
+            if parity:
+                # plane membership IS the parity — no row iota needed
+                even = None
+                slabs = [in_s[cur, 2 * ch:2 * ch + 2]
+                         for ch in range(CHT // 2)]
+            else:
+                # destination-row parity: global row of slab row iy is
+                # biy*by - R + iy (mod ny); ny even so parity is exact
+                row = (biy * by - ry) + jax.lax.broadcasted_iota(
+                    jnp.int32, (YY, XX, K), 0)
+                even = (row % 2) == 0
+                slabs = [in_s[cur, ch] for ch in range(CHT)]
 
             if os.environ.get("OMEGA_MEGA_NOP") == "1":
                 # diagnostic: pure-DMA roofline of this kernel (copy
                 # through, no stencil work) — NOT a time step
-                outs = slabs[:CHO]
+                outs = slabs[:CHO // 2 if parity else CHO]
             else:
                 outs = compute(slabs, even, tabs, consts, L)
 
@@ -531,10 +573,15 @@ def _kernel(*refs, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
                 for d in out_dmas(cur, bidx - 2):
                     d.wait()
 
-            c = slice(R, R + by)
-            cx = slice(R, R + bx)
-            for ch in range(CHO):
-                out_s[cur, ch] = outs[ch][c, cx]
+            c = slice(ry, ry + by)
+            cx = slice(rx, rx + bx)
+            if parity:
+                for ch in range(CHO // 2):
+                    out_s[cur, 2 * ch] = outs[ch][0, c, cx]
+                    out_s[cur, 2 * ch + 1] = outs[ch][1, c, cx]
+            else:
+                for ch in range(CHO):
+                    out_s[cur, ch] = outs[ch][c, cx]
 
             for d in out_dmas(cur, bidx):
                 d.start()
@@ -581,17 +628,23 @@ def _pick_tile(ny, nx, kind="fb"):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tabs", "consts", "L", "ny", "nx", "interpret", "kind", "out_ch"))
+    "tabs", "consts", "L", "ny", "nx", "interpret", "kind", "out_ch",
+    "parity"))
 def _call(*stacked, tabs, consts, L, ny, nx, interpret, kind="fb",
-          out_ch=None):
+          out_ch=None, parity=False):
     K = stacked[0].shape[-1]
+    if parity:
+        ny = ny // 2          # stacked rows are split-plane rows
     by, bx = _pick_tile(ny, nx, kind)
+    ry, rx = _rings(kind, parity)
     CHO = stacked[0].shape[0] if out_ch is None else out_ch
+    if parity and out_ch is not None:
+        CHO = 2 * out_ch
     kern = functools.partial(_kernel, tabs=dict(tabs), consts=consts, L=L,
                              ny=ny, nx=nx, K=K, by=by, bx=bx,
                              nby=ny // by, nbx=nx // bx,
-                             R=_ring(kind), compute=_COMPUTE[kind],
-                             nin=len(stacked))
+                             ry=ry, rx=rx, compute=_COMPUTE[kind],
+                             nin=len(stacked), parity=parity)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((CHO, ny, nx, K), stacked[0].dtype),
@@ -625,8 +678,23 @@ def _mega_args(mesh, cfg, dt):
     return tabs, consts
 
 
+def split_parity(stacked, ny):
+    """(CH, ny, nx, K) -> (2CH, ny/2, nx, K): channel 2c+p holds rows
+    of global parity p (once per run; the step keeps the split form)."""
+    CH, _, nx, K = stacked.shape
+    s = stacked.reshape(CH, ny // 2, 2, nx, K)
+    return jnp.swapaxes(s, 1, 2).reshape(2 * CH, ny // 2, nx, K)
+
+
+def unsplit_parity(stacked, ny):
+    CH2, ny2, nx, K = stacked.shape
+    s = stacked.reshape(CH2 // 2, 2, ny2, nx, K)
+    return jnp.swapaxes(s, 1, 2).reshape(CH2 // 2, ny, nx, K)
+
+
 def stack_state(mesh, state):
-    """ModelState -> the kernel's stacked (1+3+L, ny, nx, K128) layout.
+    """ModelState -> the kernel's stacked (1+3+L, ny, nx, K128) layout
+    ((2(1+3+L), ny/2, nx, K128) in parity-split mode).
 
     K pads to the 128-lane boundary ONCE here: h pads with 1.0 (keeps
     the kernel's tracer h-division finite in dead lanes), u/tracers with
@@ -644,11 +712,14 @@ def stack_state(mesh, state):
         hg = jnp.pad(hg, pad, constant_values=1.0)
         ug = jnp.pad(ug, pad)
         trg = jnp.pad(trg, pad)
-    return jnp.concatenate([hg, ug, trg], axis=0)
+    out = jnp.concatenate([hg, ug, trg], axis=0)
+    return split_parity(out, ny) if parity_enabled() else out
 
 
 def unstack_state(mesh, stacked, K, L, state_type):
     nx, ny = mesh.structured_nx, mesh.structured_ny
+    if stacked.shape[0] == 2 * (4 + L):
+        stacked = unsplit_parity(stacked, ny)
     s = stacked[..., :K] if stacked.shape[-1] != K else stacked
     return state_type(h=s[0].reshape(ny * nx, K),
                       u=s[1:4].reshape(3 * ny * nx, K),
@@ -662,8 +733,10 @@ def fb_megastep_stacked(mesh, cfg, stacked, dt, interpret=None):
         interpret = jax.default_backend() != "tpu"
     tabs, consts = _mega_args(mesh, cfg, dt)
     nx, ny = mesh.structured_nx, mesh.structured_ny
+    par = parity_enabled()
+    L = stacked.shape[0] // (2 if par else 1) - 4
     return _call(stacked, tabs=tabs, consts=consts,
-                 L=stacked.shape[0] - 4, ny=ny, nx=nx, interpret=interpret)
+                 L=L, ny=ny, nx=nx, interpret=interpret, parity=par)
 
 
 def fb_megastep(mesh, cfg, state, t, dt, interpret=None):
@@ -682,9 +755,11 @@ def rk2_megastep_stacked(mesh, cfg, stacked, dt, interpret=None):
         interpret = jax.default_backend() != "tpu"
     tabs, consts = _mega_args(mesh, cfg, dt)
     nx, ny = mesh.structured_nx, mesh.structured_ny
+    par = parity_enabled()
+    L = stacked.shape[0] // (2 if par else 1) - 4
     return _call(stacked, tabs=tabs, consts=consts,
-                 L=stacked.shape[0] - 4, ny=ny, nx=nx, interpret=interpret,
-                 kind="rk2")
+                 L=L, ny=ny, nx=nx, interpret=interpret,
+                 kind="rk2", parity=par)
 
 
 def rk2_megastep(mesh, cfg, state, t, dt, interpret=None):
@@ -705,9 +780,10 @@ def rk4_megastep_stacked(mesh, cfg, stacked, dt, interpret=None):
         interpret = jax.default_backend() != "tpu"
     tabs, consts = _mega_args(mesh, cfg, dt)
     nx, ny = mesh.structured_nx, mesh.structured_ny
-    L = stacked.shape[0] - 4
+    par = parity_enabled()
+    L = stacked.shape[0] // (2 if par else 1) - 4
     kw = dict(tabs=tabs, consts=consts, L=L, ny=ny, nx=nx,
-              interpret=interpret)
+              interpret=interpret, parity=par)
     CH = 4 + L
     ap_ = _call(stacked, kind="rk4s1", out_ch=2 * CH, **kw)
     ap_ = _call(stacked, ap_, kind="rk4s2", out_ch=2 * CH, **kw)

@@ -262,6 +262,49 @@ def test_rk4_megastep_matches_composed_rk4_step():
                                    rtol=1e-10, atol=1e-10, err_msg=n)
 
 
+@pytest.mark.parametrize("scheme", ["fb", "rk2", "rk4"])
+def test_megastep_parity_split(monkeypatch, scheme):
+    """OMEGA_MEGA_PARITY=1: rows deinterleave into even/odd channel
+    planes, so the hex stagger's per-row `where` select becomes one
+    static roll per destination plane (megastep._apply, even=None).
+    Results must match the composed steppers to roundoff."""
+    from omega_tpu.core import ModelConfig, ModelState, TendencyConfig
+    from omega_tpu.ops import megastep
+    from omega_tpu.stepping import forward_backward_step, rk2_step, rk4_step
+
+    monkeypatch.setenv("OMEGA_MEGA_PARITY", "1")
+    mesh = planar_hex_mesh(32, 16, dc=5000.0, f0=1e-4, bottom_depth=1000.0)
+    cfg = ModelConfig(nvertlayers=3, ntracers=2,
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e9))
+    assert megastep.supported(mesh, cfg, kind="rk2" if scheme == "rk2"
+                              else "fb")
+
+    rng = np.random.default_rng(11)
+    kx = 2 * np.pi / mesh.x_period
+    ky = 2 * np.pi / mesh.y_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell)) * \
+        np.sin(ky * np.asarray(mesh.y_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / 3) * jnp.ones((1, 3))
+    st = ModelState(
+        h=h,
+        u=jnp.asarray(0.01 * rng.standard_normal((mesh.nedges, 3))),
+        tracers=jnp.asarray(10.0 + rng.standard_normal((2, mesh.ncells, 3))))
+
+    mega = {"fb": megastep.fb_megastep, "rk2": megastep.rk2_megastep,
+            "rk4": megastep.rk4_megastep}[scheme]
+    comp = {"fb": forward_backward_step, "rk2": rk2_step,
+            "rk4": rk4_step}[scheme]
+    ref, out = st, st
+    for _ in range(2):
+        ref = comp(mesh, cfg, ref, 0.0, 30.0)
+        out = mega(mesh, cfg, out, 0.0, 30.0, interpret=True)
+    for n in ("h", "u", "tracers"):
+        np.testing.assert_allclose(np.asarray(getattr(out, n)),
+                                   np.asarray(getattr(ref, n)),
+                                   rtol=1e-10, atol=1e-10, err_msg=n)
+
+
 def test_megastep_interior_fast_path_tiles():
     """A mesh with >2 tiles per axis exercises the kernel's interior
     single-rectangle DMA branch alongside the 9-rect wrap branch."""
