@@ -406,6 +406,147 @@ def _rk4_s4(slabs, even, tabs, consts, L):
     return [h_new] + un + trn
 
 
+# ---- split-explicit stage kernels (stepping/split.py semantics) ----
+# The slow 3-D work of split_forward_backward_step runs as TWO fused
+# kernels around the resident barotropic-subcycle kernel
+# (ops/barotropic_kernel.py):
+#   splitpre:  state -> (uprime, du_slow, packed 2-D barotropic inputs)
+#   [btk.bt_subcycles on the packed 2-D fields]
+#   splitpost: state + pre-outputs + packed 2-D results -> new state
+# 2-D (E,1)/(C,1) fields ride in the LANES of one extra K128 channel
+# (lane j = field j) because tile out-DMAs need 128-multiple lane
+# extents — a (10, ny, nx) output with nx tiled at bx=32 would violate
+# the Pallas DMA lane rule.
+
+def _lane_mask(x, K):
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return lane < K
+
+
+def _vel_tend_column(h, u, sshc, even, tabs, consts, L):
+    """compute_velocity_tendency at (h, u) with the COLUMN ssh gradient
+    (cfg.ssh_formulation='column'): identical to the velocity section of
+    _tend_compute except gssh reads the shared free surface sshc
+    (Y, X, 1) instead of the per-layer stacked h."""
+    (dt, grav, nu2, nu4, div_factor, ed2, ed4, inv_dc, inv_dv, inv_dv_floor,
+     geo, f0v, scal2, scal4) = consts[:14]
+    ap = lambda name, vals, pd: _apply(tabs[name], vals, even, pd)
+
+    mean_h = ap("cmean", [h], 3)
+    F = [mean_h[i] * u[i] for i in range(3)]
+    ke = ap("ke", [ui * ui for ui in u], 1)[0]
+    div_u = ap("div", u, 1)[0]
+    rvort = ap("curl", u, 2)
+    h_v = ap("kite", [h], 2)
+    nrv = [rvort[i] / h_v[i] for i in range(2)]
+    npv = [f0v / h_v[i] for i in range(2)]
+    nrv_e = ap("vmean", nrv, 3)
+    npv_e = ap("vmean", npv, 3)
+    q_e = [nrv_e[i] + npv_e[i] for i in range(3)]
+
+    cdd = ap("cdiff", [div_u], 3)
+    vdr = ap("vdiff", rvort, 3)
+    del2_e = [cdd[i] * inv_dc - vdr[i] * inv_dv_floor for i in range(3)]
+    del2_div = ap("div", del2_e, 1)[0]
+    del2_rv = ap("curl", del2_e, 2)
+
+    tf = ap("tang", F, 3)
+    tfq = ap("tang", [F[i] * q_e[i] for i in range(3)], 3)
+    pv = [0.5 * (q_e[i] * tf[i] + tfq[i]) for i in range(3)]
+
+    gke = ap("cdiff", [ke], 3)
+    gssh = ap("cdiff", [sshc], 3)
+    cd4 = ap("cdiff", [del2_div], 3)
+    vd4 = ap("vdiff", del2_rv, 3)
+
+    du = []
+    for i in range(3):
+        du.append(pv[i]
+                  - gke[i] * inv_dc
+                  - grav * gssh[i] * inv_dc
+                  + nu2 * scal2 * (cdd[i] * inv_dc - vdr[i] * inv_dv)
+                  - nu4 * scal4 * (div_factor * cd4[i] * inv_dc
+                                   - vd4[i] * inv_dv))
+    return du, mean_h
+
+
+def _split_pre(slabs, even, tabs, consts, L):
+    """Mode split + slow forcing (split.py:77-103). consts[14:] =
+    (K, depth, f_edge, bt_drag). Emits 7 channels:
+    uprime x3, du_slow x3, packed 2-D (lanes: ubar x3, g_slow x3,
+    sshc, het x3)."""
+    (dt, grav) = consts[0], consts[1]
+    inv_dc = consts[7]
+    K, depth, f_e, r_drag = consts[14:18]
+    ap = lambda name, vals, pd: _apply(tabs[name], vals, even, pd)
+    h, u = slabs[0], slabs[1:4]
+
+    lm = _lane_mask(h, K)
+    msum = lambda x: jnp.sum(jnp.where(lm, x, 0.0), axis=-1, keepdims=True)
+
+    mean_h = ap("cmean", [h], 3)
+    het = [msum(mean_h[i]) for i in range(3)]
+    ubar = [msum(mean_h[i] * u[i]) / het[i] for i in range(3)]
+    uprime = [u[i] - ubar[i] for i in range(3)]
+
+    sshc = msum(h) - depth
+    du_full, _ = _vel_tend_column(h, u, sshc, even, tabs, consts, L)
+    du_bar = [msum(mean_h[i] * du_full[i]) / het[i] for i in range(3)]
+    du_slow = [du_full[i] - du_bar[i] for i in range(3)]
+
+    gssh = ap("cdiff", [sshc], 3)
+    tg = ap("tang", ubar, 3)
+    fast0 = [-grav * inv_dc * gssh[i] + f_e * tg[i] - r_drag * ubar[i]
+             for i in range(3)]
+    g_slow = [du_bar[i] - fast0[i] for i in range(3)]
+
+    # lane order mirrors barotropic_kernel's stacked input:
+    # ubar x3, ssh, g_slow x3, h_edge_tot x3
+    fields = ubar + [sshc] + g_slow + het            # 10 x (Y, X, 1)
+    Kp = h.shape[-1]
+    packed = jnp.concatenate(
+        fields + [jnp.zeros(h.shape[:-1] + (Kp - len(fields),), h.dtype)],
+        axis=-1)
+    return uprime + du_slow + [packed]
+
+
+def _split_post(slabs, even, tabs, consts, L):
+    """Baroclinic recombine + thickness/tracer advance with the averaged
+    transport velocity (split.py:140-152). Input channels: state
+    (h, u x3, tr xL), pre-outputs (uprime x3, du_slow x3, packed-A),
+    packed 2-D results (lanes: ub_final x3, ubar_avg x3)."""
+    (dt, grav, nu2, nu4, div_factor, ed2, ed4, inv_dc, inv_dv, inv_dv_floor,
+     geo, f0v, scal2, scal4) = consts[:14]
+    ap = lambda name, vals, pd: _apply(tabs[name], vals, even, pd)
+    CH = 4 + L
+    h, tr = slabs[0], slabs[4:CH]
+    uprime, du_slow = slabs[CH:CH + 3], slabs[CH + 3:CH + 6]
+    res = slabs[CH + 7]
+    ubf = [res[..., i:i + 1] for i in range(3)]
+    ubavg = [res[..., 3 + i:4 + i] for i in range(3)]
+
+    u_new = [uprime[i] + dt * du_slow[i] + ubf[i] for i in range(3)]
+    u_trans = [uprime[i] + ubavg[i] for i in range(3)]
+
+    mean_h = ap("cmean", [h], 3)
+    dh = ap("div", [mean_h[i] * u_trans[i] for i in range(3)], 1)[0]
+    h_new = h + dt * (-dh)
+
+    trn = []
+    for l in range(L):
+        htr = ap("cmean", [h * tr[l]], 3)
+        adv = -ap("div", [htr[i] * u_trans[i] for i in range(3)], 1)[0]
+        ctr = ap("cdiff", [tr[l]], 3)
+        d2tr = ap("signed_div",
+                  [geo * mean_h[i] * ctr[i] for i in range(3)], 1)[0]
+        cd2 = ap("cdiff", [d2tr], 3)
+        hyp = ap("signed_div", [geo * scal4 * cd2[i]
+                                for i in range(3)], 1)[0]
+        dtr = adv + ed2 * scal2 * d2tr - ed4 * hyp
+        trn.append((tr[l] * h + dt * dtr) / h_new)
+    return [h_new] + u_new + trn
+
+
 _COMPUTE = {
     "fb": _state_compute(_fb_compute),
     "rk2": _state_compute(_rk2_compute),
@@ -413,6 +554,8 @@ _COMPUTE = {
     "rk4s2": _rk4_mid(0.5, 1.0 / 3.0),
     "rk4s3": _rk4_mid(1.0, 1.0 / 3.0),
     "rk4s4": _rk4_s4,
+    "splitpre": _split_pre,
+    "splitpost": _split_post,
 }
 
 
@@ -553,9 +696,11 @@ def _kernel(*refs, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
                          for ch in range(CHT // 2)]
             else:
                 # destination-row parity: global row of slab row iy is
-                # biy*by - R + iy (mod ny); ny even so parity is exact
+                # biy*by - R + iy (mod ny); ny even so parity is exact.
+                # Shape (YY, XX, 1): broadcasts over lanes, and keeps
+                # 1-lane (2-D) chain values from inflating to K lanes.
                 row = (biy * by - ry) + jax.lax.broadcasted_iota(
-                    jnp.int32, (YY, XX, K), 0)
+                    jnp.int32, (YY, XX, 1), 0)
                 even = (row % 2) == 0
                 slabs = [in_s[cur, ch] for ch in range(CHT)]
 
@@ -789,6 +934,73 @@ def rk4_megastep_stacked(mesh, cfg, stacked, dt, interpret=None):
     ap_ = _call(stacked, ap_, kind="rk4s2", out_ch=2 * CH, **kw)
     ap_ = _call(stacked, ap_, kind="rk4s3", out_ch=2 * CH, **kw)
     return _call(ap_, kind="rk4s4", out_ch=CH, **kw)
+
+
+def split_supported(mesh, cfg) -> bool:
+    """The fused split-explicit path: flagship tendency configuration
+    with the COLUMN free surface, uniform f_edge for the barotropic
+    Coriolis, no parity-split (the 2-D lane packing is parity-naive)."""
+    import dataclasses
+
+    from omega_tpu.ops import barotropic_kernel as btk
+    if parity_enabled():
+        return False
+    cfg_stacked = dataclasses.replace(cfg, ssh_formulation="stacked")
+    return (cfg.ssh_formulation == "column"
+            and supported(mesh, cfg_stacked)
+            and btk.supported(mesh)
+            and structured.uniform_scalar(mesh, "f_edge") is not None)
+
+
+def split_megastep_stacked(mesh, cfg, stacked, dt, n_subcycles=10,
+                           bt_drag=0.0, interpret=None):
+    """One split-explicit step on the stacked layout: splitpre kernel ->
+    resident barotropic-subcycle kernel -> splitpost kernel.  Matches
+    stepping.split.split_forward_backward_step on the supported
+    configuration (same mode split, frozen slow forcing, averaged
+    transport velocity)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from omega_tpu.ops import barotropic_kernel as btk
+    tabs, consts = _mega_args(mesh, cfg, dt)
+    us = lambda a: structured.uniform_scalar(mesh, a)
+    nx, ny = mesh.structured_nx, mesh.structured_ny
+    L = stacked.shape[0] - 4
+    K = None  # true K is carried by the caller via cfg
+    K = cfg.nvertlayers
+    consts_pre = consts + (K, us("bottom_depth"), us("f_edge"),
+                           float(bt_drag))
+    kw = dict(tabs=tabs, L=L, ny=ny, nx=nx, interpret=interpret)
+
+    pre = _call(stacked, consts=consts_pre, kind="splitpre", out_ch=7, **kw)
+
+    # --- barotropic subcycles on the packed 2-D fields (lane j = field)
+    packed = pre[6]                                   # (ny, nx, Kp)
+    bt_in = jnp.moveaxis(packed[..., :10], -1, 0)     # (10, ny, nx)
+    consts_bt = (float(dt) / n_subcycles, cfg.gravity,
+                 1.0 / us("dc_edge"), us("f_edge"), float(bt_drag))
+    bt_tabs = tuple((n, _table(mesh, n)) for n in ("div", "cdiff", "tang"))
+    bt_out = btk._call(bt_in, tabs=bt_tabs, consts=consts_bt, ny=ny,
+                       nx=nx, M=int(n_subcycles), interpret=interpret)
+    ub_final = bt_out[0:3]
+    ubar_avg = bt_out[4:7] / n_subcycles
+    Kp = stacked.shape[-1]
+    res = jnp.moveaxis(jnp.concatenate([ub_final, ubar_avg]), 0, -1)
+    res = jnp.pad(res, ((0, 0), (0, 0), (0, Kp - 6)))[None]
+
+    return _call(stacked, pre, res, consts=consts, kind="splitpost",
+                 out_ch=4 + L, **kw)
+
+
+def split_megastep(mesh, cfg, state, t, dt, n_subcycles=10, bt_drag=0.0,
+                   interpret=None):
+    """One split-explicit step (== stepping.split.split_forward_backward_
+    step) for the supported flagship column-ssh configuration."""
+    h, _, tr = state
+    stacked = stack_state(mesh, state)
+    out = split_megastep_stacked(mesh, cfg, stacked, dt, n_subcycles,
+                                 bt_drag, interpret=interpret)
+    return unstack_state(mesh, out, h.shape[-1], tr.shape[0], type(state))
 
 
 def rk4_megastep(mesh, cfg, state, t, dt, interpret=None):

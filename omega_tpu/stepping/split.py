@@ -71,6 +71,16 @@ def split_forward_backward_step(mesh: HorzMesh, cfg: ModelConfig,
             "set ModelConfig.ssh_formulation='column' (SshFormulation: "
             "Column) — the default 'stacked' per-layer ssh has no shared "
             "barotropic mode")
+    if (halo is _identity and wind_stress is None
+            and isinstance(dt, (int, float))):
+        from omega_tpu.ops import megastep
+        if megastep.enabled() and megastep.split_supported(mesh, cfg):
+            # fully fused fast path: splitpre kernel -> resident
+            # barotropic-subcycle kernel -> splitpost kernel
+            # (ops/megastep.split_megastep_stacked); exact vs this
+            # composed path on the supported configuration
+            return megastep.split_megastep(mesh, cfg, state, t, dt,
+                                           n_subcycles, bt_drag)
     h, u, tr = state
     g = cfg.gravity
 
@@ -163,4 +173,7 @@ def make_split_stepper(n_subcycles: int = 10, bt_drag: float = 0.0):
         return split_forward_backward_step(mesh, cfg, state, t, dt, halo,
                                            wind_stress, n_subcycles,
                                            bt_drag)
+    # run_steps reads this to keep the stacked mega layout as the scan
+    # carry when the fused split path applies
+    step.split_explicit_params = (n_subcycles, bt_drag)
     return step

@@ -152,6 +152,7 @@ def _split_stepper(*args, **kw):
     return split_forward_backward_step(*args, **kw)
 
 
+_split_stepper.split_explicit_params = (10, 0.0)
 _STEPPERS["splitexplicit"] = _split_stepper
 
 
@@ -204,6 +205,24 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
                 return megastep.fb_megastep_stacked(mesh, cfg, carry, dt), None
 
             stacked, _ = jax.lax.scan(mbody, stacked, None, length=nsteps)
+            return megastep.unstack_state(mesh, stacked, h.shape[-1],
+                                          tr.shape[0], type(state))
+    split_params = getattr(stepper, "split_explicit_params", None)
+    if (split_params is not None and halo is _identity
+            and wind_stress is None and isinstance(dt, (int, float))):
+        from omega_tpu.ops import megastep
+        if megastep.enabled() and megastep.split_supported(mesh, cfg):
+            # split-explicit stacked fast path: splitpre/subcycle/
+            # splitpost kernels per step on the persistent mega layout
+            M, r_drag = split_params
+            h, _, tr = state
+            stacked = megastep.stack_state(mesh, state)
+
+            def sbody(carry, _):
+                return megastep.split_megastep_stacked(
+                    mesh, cfg, carry, dt, M, r_drag), None
+
+            stacked, _ = jax.lax.scan(sbody, stacked, None, length=nsteps)
             return megastep.unstack_state(mesh, stacked, h.shape[-1],
                                           tr.shape[0], type(state))
     if (stepper in (rk2_step, rk4_step) and halo is _identity

@@ -200,3 +200,51 @@ def test_bt_kernel_matches_scan(monkeypatch):
         a, b = np.asarray(getattr(fast, n)), np.asarray(getattr(slow, n))
         np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-14,
                                    err_msg=n)
+
+
+def test_split_megastep_matches_composed(monkeypatch):
+    """The fully fused split-explicit step (splitpre kernel -> resident
+    barotropic-subcycle kernel -> splitpost kernel, ops/megastep.py;
+    interpret mode on CPU) reproduces the composed
+    split_forward_backward_step to roundoff on the flagship column-ssh
+    configuration, via both the direct API and the run_steps scan."""
+    from omega_tpu.ops import megastep
+    from omega_tpu.stepping.steppers import make_stepper, run_steps
+
+    mesh = planar_hex_mesh(16, 16, dc=5000.0, f0=1e-4, bottom_depth=1000.0)
+    cfg = ModelConfig(nvertlayers=4, ntracers=2, ssh_formulation="column",
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e9))
+    assert megastep.split_supported(mesh, cfg)
+    rng = np.random.default_rng(9)
+    kx = 2 * np.pi / mesh.x_period
+    ky = 2 * np.pi / mesh.y_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell)) * \
+        np.sin(ky * np.asarray(mesh.y_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / 4) * jnp.ones((1, 4))
+    st = ModelState(
+        h=h, u=jnp.asarray(0.01 * rng.standard_normal((mesh.nedges, 4))),
+        tracers=jnp.asarray(10.0 + rng.standard_normal((2, mesh.ncells, 4))))
+
+    dt, nsteps = 60.0, 3
+    ref, out = st, st
+    for i in range(nsteps):
+        ref = split_forward_backward_step(mesh, cfg, ref, i * dt, dt,
+                                          n_subcycles=8, bt_drag=1e-4)
+        out = megastep.split_megastep(mesh, cfg, out, i * dt, dt,
+                                      n_subcycles=8, bt_drag=1e-4,
+                                      interpret=True)
+    for n in ("h", "u", "tracers"):
+        np.testing.assert_allclose(np.asarray(getattr(out, n)),
+                                   np.asarray(getattr(ref, n)),
+                                   rtol=1e-10, atol=1e-10, err_msg=n)
+
+    # run_steps' stacked scan path (OMEGA_MEGA_STEP forces it on CPU)
+    monkeypatch.setenv("OMEGA_MEGA_STEP", "1")
+    from omega_tpu.stepping.split import make_split_stepper
+    scan_out = run_steps(mesh, cfg, st, 0.0, dt, nsteps,
+                         stepper=make_split_stepper(8, 1e-4))
+    for n in ("h", "u", "tracers"):
+        np.testing.assert_allclose(np.asarray(getattr(scan_out, n)),
+                                   np.asarray(getattr(ref, n)),
+                                   rtol=1e-10, atol=1e-10, err_msg=n)
