@@ -165,6 +165,11 @@ def split_forward_backward_step(mesh: HorzMesh, cfg: ModelConfig,
     return halo(out)
 
 
+# run_steps' stacked fast path reads these defaults when the bare
+# function is passed as the stepper (matches the signature defaults)
+split_forward_backward_step.split_explicit_params = (10, 0.0)
+
+
 def make_split_stepper(n_subcycles: int = 10, bt_drag: float = 0.0):
     """Stepper factory with a fixed subcycle count and optional linear
     barotropic drag (config `TimeIntegration: BarotropicSubcycles` /
