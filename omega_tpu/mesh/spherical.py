@@ -155,20 +155,51 @@ def _lloyd_relax(pts, tris, iters: int):
     return pts
 
 
+def _mobius_dilate(pts: np.ndarray, a: float) -> np.ndarray:
+    """Conformal dilation of the unit sphere toward the north pole.
+
+    Stereographic projection from the south pole, w -> a*w, and back.
+    Mobius maps send circles to circles, so the empty-circumcircle
+    (Delaunay) property of a triangulation is PRESERVED — warping the
+    generators of a valid icos mesh yields a valid VARIABLE-RESOLUTION
+    Voronoi mesh.  The conformal factor is a at the north pole and 1/a
+    at the south, so cell spacing varies by a^2 pole to pole (a < 1:
+    finer north; the EC30to60-style use case, e3sm mesh family;
+    reference partitions such meshes via METIS, base/Decomp.cpp:968 —
+    here the SFC+refinement path must handle nonuniform cell sizes)."""
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    d = 1.0 + z
+    # exact pole (d == 0) maps to itself (w = infinity fixed point)
+    pole = d < 1e-12
+    d = np.where(pole, 1.0, d)
+    wx, wy = a * x / d, a * y / d
+    r2 = wx * wx + wy * wy
+    out = np.stack([2 * wx, 2 * wy, 1.0 - r2], axis=-1) / (1.0 + r2)[:, None]
+    out[pole] = [0.0, 0.0, -1.0]
+    return out
+
+
 def spherical_icos_mesh(n: int, *, radius: float = EARTH_RADIUS,
                         omega: float = OMEGA_ROT,
                         bottom_depth: float = 4000.0,
-                        lloyd_iters: int = 0) -> HorzMesh:
+                        lloyd_iters: int = 0,
+                        refine_factor: float = 1.0) -> HorzMesh:
     """Build the Icos-family spherical Voronoi mesh at subdivision n.
 
     n=8 -> 642 cells (~1000 km), n=16 -> 2562, n=32 -> 10242 (~QU240 size),
     n=64 -> 40962 cells.
+
+    refine_factor a != 1 applies a conformal dilation (a < 1 pulls
+    generators toward the north pole): cell spacing scales by a at the
+    north pole and 1/a at the south — max/min dc ratio ~1/a^2.
     """
     if n < 2:
         raise ValueError("need n >= 2")
     pts, tris = _subdivide(n)
     if lloyd_iters:
         pts = _lloyd_relax(pts, tris, lloyd_iters)
+    if refine_factor != 1.0:
+        pts = _mobius_dilate(pts, float(refine_factor))
     C = len(pts)
     T = len(tris)
 
