@@ -473,8 +473,8 @@ def _vel_tend_column(h, u, sshc, even, tabs, consts, L):
 def _split_pre(slabs, even, tabs, consts, L):
     """Mode split + slow forcing (split.py:77-103). consts[14:] =
     (K, depth, f_edge, bt_drag). Emits 7 channels:
-    uprime x3, du_slow x3, packed 2-D (lanes: ubar x3, g_slow x3,
-    sshc, het x3)."""
+    uprime x3, du_slow x3, packed 2-D (lanes: ubar x3, sshc,
+    g_slow x3, het x3 — barotropic_kernel input order)."""
     (dt, grav) = consts[0], consts[1]
     inv_dc = consts[7]
     K, depth, f_e, r_drag = consts[14:18]
