@@ -89,13 +89,14 @@ def _table(mesh, name):
     return None if tab is None else tuple(tab)
 
 
-def supported(mesh, cfg, kind="fb") -> bool:
+def supported(mesh, cfg, kind="fb", parity=None) -> bool:
     """The flagship configuration this kernel implements."""
     tc = cfg.tendencies
     if not structured.enabled(mesh):
         return False
     nx, ny = mesh.structured_nx, mesh.structured_ny
-    parity = parity_enabled()
+    if parity is None:
+        parity = parity_enabled()
     by, bx = _pick_tile(ny // 2 if parity else ny, nx, kind)
     ry, rx = _rings(kind, parity)
     # the 9-rectangle wrapped DMA needs each halo band contiguous mod n
@@ -837,9 +838,10 @@ def unsplit_parity(stacked, ny):
     return jnp.swapaxes(s, 1, 2).reshape(CH2 // 2, ny, nx, K)
 
 
-def stack_state(mesh, state):
+def stack_state(mesh, state, parity=None):
     """ModelState -> the kernel's stacked (1+3+L, ny, nx, K128) layout
-    ((2(1+3+L), ny/2, nx, K128) in parity-split mode).
+    ((2(1+3+L), ny/2, nx, K128) in parity-split mode; parity=None reads
+    OMEGA_MEGA_PARITY, the split-explicit path forces False).
 
     K pads to the 128-lane boundary ONCE here: h pads with 1.0 (keeps
     the kernel's tracer h-division finite in dead lanes), u/tracers with
@@ -858,7 +860,9 @@ def stack_state(mesh, state):
         ug = jnp.pad(ug, pad)
         trg = jnp.pad(trg, pad)
     out = jnp.concatenate([hg, ug, trg], axis=0)
-    return split_parity(out, ny) if parity_enabled() else out
+    if parity is None:
+        parity = parity_enabled()
+    return split_parity(out, ny) if parity else out
 
 
 def unstack_state(mesh, stacked, K, L, state_type):
@@ -938,16 +942,17 @@ def rk4_megastep_stacked(mesh, cfg, stacked, dt, interpret=None):
 
 def split_supported(mesh, cfg) -> bool:
     """The fused split-explicit path: flagship tendency configuration
-    with the COLUMN free surface, uniform f_edge for the barotropic
-    Coriolis, no parity-split (the 2-D lane packing is parity-naive)."""
+    with the COLUMN free surface and uniform f_edge for the barotropic
+    Coriolis.  The split kernels always use the plain (non-parity)
+    layout — the 2-D lane packing is parity-naive — so this path works
+    regardless of OMEGA_MEGA_PARITY (its stack_state forces
+    parity=False)."""
     import dataclasses
 
     from omega_tpu.ops import barotropic_kernel as btk
-    if parity_enabled():
-        return False
     cfg_stacked = dataclasses.replace(cfg, ssh_formulation="stacked")
     return (cfg.ssh_formulation == "column"
-            and supported(mesh, cfg_stacked)
+            and supported(mesh, cfg_stacked, parity=False)
             and btk.supported(mesh)
             and structured.uniform_scalar(mesh, "f_edge") is not None)
 
@@ -997,7 +1002,7 @@ def split_megastep(mesh, cfg, state, t, dt, n_subcycles=10, bt_drag=0.0,
     """One split-explicit step (== stepping.split.split_forward_backward_
     step) for the supported flagship column-ssh configuration."""
     h, _, tr = state
-    stacked = stack_state(mesh, state)
+    stacked = stack_state(mesh, state, parity=False)
     out = split_megastep_stacked(mesh, cfg, stacked, dt, n_subcycles,
                                  bt_drag, interpret=interpret)
     return unstack_state(mesh, out, h.shape[-1], tr.shape[0], type(state))

@@ -216,7 +216,7 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
             # splitpost kernels per step on the persistent mega layout
             M, r_drag = split_params
             h, _, tr = state
-            stacked = megastep.stack_state(mesh, state)
+            stacked = megastep.stack_state(mesh, state, parity=False)
 
             def sbody(carry, _):
                 return megastep.split_megastep_stacked(
