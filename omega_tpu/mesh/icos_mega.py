@@ -85,19 +85,27 @@ class MegaInfo:
         return self.n + 2 * MH
 
 
-_MEGA: Dict[int, MegaInfo] = {}
+_MEGA: Dict[tuple, MegaInfo] = {}
+
+
+def _mega_key(mesh):
+    """Cache key: the tile knob changes the build (mg.by and the
+    tile-creep validity masks), so an in-process A/B over
+    OMEGA_PATCH_TILE must rebuild rather than hit a stale entry."""
+    pk = getattr(mesh, "patch_key", 0)
+    return (pk, os.environ.get("OMEGA_PATCH_TILE", "16")) if pk else None
 
 
 def get_mega(mesh) -> Optional[MegaInfo]:
-    key = getattr(mesh, "patch_key", 0)
+    key = _mega_key(mesh)
     return _MEGA.get(key) if key else None
 
 
 def ensure_mega(mesh) -> MegaInfo:
     """Build (once) and return the mega artifacts for a patch mesh."""
-    key = getattr(mesh, "patch_key", 0)
+    key = _mega_key(mesh)
     info = ip.get_info(mesh)
-    if not key or info is None:
+    if key is None or info is None:
         raise ValueError("mesh is not patch-structured")
     if key not in _MEGA:
         _MEGA[key] = _build(mesh, info)

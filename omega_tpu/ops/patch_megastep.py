@@ -142,9 +142,20 @@ def _block_classes(p, pstack_sup):
 
 
 def _prep(mesh, dtype):
-    key = (mesh.patch_key, np.dtype(dtype).str)
+    # env knobs are part of the key so an in-process A/B rebuilds; the
+    # compile-time-eval scope keeps every cached jnp array CONCRETE
+    # even when the first call happens under a jit trace (a cached
+    # tracer would leak into the next jit and fail it)
+    key = (mesh.patch_key, np.dtype(dtype).str,
+           os.environ.get("OMEGA_PATCH_TILE", "16"),
+           os.environ.get("OMEGA_PATCH_K", "4"))
     if key in _PREP:
         return _PREP[key]
+    with jax.ensure_compile_time_eval():
+        return _prep_build(mesh, dtype, key)
+
+
+def _prep_build(mesh, dtype, key):
     mg = imx.ensure_mega(mesh)
     p = _Prep()
     p.mg = mg
