@@ -360,8 +360,72 @@ def _last_use(ops, outputs):
     return last
 
 
+def yshrink_enabled() -> bool:
+    return os.environ.get("OMEGA_PATCH_YSHRINK", "1") in ("1", "true")
+
+
+def _chain_extents(ops, outputs, entry_lists, R, by, YY):
+    """Per-op-instance required output Y-extent [lo, hi) (slab rows).
+
+    Only rows [R, R+by) of the final outputs are written back, and a
+    stencil op's output row y reads source rows y+db for its class's
+    live entry offsets db — so each value only needs the rows that can
+    still reach the output block.  Y is the slab's MAJOR dim (K rides
+    lanes, X sublanes), so Y slices are relayout-free and the kernel
+    evaluates every op on its required rows only.  Requirements clip to
+    the slab [0, YY); reads a consumer would make beyond a producer's
+    extent are exactly the out-of-slab reads the build-time validity
+    masks (icos_mega.kernel_validity) already model as garbage — the
+    kernel zero-pads them, preserving exactness at all valid positions.
+
+    Instance-resolved (a reassigned name like 'du' gets one extent per
+    assignment).  Returns a list aligned with `ops`; None marks an op
+    whose result is never consumed (skipped)."""
+    req = {nm: (R, R + by) for nm in outputs}
+
+    def merge(nm, lo, hi):
+        cur = req.get(nm)
+        req[nm] = (lo, hi) if cur is None else (min(cur[0], lo),
+                                                max(cur[1], hi))
+
+    ext = [None] * len(ops)
+    for i in range(len(ops) - 1, -1, -1):
+        op = ops[i]
+        e = req.pop(op[0], None)
+        ext[i] = e
+        if e is None:
+            continue
+        lo, hi = e
+        if op[1] == "st":
+            lst = entry_lists[op[2]][2]
+            if lst:
+                mn = min(ent[3] for ent in lst)
+                mx = max(ent[3] for ent in lst)
+                merge(op[3], max(0, lo + mn), min(YY, hi + mx))
+        else:
+            for nm in _op_inputs(op):
+                merge(nm, lo, hi)
+    return ext
+
+
+def _yslice(slab, start, stop):
+    """Rows [start, stop) of a (Y, X, K) slab, zero-padding rows that
+    fall outside — those reads are out-of-slab garbage by construction
+    (see _chain_extents) and zeros keep garbage finite."""
+    n = slab.shape[0]
+    s0, s1 = max(start, 0), min(stop, n)
+    body = slab[s0:s1]
+    parts = []
+    if s0 > start:
+        parts.append(jnp.zeros((s0 - start,) + slab.shape[1:], slab.dtype))
+    parts.append(body)
+    if stop > s1:
+        parts.append(jnp.zeros((stop - s1,) + slab.shape[1:], slab.dtype))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else body
+
+
 def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
-                ops=None, outputs=None):
+                ops=None, outputs=None, R_by=None):
     """Evaluate a chain (default fb_chain) on per-channel slab lists.
 
     vals: dict name -> [ (Y, X, K) ] * T.  pget(i) -> (Y, X) plane slab.
@@ -369,18 +433,40 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
     DELETED from `vals` as soon as their last reader ran (Mosaic
     allocates VMEM stack for every live jax value — without the frees
     the whole chain stays resident and blows the scoped-vmem budget).
-    `sink(name, channels)`: called on finished outputs; when it returns
-    True the value is not kept in `vals` (the kernel stores it to the
-    output buffer immediately)."""
-    (dt, grav, nu2, nu4, div_factor, ed2, ed4) = consts
+    `sink(name, channels, ylo)`: called on finished outputs (ylo = the
+    value's first slab row); when it returns True the value is not kept
+    in `vals` (the kernel stores it to the output buffer immediately).
 
-    def ap(tname, src):
+    With `R_by=(R, by)` and OMEGA_PATCH_YSHRINK on, every op evaluates
+    only the slab rows that can still reach the output block (see
+    _chain_extents) — Y is the slab major dim so the shrink is
+    relayout-free and exact at all valid positions."""
+    (dt, grav, nu2, nu4, div_factor, ed2, ed4) = consts
+    if ops is None:
+        ops = fb_chain(L)
+    if outputs is None:
+        outputs = ["h_new", "u_new"] + [f"trn{l}" for l in range(L)]
+
+    YY = next(iter(vals.values()))[0].shape[0]
+    if R_by is not None and yshrink_enabled():
+        exts = _chain_extents(ops, outputs, entry_lists, R_by[0], R_by[1],
+                              YY)
+    else:
+        exts = [(0, YY)] * len(ops)
+    vext = {nm: (0, YY) for nm in vals}     # current extent per value
+    cur_ext = (0, YY)                       # extent of the op being run
+
+    def ap(tname, sname):
+        src = vals[sname]
+        slo = vext[sname][0]
+        lo, hi = cur_ext
         Td, Ts, lst = entry_lists[tname]
         outs = [None] * Td
         # the X roll (axis 1 = sublanes) is the expensive one (a real
-        # sublane rotate per vreg; the Y roll is a major-dim reindex) —
-        # hoist it and share across entries with the same (ts, da).
-        # Rolls on different axes commute, so this is bit-identical.
+        # sublane rotate per vreg; the Y roll is a slice/reindex of the
+        # major dim) — hoist it and share across entries with the same
+        # (ts, da).  Rolls/slices on different axes commute, so this is
+        # bit-identical.
         nuse: Dict[tuple, int] = {}
         for (td, ts, da, db, pidx) in lst:
             nuse[(ts, da)] = nuse.get((ts, da), 0) + 1
@@ -392,25 +478,34 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
                 base = _roll(src[ts], da, 1)
                 if nuse[key] > 1:           # cache only reused slabs
                     xroll[key] = base       # (bounds VMEM live set)
-            w = pget(pidx)[..., None]       # (Y, X, 1) lane-broadcasts
-            term = w * _roll(base, db, 0)
+            w = pget(pidx)[lo:hi, :, None]  # (Y, X, 1) lane-broadcasts
+            term = w * _yslice(base, lo + db - slo, hi + db - slo)
             outs[td] = term if outs[td] is None else outs[td] + term
-        zero = jnp.zeros_like(src[0])
+        zshape = (hi - lo,) + src[0].shape[1:]
+        zero = jnp.zeros(zshape, src[0].dtype)
         return [o if o is not None else zero for o in outs]
 
     def cval(cname, T):
+        lo, hi = cur_ext
         c = cget(cname)
         if isinstance(c, float):
             return [c] * T
-        return [pli[..., None] for pli in c]
+        return [pli[lo:hi, :, None] for pli in c]
 
     def run(op):
         name, kind = op[0], op[1]
         if kind == "st":
-            return ap(op[2], vals[op[3]])
+            return ap(op[2], op[3])
         fn = op[2]
         a = op[3:]
-        v = lambda nm: vals[nm]
+        lo, hi = cur_ext
+
+        def v(nm):
+            vlo, vhi = vext[nm]
+            if (vlo, vhi) == (lo, hi):
+                return vals[nm]
+            return [s[lo - vlo:hi - vlo] for s in vals[nm]]
+
         if fn == "mul":
             return [x * y for x, y in zip(v(a[0]), v(a[1]))]
         if fn == "sub":
@@ -420,12 +515,13 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
             if isinstance(c, float):
                 return (list(v(a[0])) if c == 1.0
                         else [x * c for x in v(a[0])])
-            return [x * pli[..., None] for x, pli in zip(v(a[0]), c)]
+            return [x * pli[lo:hi, :, None]
+                    for x, pli in zip(v(a[0]), c)]
         if fn == "sub_mc":          # mask*x - y (del2_e grad-part mask)
             m = cget(a[2][1:])
             if isinstance(m, float) and m == 1.0:
                 return [x - y for x, y in zip(v(a[0]), v(a[1]))]
-            mm = cval(a[2][1:], len(v(a[0])))
+            mm = cval(a[2][1:], len(vals[a[0]]))
             return [mi * x - y
                     for x, y, mi in zip(v(a[0]), v(a[1]), mm)]
         if fn == "axpy_m":          # x + dt*coef*(mask*y)
@@ -483,21 +579,23 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
                     for du, c, r, s in zip(v(a[0]), v(a[1]), v(a[2]), s4)]
         raise ValueError(fn)
 
-    if ops is None:
-        ops = fb_chain(L)
-    if outputs is None:
-        outputs = ["h_new", "u_new"] + [f"trn{l}" for l in range(L)]
     last = _last_use(ops, outputs)
     for i, op in enumerate(ops):
         name = op[0]
+        if exts[i] is None:          # result never consumed
+            continue
+        cur_ext = exts[i]
         res = run(op)
         dead = [nm for nm in _op_inputs(op)
                 if last.get(nm, -1) == i and nm != name and nm in vals]
         for nm in dead:
             del vals[nm]
-        if name in outputs and sink is not None and sink(name, res):
+            del vext[nm]
+        if name in outputs and sink is not None \
+                and sink(name, res, cur_ext[0]):
             continue
         vals[name] = res
+        vext[name] = cur_ext
     return vals
 
 
@@ -598,10 +696,10 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
             # h_new is kept — the velocity section still reads it
             c = slice(R, R + by)
 
-            def sink(name, res):
+            def sink(name, res, ylo):
                 ch = out_map[name]
                 for i, r in enumerate(res):
-                    out_s[cur, ch + i] = r[c, c]
+                    out_s[cur, ch + i] = r[slice(R - ylo, R - ylo + by), c]
                 return name not in keep
 
             def eval_with(entry_lists):
@@ -619,7 +717,8 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
                     for l in range(L):
                         vals[tr_nm.format(l)] = [in_s[cur, o + 4 + l]]
                 _eval_chain(vals, entry_lists, pget, cget, consts, L,
-                            sink=sink, ops=chain_ops, outputs=outputs)
+                            sink=sink, ops=chain_ops, outputs=outputs,
+                            R_by=(R, by))
 
             if os.environ.get("OMEGA_PATCH_NOP") == "1":
                 # diagnostic: the kernel's pure-DMA floor (state +
