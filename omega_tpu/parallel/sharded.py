@@ -233,3 +233,57 @@ def default_device_mesh(nshards: int, axis_name: str = "x") -> Mesh:
     if len(devs) < nshards:
         raise ValueError(f"need {nshards} devices, have {len(jax.devices())}")
     return Mesh(np.array(devs), (axis_name,))
+
+
+def dcn_device_mesh(nshards: int, axis_name: str = "x",
+                    devices=None) -> Mesh:
+    """1-D device mesh ordered host-major for multi-host (DCN) runs.
+
+    The model's single distributed axis is the horizontal mesh
+    (SURVEY.md section 2.6) and the SFC decomposition gives contiguous
+    spatial blocks, so halo ppermutes are dominated by rank distance 1.
+    Ordering devices (process, slice, id)-major makes consecutive ranks
+    co-located: the distance-1 ring rides ICI within each host and
+    crosses DCN only at the host seams — the TPU analogue of the
+    reference's node-aware MPI rank placement.  `devices` overrides the
+    device list (tests emulate multi-host orderings with it)."""
+    devs = list(jax.devices() if devices is None else devices)
+    devs.sort(key=lambda d: (getattr(d, "process_index", 0),
+                             getattr(d, "slice_index", 0) or 0, d.id))
+    if len(devs) < nshards:
+        raise ValueError(f"need {nshards} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:nshards]), (axis_name,))
+
+
+def comm_volume_by_link(smesh: ShardedMesh, host_of) -> dict:
+    """Per-step halo traffic split by link type for a host assignment.
+
+    host_of: (nshards,) host index of each shard (rank order).  Returns
+    row counts {'ici': n, 'dcn': n, 'per_dcn_pair': {(ha, hb): n}} summed
+    over the cell and edge exchange lists (rows = elements, multiply by
+    K * itemsize * fields for bytes).  The planner's tool for checking a
+    layout keeps the DCN share small before committing to it."""
+    host_of = np.asarray(host_of)
+    S = smesh.nshards
+    out = {"ici": 0, "dcn": 0, "per_dcn_pair": {}}
+    for kind in ("cell", "edge"):
+        l2g = np.asarray(smesh.cell_local_to_global if kind == "cell"
+                         else smesh.edge_local_to_global)
+        dummy_row = l2g.shape[1] - 1   # pad target (build_permute_lists)
+        for (d, send, recv) in build_permute_lists(smesh, kind):
+            for src in range(S):
+                dst = (src + d) % S
+                # recv-side padding identifies dead slots exactly (real
+                # sends can legitimately name the last local row)
+                n = int((recv[dst] != dummy_row).sum())
+                if n == 0:
+                    continue
+                if host_of[src] == host_of[dst]:
+                    out["ici"] += n
+                else:
+                    out["dcn"] += n
+                    key = (int(min(host_of[src], host_of[dst])),
+                           int(max(host_of[src], host_of[dst])))
+                    out["per_dcn_pair"][key] = \
+                        out["per_dcn_pair"].get(key, 0) + n
+    return out

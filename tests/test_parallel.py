@@ -162,6 +162,63 @@ def test_structured_2d_decomposition_invariance(layout, beta):
                                rtol=0, atol=1e-12)
 
 
+def test_dcn_mesh_ordering_and_link_volumes():
+    """Multi-host layout: the host-major device mesh gives bit-identical
+    results to the default ordering (device placement cannot change
+    numerics), and the SFC decomposition keeps the DCN share of halo
+    traffic small — distance-1 ppermutes dominate and stay intra-host."""
+    from omega_tpu.parallel.sharded import comm_volume_by_link, \
+        dcn_device_mesh
+
+    mesh, cfg, state = _inertia_gravity_setup(nx=16, dc=5000.0)
+    nshards, dt, nsteps = 8, 60.0, 3
+    smesh = decompose(mesh, nshards)
+    sstate = shard_state(smesh, state)
+
+    # emulate a 2-host x 4-chip ordering: interleave the virtual devices
+    # so the host-major sort actually reorders them
+    devs = jax.devices()[:nshards]
+    shuffled = [devs[i] for i in (3, 7, 1, 5, 0, 4, 2, 6)]
+    dmesh_dcn = dcn_device_mesh(nshards, devices=shuffled)
+    assert [d.id for d in dmesh_dcn.devices.ravel()] == \
+        sorted(d.id for d in devs)
+
+    def run(dmesh):
+        step = jax.jit(make_sharded_step(smesh, cfg, forward_backward_step,
+                                         dmesh))
+        st, t = sstate, 0.0
+        for _ in range(nsteps):
+            st = step(st, t, dt)
+            t += dt
+        return gather_state(smesh, st, mesh.ncells, mesh.nedges)
+
+    ref = run(default_device_mesh(nshards))
+    out = run(dmesh_dcn)
+    np.testing.assert_array_equal(np.asarray(out.h), np.asarray(ref.h))
+    np.testing.assert_array_equal(np.asarray(out.u), np.asarray(ref.u))
+
+    # link accounting: 2 hosts x 4 consecutive ranks each -> DCN rows
+    # come only from the two host-seam crossings of the rank ring (the
+    # per-pair map must name host pair (0,1) alone), and intra-host
+    # traffic dominates; the split is structural (2 of 8 ring seams),
+    # not volume-proportional
+    host_of = np.arange(nshards) // 4
+    vol = comm_volume_by_link(smesh, host_of)
+    assert vol["ici"] > 0 and vol["dcn"] > 0
+    assert vol["dcn"] < vol["ici"], vol
+    assert set(vol["per_dcn_pair"]) == {(0, 1)}
+    # every exchanged row is accounted exactly once
+    total = vol["ici"] + vol["dcn"]
+    expect = 0
+    for kind in ("cell", "edge"):
+        from omega_tpu.parallel.sharded import build_permute_lists
+        l2g = np.asarray(smesh.cell_local_to_global if kind == "cell"
+                         else smesh.edge_local_to_global)
+        for (d, send, recv) in build_permute_lists(smesh, kind):
+            expect += int((recv != l2g.shape[1] - 1).sum())
+    assert total == expect
+
+
 def test_partition_refinement_reduces_cut():
     """The KL boundary refinement must not worsen edge cut or balance,
     and the refined partition feeds the normal decompose path (exactness
