@@ -478,7 +478,10 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
                 base = _roll(src[ts], da, 1)
                 if nuse[key] > 1:           # cache only reused slabs
                     xroll[key] = base       # (bounds VMEM live set)
-            w = pget(pidx)[lo:hi, :, None]  # (Y, X, 1) lane-broadcasts
+            # NOTE: slice and newaxis must be SEPARATE indexing ops —
+            # x[lo:hi, :, None] takes jnp's advanced-indexing path
+            # and lowers to lax.gather, which Mosaic cannot lower
+            w = pget(pidx)[lo:hi][:, :, None]
             term = w * _yslice(base, lo + db - slo, hi + db - slo)
             outs[td] = term if outs[td] is None else outs[td] + term
         zshape = (hi - lo,) + src[0].shape[1:]
@@ -490,7 +493,7 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
         c = cget(cname)
         if isinstance(c, float):
             return [c] * T
-        return [pli[lo:hi, :, None] for pli in c]
+        return [pli[lo:hi][:, :, None] for pli in c]
 
     def run(op):
         name, kind = op[0], op[1]
@@ -515,7 +518,7 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
             if isinstance(c, float):
                 return (list(v(a[0])) if c == 1.0
                         else [x * c for x in v(a[0])])
-            return [x * pli[lo:hi, :, None]
+            return [x * pli[lo:hi][:, :, None]
                     for x, pli in zip(v(a[0]), c)]
         if fn == "sub_mc":          # mask*x - y (del2_e grad-part mask)
             m = cget(a[2][1:])

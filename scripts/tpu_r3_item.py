@@ -1,0 +1,122 @@
+"""One hardware timing item per process (round 3).
+
+Usage: python scripts/tpu_r3_item.py <item> [env KEY=VAL ...]
+
+Each item runs in its own process so a wedged tunnel connection only
+loses that item (the round-2 monolithic queue stalled >25 min on one
+dead TCP read).  Items print one line each; the driver shell loops with
+per-item timeouts.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+item = sys.argv[1]
+for kv in sys.argv[2:]:
+    k, _, v = kv.partition("=")
+    os.environ[k] = v
+
+import time  # noqa: E402
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from omega_tpu.core import ModelConfig, ModelState, TendencyConfig  # noqa: E402
+from omega_tpu.mesh import planar_hex_mesh  # noqa: E402
+from omega_tpu.stepping import (forward_backward_step, rk2_step,  # noqa: E402
+                                rk4_step, run_steps)
+from omega_tpu.stepping.split import split_forward_backward_step  # noqa: E402
+
+assert jax.default_backend() == "tpu", jax.devices()
+dtype = jnp.float32
+NSTEPS, REPS = 20, 4
+
+
+def time_run(tag, mesh, cfg, st, stepper, dt=30.0):
+    stepn = jax.jit(lambda s: run_steps(mesh, cfg, s, 0.0, dt, NSTEPS,
+                                        stepper=stepper))
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(stepn(st))
+    comp = time.perf_counter() - t0
+    el = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(stepn(st))
+        el = min(el, time.perf_counter() - t0)
+    ok = bool(jnp.isfinite(out.h).all())
+    env = {k: os.environ[k] for k in
+           ("OMEGA_PATCH_TILE", "OMEGA_PATCH_K", "OMEGA_PATCH_YSHRINK",
+            "OMEGA_MEGA_PARITY") if k in os.environ}
+    print(f"[timing] {tag}: {el / NSTEPS * 1e3:.2f} ms/step "
+          f"(compile {comp:.0f}s, finite={ok}, env={env})", flush=True)
+
+
+def planar_init(nx=256, K=100, L=2, seed=0):
+    mesh = planar_hex_mesh(nx, nx, dc=5000.0, f0=1e-4,
+                           bottom_depth=1000.0).astype(dtype).device_put()
+    cfg = ModelConfig(nvertlayers=K, ntracers=L,
+                      tendencies=TendencyConfig(visc_del2=1.0e3,
+                                                visc_del4=1.0e9))
+    rng = np.random.default_rng(seed)
+    kx = 2 * np.pi / mesh.x_period
+    ky = 2 * np.pi / mesh.y_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell)) * \
+        np.sin(ky * np.asarray(mesh.y_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / K, dtype) * jnp.ones((1, K),
+                                                                   dtype)
+    st = ModelState(
+        h=h,
+        u=jnp.asarray(0.01 * rng.standard_normal((mesh.nedges, K)), dtype),
+        tracers=jnp.asarray(10.0 + rng.standard_normal((L, mesh.ncells, K)),
+                            dtype))
+    return mesh, cfg, st
+
+
+def sphere_init(n=48, K=100, L=2):
+    from omega_tpu.mesh.icos_patches import patch_icos_mesh
+    from omega_tpu.mesh.spherical import spherical_icos_mesh
+    mesh = patch_icos_mesh(spherical_icos_mesh(n), n).astype(dtype)
+    mesh = mesh.device_put()
+    cfg = ModelConfig(nvertlayers=K, ntracers=L,
+                      tendencies=TendencyConfig(visc_del2=1.0e3,
+                                                visc_del4=1.0e9))
+    ssh = np.sin(2 * np.asarray(mesh.lat_cell)) * np.cos(
+        np.asarray(mesh.lon_cell))
+    depth0 = float(np.asarray(mesh.bottom_depth)[0])
+    h = jnp.asarray((depth0 + ssh[:, None]) / K, dtype) * jnp.ones((1, K),
+                                                                   dtype)
+    st = ModelState(
+        h=h, u=jnp.zeros((mesh.nedges, K), dtype),
+        tracers=10.0 + jnp.zeros((L, mesh.ncells, K), dtype))
+    return mesh, cfg, st
+
+
+if item.startswith("planar-fb"):
+    mesh, cfg, st = planar_init()
+    time_run(item, mesh, cfg, st, forward_backward_step)
+elif item.startswith("planar-rk2"):
+    mesh, cfg, st = planar_init()
+    time_run(item, mesh, cfg, st, rk2_step)
+elif item.startswith("planar-rk4"):
+    mesh, cfg, st = planar_init()
+    time_run(item, mesh, cfg, st, rk4_step)
+elif item.startswith("planar-split"):
+    mesh, _, st = planar_init()
+    cfg = ModelConfig(nvertlayers=100, ntracers=2,
+                      ssh_formulation="column",
+                      tendencies=TendencyConfig(visc_del2=1.0e3,
+                                                visc_del4=1.0e9))
+    time_run(item, mesh, cfg, st, split_forward_backward_step, dt=120.0)
+elif item.startswith("sphere-fb"):
+    mesh, cfg, st = sphere_init()
+    time_run(item, mesh, cfg, st, forward_backward_step)
+elif item.startswith("sphere-rk2"):
+    mesh, cfg, st = sphere_init()
+    time_run(item, mesh, cfg, st, rk2_step)
+elif item.startswith("sphere-rk4"):
+    mesh, cfg, st = sphere_init()
+    time_run(item, mesh, cfg, st, rk4_step)
+else:
+    raise SystemExit(f"unknown item {item}")
