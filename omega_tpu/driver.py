@@ -510,6 +510,16 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
     from functools import partial
 
     sharded = model.nshards > 1
+    # the jitted run context (segment fn, scatter/gather, wind scatter)
+    # is built ONCE and cached on the model: repeated ocn_run calls — a
+    # restart chain, or the coupled-mode component advancing one
+    # coupling interval at a time (omega_tpu.coupling) — reuse the
+    # compiled segment instead of re-tracing it every call
+    if getattr(model, "_run_ctx", None) is not None:
+        segment = model._run_ctx["segment"]
+        if sharded and model._run_ctx["scatter"] is not None:
+            model.state = model._run_ctx["scatter"](model.state)
+        return _run_loop(model, segment, sharded, progress_every)
     if sharded:
         from omega_tpu.parallel.sharded import default_device_mesh
         dmesh = default_device_mesh(model.nshards)
@@ -549,6 +559,7 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                     "Decomp: mesh not structured-shardable, using the "
                     "general SFC decomposition")
 
+        scatter = None
         if use_patch:
             from omega_tpu.parallel.patch_shard import \
                 make_patch_sharded_run
@@ -563,7 +574,8 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                 ss, cfg, model.stepper, dmesh,
                 wind_stress=model.wind_stress)
             model._gather = lambda st: sshard.gather_state(ss, st)
-            model.state = sshard.shard_state(ss, model.state)
+            scatter = lambda st: sshard.shard_state(ss, st)
+            model.state = scatter(model.state)
             if model.sharded_io:
                 from omega_tpu.ops import structured as _st
                 c_l2g, c_own = sshard.element_maps(ss, "cell")
@@ -585,7 +597,8 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                                       wind_stress=model.wind_stress)
             model._gather = lambda st: gather_state(
                 sm_d, st, mesh.ncells, mesh.nedges)
-            model.state = shard_state(sm_d, model.state)
+            scatter = lambda st: shard_state(sm_d, st)
+            model.state = scatter(model.state)
             if model.sharded_io:
                 model._sharded_io_maps = (
                     np.asarray(sm_d.cell_local_to_global),
@@ -628,6 +641,14 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                                       else wind))
     if sharded:
         segment = segment_sharded
+    model._run_ctx = {"segment": segment,
+                      "scatter": scatter if sharded else None}
+    return _run_loop(model, segment, sharded, progress_every)
+
+
+def _run_loop(model: OceanModel, segment, sharded: bool,
+              progress_every: int) -> OceanModel:
+    import jax
 
     log = get_logger()
 
@@ -642,6 +663,17 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
             import jax.numpy as _jnp2
             wz, wm = _wind_at(model, float(t0))
             wind_seg = (_jnp2.asarray(wz), _jnp2.asarray(wm))
+            if sharded:
+                wind_seg = model._scatter_wind(wind_seg)
+            with tm.scope("ocnRun/doStep", 1, fence_on=None):
+                model.state = segment(model.state, t0, n, wind_seg)
+        elif model.wind_stress is not None:
+            # pass the CURRENT stress explicitly: the cached segment's
+            # closure capture is from the first trace, and coupled-mode
+            # imports (omega_tpu.coupling) replace model.wind_stress
+            # between ocn_run calls
+            import jax.numpy as _jnp3
+            wind_seg = tuple(_jnp3.asarray(w) for w in model.wind_stress)
             if sharded:
                 wind_seg = model._scatter_wind(wind_seg)
             with tm.scope("ocnRun/doStep", 1, fence_on=None):
