@@ -786,6 +786,27 @@ def _call(*stacked, tabs, consts, L, ny, nx, interpret, kind="fb",
     CHO = stacked[0].shape[0] if out_ch is None else out_ch
     if parity and out_ch is not None:
         CHO = 2 * out_ch
+    # VMEM-driven tile fallback: the double-buffered in/out slabs must
+    # leave room for the chain's live-value stack inside the scoped
+    # budget (parity RK4 stages carry 36 input channels — at tile 32
+    # their buffers alone were 96MB and Mosaic OOMed the 120MB scope).
+    # Shrink the tile until buffers fit ~60% of the scope; the chain
+    # stack has measured well under the remainder at these tile sizes.
+    CHT = sum(s.shape[0] for s in stacked)
+    budget = 0.6 * int(os.environ.get("OMEGA_MEGA_VMEM_MB", "120")) * 2**20
+    itemsize = stacked[0].dtype.itemsize
+
+    def bufbytes(by_, bx_):
+        return (2 * CHT * (by_ + 2 * ry) * (bx_ + 2 * rx) * K
+                + 2 * CHO * by_ * bx_ * K) * itemsize
+
+    while bufbytes(by, bx) > budget and max(by, bx) > 8:
+        cap = max(by, bx) // 2
+        by, bx = min(by, cap), min(bx, cap)
+        while ny % by:
+            by -= 1
+        while nx % bx:
+            bx -= 1
     kern = functools.partial(_kernel, tabs=dict(tabs), consts=consts, L=L,
                              ny=ny, nx=nx, K=K, by=by, bx=bx,
                              nby=ny // by, nbx=nx // bx,
