@@ -73,6 +73,8 @@ class OceanModel:
     wind_forcing: object = None
     directory: str = "."
     step_count: int = 0
+    # online analysis (omega_tpu.analysis): (EnergeticsMonitor, Alarm)
+    analysis: object = None
 
 
 _CAL_KINDS = {
@@ -320,6 +322,26 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
             tz = wsg.get_float("ConstantZonal", 0.0)
             tm = wsg.get_float("ConstantMeridional", 0.0)
             wind = (tz * _jnp.ones(mesh.ncells), tm * _jnp.ones(mesh.ncells))
+    # online analysis cadence (Analysis group; the alarm chunks the run
+    # loop like a stream alarm, so samples land on exact boundaries)
+    analysis = None
+    if config.exists("Analysis"):
+        import os
+        ag = config.get_group("Analysis")
+        if ag.get_bool("Enabled", True):
+            from omega_tpu.analysis import EnergeticsMonitor
+            from omega_tpu.io.stream import _TIME_UNIT_NAMES
+            units = _TIME_UNIT_NAMES.get(
+                str(ag.get_str("FreqUnits", "hours")).lower())
+            iv = TimeInterval.from_units(ag.get_int("Freq", 1), units)
+            al = Alarm("AnalysisAlarm", interval=iv, start=clock.start_time)
+            clock.attach_alarm(al)
+            mon = EnergeticsMonitor(
+                mesh, model_cfg,
+                os.path.join(directory,
+                             ag.get_str("Filename", "energetics.csv")))
+            analysis = (mon, al)
+
     model = OceanModel(
         config=config, model_cfg=model_cfg, mesh=mesh, calendar=calendar,
         clock=clock, end_alarm=end_alarm, streams=streams, fields=fields,
@@ -328,7 +350,7 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
         wind_stress=wind, wind_forcing=wind_forcing,
         timers=timers, nshards=nshards,
         decomp_method=decomp_method, sharded_io=sharded_io,
-        directory=directory)
+        directory=directory, analysis=analysis)
     _attach_state(model)
     return model
 
@@ -653,6 +675,15 @@ def _run_loop(model: OceanModel, segment, sharded: bool,
     log = get_logger()
 
     tm = model.timers
+
+    def _sample_analysis():
+        mon, _ = model.analysis
+        st = model._gather(model.state) if sharded else model.state
+        mon.sample(st, str(model.clock.get_current_time()))
+
+    if model.analysis is not None and not model.analysis[0]._wrote_header:
+        _sample_analysis()                     # t = 0 row (sets ssh_ref)
+
     while not model.end_alarm.is_ringing():
         n = _steps_until_next_alarm(model)
         t0 = model.clock.get_current_time().seconds_since(model.sim_start)
@@ -692,6 +723,9 @@ def _run_loop(model: OceanModel, segment, sharded: bool,
             else:
                 _attach_state(model)
             model.streams.write_all()
+        if model.analysis is not None and model.analysis[1].is_ringing():
+            with tm.scope("ocnRun/analysis", 1):
+                _sample_analysis()
         for alarm in model.clock.alarms:
             if alarm.is_ringing() and alarm is not model.end_alarm:
                 alarm.reset(model.clock.get_current_time())
