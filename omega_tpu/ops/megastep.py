@@ -66,8 +66,11 @@ def parity_enabled() -> bool:
     the hex stagger's per-row column-shift select disappears — every
     stencil entry is ONE static roll per destination plane instead of
     two rolls + a parity `where` (see _apply). Row radii halve too, so
-    the slab halo ring is (R//2, R) and read amplification drops."""
-    return os.environ.get("OMEGA_MEGA_PARITY", "0") in ("1", "true")
+    the slab halo ring is (R//2, R) and read amplification drops.
+
+    Default ON since the round-3 hardware A/B: FB 5.12 ms vs 5.5,
+    RK2 9.92 vs 11.46 at 256^2 x 100 x 2 on v5e."""
+    return os.environ.get("OMEGA_MEGA_PARITY", "1") in ("1", "true")
 
 
 def _rings(kind, parity):
