@@ -45,11 +45,30 @@ class TendencyConfig:
 @dataclasses.dataclass(frozen=True)
 class VertMixConfig:
     """Implicit vertical mixing (the Omega-1 use of the tridiagonal
-    solvers, base/TriDiagSolvers.h; config group `VertMix:`)."""
+    solvers, base/TriDiagSolvers.h; config group `VertMix:`).
+
+    Scheme "constant" applies the fixed coefficients; "pp81" is the
+    Richardson-number closure of Pacanowski & Philander (1981), the
+    shear-instability scheme of MPAS-O practice:
+
+        nu    = Nu0 / (1 + Alpha*Ri)^NExp + KappaMomentum
+        kappa = nu  / (1 + Alpha*Ri)      + KappaTracer
+
+    with Ri = max(N^2, 0) / shear^2 at layer interfaces; N^2 from the
+    linear EOS slopes (EosAlphaT/EosBetaS) on the Temperature/Salinity
+    tracers (indices resolved by the driver; -1 = unstratified)."""
     enabled: bool = False
-    kappa_tracer: float = 1.0e-5     # vertical tracer diffusivity [m^2/s]
-    kappa_momentum: float = 1.0e-4   # vertical viscosity [m^2/s]
+    kappa_tracer: float = 1.0e-5     # background tracer diff. [m^2/s]
+    kappa_momentum: float = 1.0e-4   # background viscosity [m^2/s]
     method: str = "pcr"              # pcr | thomas
+    scheme: str = "constant"         # constant | pp81
+    nu0: float = 1.0e-2              # PP81 peak viscosity [m^2/s]
+    alpha: float = 5.0               # PP81 Ri coefficient
+    n_exp: int = 2                   # PP81 exponent
+    eos_alpha_t: float = 2.0e-4      # thermal expansion [1/K]
+    eos_beta_s: float = 7.6e-4       # haline contraction [1/(g/kg)]
+    temp_index: int = -1             # Temperature tracer row (or -1)
+    salt_index: int = -1             # Salinity tracer row (or -1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,6 +141,12 @@ def model_config_from_yaml(cfg, nvertlayers: int, ntracers: int) -> ModelConfig:
             kappa_tracer=v.get_float("KappaTracer", 1.0e-5),
             kappa_momentum=v.get_float("KappaMomentum", 1.0e-4),
             method=v.get_str("Method", "pcr").lower(),
+            scheme=v.get_str("Scheme", "constant").lower(),
+            nu0=v.get_float("Nu0", 1.0e-2),
+            alpha=v.get_float("Alpha", 5.0),
+            n_exp=v.get_int("NExp", 2),
+            eos_alpha_t=v.get_float("EosAlphaT", 2.0e-4),
+            eos_beta_s=v.get_float("EosBetaS", 7.6e-4),
         )
     mc = ManufacturedConfig(
         wavelength_x=man.get_float("WavelengthX", 5.0e6) if man else 5.0e6,

@@ -230,6 +230,13 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
     if config.exists("VertCoord"):
         nvert = config.get_group("VertCoord").get_int("NVertLayers", 1)
     model_cfg = model_config_from_yaml(config, nvert, tracers.ntracers)
+    if model_cfg.vert_mix.scheme == "pp81":
+        # resolve the T/S rows the Richardson closure stratifies by
+        model_cfg = dataclasses.replace(
+            model_cfg, vert_mix=dataclasses.replace(
+                model_cfg.vert_mix,
+                temp_index=tracers.get_index("Temperature"),
+                salt_index=tracers.get_index("Salinity")))
 
     fields = FieldRegistry()
     dims = DimensionRegistry()

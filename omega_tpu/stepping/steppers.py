@@ -40,10 +40,13 @@ def _mix(mesh, cfg, state, dt):
     from omega_tpu.core import vmix
     from omega_tpu.ops import trisk
     h, u, tr = state
-    kt = vm.kappa_tracer * jnp.ones_like(h[..., :-1])
-    tr_new = vmix.implicit_vmix(h[None], kt[None], dt, tr, method=vm.method)
     h_edge = trisk.cell_mean_on_edge(mesh, h)
-    km = vm.kappa_momentum * jnp.ones_like(h_edge[..., :-1])
+    if vm.scheme == "pp81":
+        kt, km = vmix.pp81_coefficients(mesh, vm, cfg.gravity, h, u, tr)
+    else:
+        kt = vm.kappa_tracer * jnp.ones_like(h[..., :-1])
+        km = vm.kappa_momentum * jnp.ones_like(h_edge[..., :-1])
+    tr_new = vmix.implicit_vmix(h[None], kt[None], dt, tr, method=vm.method)
     u_new = vmix.implicit_vmix(h_edge, km, dt, u, method=vm.method)
     return ModelState(h=h, u=u_new, tracers=tr_new)
 
