@@ -481,7 +481,9 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
             # NOTE: slice and newaxis must be SEPARATE indexing ops —
             # x[lo:hi, :, None] takes jnp's advanced-indexing path
             # and lowers to lax.gather, which Mosaic cannot lower
-            w = pget(pidx)[lo:hi][:, :, None]
+            w = pget(pidx)[lo:hi]
+            if w.ndim == 2:         # 2-D pget: add the lane axis here
+                w = w[:, :, None]
             term = w * _yslice(base, lo + db - slo, hi + db - slo)
             outs[td] = term if outs[td] is None else outs[td] + term
         zshape = (hi - lo,) + src[0].shape[1:]
@@ -493,7 +495,8 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
         c = cget(cname)
         if isinstance(c, float):
             return [c] * T
-        return [pli[lo:hi][:, :, None] for pli in c]
+        return [pli[lo:hi] if pli.ndim == 3 else pli[lo:hi][:, :, None]
+                for pli in c]
 
     def run(op):
         name, kind = op[0], op[1]
@@ -518,7 +521,8 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
             if isinstance(c, float):
                 return (list(v(a[0])) if c == 1.0
                         else [x * c for x in v(a[0])])
-            return [x * pli[lo:hi][:, :, None]
+            return [x * (pli[lo:hi] if pli.ndim == 3
+                         else pli[lo:hi][:, :, None])
                     for x, pli in zip(v(a[0]), c)]
         if fn == "sub_mc":          # mask*x - y (del2_e grad-part mask)
             m = cget(a[2][1:])
@@ -680,13 +684,26 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
             for d in dmas(cur, bidx):
                 d.wait()
 
-            pget = lambda i: pl_s[cur, :, :, i]
+            # OMEGA_PATCH_WSLICE=1: extract each weight plane as a
+            # LANE SLICE (YY, YY, 1) instead of a 2-D (YY, YY) read.
+            # The 2-D read lands in the X-on-lanes layout and the
+            # [:, :, None] that follows is a per-entry relayout to
+            # X-on-sublanes before the K lane-broadcast; the lane
+            # slice stays in the 3-D layout end to end.
+            wsl = os.environ.get("OMEGA_PATCH_WSLICE", "0") == "1"
+            if wsl:
+                pget = lambda i: pl_s[cur, :, :, i:i + 1]
+            else:
+                pget = lambda i: pl_s[cur, :, :, i]
 
             def cget(cname):
                 c = const_idx[cname]
                 if isinstance(c, float):
                     return c
                 base, T = c
+                if wsl:
+                    return [pl_s[cur, :, :, base + t:base + t + 1]
+                            for t in range(T)]
                 return [pl_s[cur, :, :, base + t] for t in range(T)]
 
             @pl.when(bidx >= 2)

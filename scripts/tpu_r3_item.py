@@ -31,7 +31,8 @@ from omega_tpu.stepping.split import split_forward_backward_step  # noqa: E402
 
 assert jax.default_backend() == "tpu", jax.devices()
 dtype = jnp.float32
-NSTEPS, REPS = 20, 4
+NSTEPS = int(os.environ.get("OMEGA_TIME_NSTEPS", 20))
+REPS = int(os.environ.get("OMEGA_TIME_REPS", 4))
 
 
 def time_run(tag, mesh, cfg, st, stepper, dt=30.0):
@@ -45,19 +46,22 @@ def time_run(tag, mesh, cfg, st, stepper, dt=30.0):
     # (spurious ~0 timings); chaining forces real execution every rep
     el = float("inf")
     cur = out
+    reps = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         cur = jax.block_until_ready(stepn(cur))
         rep = time.perf_counter() - t0
+        reps.append(rep * 1e3 / NSTEPS)
         if rep * 1e3 / NSTEPS > 0.05:     # ignore impossible readings
             el = min(el, rep)
     out = cur
     ok = bool(jnp.isfinite(out.h).all())
     env = {k: os.environ[k] for k in
            ("OMEGA_PATCH_TILE", "OMEGA_PATCH_K", "OMEGA_PATCH_YSHRINK",
-            "OMEGA_MEGA_PARITY") if k in os.environ}
+            "OMEGA_MEGA_PARITY", "OMEGA_PATCH_WSLICE") if k in os.environ}
     print(f"[timing] {tag}: {el / NSTEPS * 1e3:.2f} ms/step "
-          f"(compile {comp:.0f}s, finite={ok}, env={env})", flush=True)
+          f"(compile {comp:.0f}s, finite={ok}, env={env}, "
+          f"reps_ms={[round(r, 3) for r in reps]})", flush=True)
 
 
 def planar_init(nx=256, K=100, L=2, seed=0):
