@@ -610,7 +610,7 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
 # the kernel
 
 def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
-            L, S, SS, by, nt, K, npl, chain_kind="fb"):
+            L, S, SS, by, nt, K, npl, chain_kind="fb", wslice=False):
     CH = f_hbm.shape[0]
     CHO = o_hbm.shape[0]    # rk2b reads 2 state blocks, writes one
     YY = by + 2 * R
@@ -684,13 +684,13 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
             for d in dmas(cur, bidx):
                 d.wait()
 
-            # OMEGA_PATCH_WSLICE=1: extract each weight plane as a
-            # LANE SLICE (YY, YY, 1) instead of a 2-D (YY, YY) read.
-            # The 2-D read lands in the X-on-lanes layout and the
+            # wslice: extract each weight plane as a LANE SLICE
+            # (YY, YY, 1) instead of a 2-D (YY, YY) read.  The 2-D
+            # read lands in the X-on-lanes layout and the
             # [:, :, None] that follows is a per-entry relayout to
             # X-on-sublanes before the K lane-broadcast; the lane
             # slice stays in the 3-D layout end to end.
-            wsl = os.environ.get("OMEGA_PATCH_WSLICE", "0") == "1"
+            wsl = wslice
             if wsl:
                 pget = lambda i: pl_s[cur, :, :, i:i + 1]
             else:
@@ -780,16 +780,16 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
 
 @functools.partial(jax.jit, static_argnames=(
     "class_lists", "const_idx", "consts", "L", "S", "SS", "by", "nt",
-    "chain_kind",
+    "chain_kind", "wslice",
     "interpret"))
 def _call(frames, planes, block_class, *, class_lists, const_idx, consts,
-          L, S, SS, by, nt, interpret, chain_kind="fb"):
+          L, S, SS, by, nt, interpret, chain_kind="fb", wslice=False):
     K = frames.shape[-1]
     kern = functools.partial(
         _kernel, class_lists=tuple(dict(cl) for cl in class_lists),
         const_idx=dict(const_idx),
         consts=consts, L=L, S=S, SS=SS, by=by, nt=nt, K=K,
-        npl=planes.shape[-1], chain_kind=chain_kind)
+        npl=planes.shape[-1], chain_kind=chain_kind, wslice=wslice)
     ncho = 2 if (chain_kind.startswith("rk4s")
                  and chain_kind != "rk4s4") else 1
     return pl.pallas_call(
@@ -849,7 +849,8 @@ def _run_kernel(p, cfg, frames, dt, L, interpret, chain_kind="fb"):
                  class_lists=_hashable(p.class_lists),
                  const_idx=_hashable(p.const_idx),
                  consts=consts, L=L, S=p.S, SS=p.SS, by=p.by, nt=p.nt,
-                 interpret=interpret, chain_kind=chain_kind)
+                 interpret=interpret, chain_kind=chain_kind,
+                 wslice=os.environ.get("OMEGA_PATCH_WSLICE", "0") == "1")
 
 
 def fb_patch_megastep(mesh, cfg, state, t, dt, interpret=None):
