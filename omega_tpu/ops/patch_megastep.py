@@ -192,20 +192,6 @@ def _prep_build(mesh, dtype, key):
         p.const_idx[cname] = (len(planes), T)
         for t in range(T):
             planes.append(cpl[t])
-    # lane-major plane storage: (10, SS, SS, NPLp) with the PLANE INDEX
-    # on lanes (padded to a 128-multiple) — per-tile DMA slices then keep
-    # the full lane extent (the TPU DMA engine requires 128-multiple
-    # lane extents; spatial dims ride sublanes, which slice freely), and
-    # the kernel extracts each entry's plane by a STATIC lane index
-    pstack = np.stack(planes).astype(dtype)            # (NPL, 10, S, S)
-    pstack = np.pad(pstack, ((0, 0), (0, 0), (FR, FR), (FR, FR)))
-    npl = pstack.shape[0]
-    nplp = -(-npl // 128) * 128
-    lane_major = np.zeros((10, p.SS, p.SS, nplp), dtype)
-    lane_major[..., :npl] = np.moveaxis(pstack, 0, -1)
-    p.planes = jnp.asarray(lane_major)
-    p.npl = nplp
-
     # ---- block -> entry-class specialization ----
     # Seam-rotated entries have support only near patch borders; a block
     # whose slab never touches an entry's support can skip it exactly
@@ -219,6 +205,62 @@ def _prep_build(mesh, dtype, key):
     # floor); by=32 K=4 is 0.51x of its 0.56x-smaller dense base.
     p.block_class, p.class_lists = _block_classes(
         p, pstack_sup=[np.abs(pl_) > 0 for pl_ in planes[:n_entry_planes]])
+
+    # ---- class-ordered lane layout + per-class DMA extents ----
+    # Lane extents in DMA slices must be 128-multiples, so per-tile
+    # plane copies move a 128-quantized lane PREFIX.  Order the lanes so
+    # each class's live planes form as short a prefix as possible:
+    # const planes first (every class reads them), then each class's
+    # entry planes, classes by descending block count.  A block then
+    # DMAs only its class's prefix (class_lanes, used by the kernel
+    # under OMEGA_PATCH_LANETRIM).  At icos48 by=16 the interior class
+    # (75/160 blocks) needs 256 of the 640 lanes.
+    nconst = len(planes) - n_entry_planes
+    order = list(range(n_entry_planes, len(planes)))      # consts first
+    bc_np = np.asarray(p.block_class)
+    used_of = []
+    for lists in p.class_lists:
+        u = set()
+        for name, (Td, Ts, lst) in lists.items():
+            u.update(e[4] for e in lst)
+        used_of.append(u)
+    nblk_of = [int((bc_np == ci).sum()) for ci in range(len(used_of))]
+    placed = set()
+    for ci in np.argsort([-nb for nb in nblk_of], kind="stable"):
+        for e in sorted(used_of[int(ci)]):
+            if e not in placed:
+                placed.add(e)
+                order.append(e)
+    for e in range(n_entry_planes):           # planes live in no class
+        if e not in placed:
+            order.append(e)
+    new_of = {old: new for new, old in enumerate(order)}
+
+    def _remap(lists):
+        return {name: (Td, Ts, tuple((td, ts, da, db, new_of[i])
+                                     for (td, ts, da, db, i) in lst))
+                for name, (Td, Ts, lst) in lists.items()}
+
+    p.entry_lists = _remap(p.entry_lists)
+    p.class_lists = tuple(_remap(l) for l in p.class_lists)
+    # const planes keep their relative order at the front of the stack
+    p.const_idx = {k: ((v[0] - n_entry_planes, v[1])
+                       if isinstance(v, tuple) else v)
+                   for k, v in p.const_idx.items()}
+    p.class_lanes = tuple(
+        -(-(max(new_of[e] for e in u) + 1) // 128) * 128 if u else 128
+        for u in used_of)
+
+    # lane-major plane storage: (10, SS, SS, NPLp) with the PLANE INDEX
+    # on lanes (padded to a 128-multiple; class-prefix order from above)
+    pstack = np.stack([planes[o] for o in order]).astype(dtype)
+    pstack = np.pad(pstack, ((0, 0), (0, 0), (FR, FR), (FR, FR)))
+    npl = pstack.shape[0]
+    nplp = -(-npl // 128) * 128
+    lane_major = np.zeros((10, p.SS, p.SS, nplp), dtype)
+    lane_major[..., :npl] = np.moveaxis(pstack, 0, -1)
+    p.planes = jnp.asarray(lane_major)
+    p.npl = nplp
 
     # ---- fills in SS coords ----
     p.fills = {}
@@ -610,7 +652,8 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
 # the kernel
 
 def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
-            L, S, SS, by, nt, K, npl, chain_kind="fb", wslice=False):
+            L, S, SS, by, nt, K, npl, chain_kind="fb", wslice=False,
+            class_lanes=None):
     CH = f_hbm.shape[0]
     CHO = o_hbm.shape[0]    # rk2b reads 2 state blocks, writes one
     YY = by + 2 * R
@@ -649,16 +692,38 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
         nblocks = NP * nt * nt
         cp = pltpu.make_async_copy
 
-        def dmas(slot, bidx):
+        exts = sorted(set(class_lanes)) if class_lanes else None
+        if exts == [npl]:
+            exts = None             # nothing to trim
+
+        def dmas(slot, bidx, action):
             r = bidx // (nt * nt)
             rem = bidx % (nt * nt)
             ty, tx = rem // nt, rem % nt
             ys = pl.ds(ty * by, YY)      # SS coords: tile - R + FR
             xs = pl.ds(tx * by, YY)
-            return (cp(f_hbm.at[:, r, ys, xs], in_s.at[slot],
-                       sem.at[2 * slot]),
-                    cp(p_hbm.at[r, ys, xs], pl_s.at[slot],
-                       sem.at[2 * slot + 1]))
+            getattr(cp(f_hbm.at[:, r, ys, xs], in_s.at[slot],
+                       sem.at[2 * slot]), action)()
+            if exts is None:
+                getattr(cp(p_hbm.at[r, ys, xs], pl_s.at[slot],
+                           sem.at[2 * slot + 1]), action)()
+                return
+            # per-class lane trim: a block copies only its class's lane
+            # prefix (prep orders planes so each class's live set is a
+            # prefix); start and wait recompute the same branch from the
+            # SMEM class id, so the DMA descriptors pair up exactly
+            cls = c_hbm[bidx]
+            for ext in exts:
+                cond = False
+                for ci, e in enumerate(class_lanes):
+                    if e == ext:
+                        cond = jnp.logical_or(cond, cls == ci)
+
+                @pl.when(cond)
+                def _(ext=ext):
+                    getattr(cp(p_hbm.at[r, ys, xs, pl.ds(0, ext)],
+                               pl_s.at[slot, :, :, pl.ds(0, ext)],
+                               sem.at[2 * slot + 1]), action)()
 
         def out_dmas(slot, bidx):
             r = bidx // (nt * nt)
@@ -669,8 +734,7 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
                                 pl.ds(tx * by, by)],
                        sem.at[4 + slot]),)
 
-        for d in dmas(0, 0):
-            d.start()
+        dmas(0, 0, "start")
 
         def loop(bidx, _):
             cur = bidx % 2
@@ -678,11 +742,9 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
 
             @pl.when(bidx + 1 < nblocks)
             def _():
-                for d in dmas(nxt, bidx + 1):
-                    d.start()
+                dmas(nxt, bidx + 1, "start")
 
-            for d in dmas(cur, bidx):
-                d.wait()
+            dmas(cur, bidx, "wait")
 
             # wslice: extract each weight plane as a LANE SLICE
             # (YY, YY, 1) instead of a 2-D (YY, YY) read.  The 2-D
@@ -780,16 +842,18 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
 
 @functools.partial(jax.jit, static_argnames=(
     "class_lists", "const_idx", "consts", "L", "S", "SS", "by", "nt",
-    "chain_kind", "wslice",
+    "chain_kind", "wslice", "class_lanes",
     "interpret"))
 def _call(frames, planes, block_class, *, class_lists, const_idx, consts,
-          L, S, SS, by, nt, interpret, chain_kind="fb", wslice=False):
+          L, S, SS, by, nt, interpret, chain_kind="fb", wslice=False,
+          class_lanes=None):
     K = frames.shape[-1]
     kern = functools.partial(
         _kernel, class_lists=tuple(dict(cl) for cl in class_lists),
         const_idx=dict(const_idx),
         consts=consts, L=L, S=S, SS=SS, by=by, nt=nt, K=K,
-        npl=planes.shape[-1], chain_kind=chain_kind, wslice=wslice)
+        npl=planes.shape[-1], chain_kind=chain_kind, wslice=wslice,
+        class_lanes=class_lanes)
     ncho = 2 if (chain_kind.startswith("rk4s")
                  and chain_kind != "rk4s4") else 1
     return pl.pallas_call(
@@ -845,12 +909,14 @@ def _run_kernel(p, cfg, frames, dt, L, interpret, chain_kind="fb"):
     tc = cfg.tendencies
     consts = (float(dt), cfg.gravity, tc.visc_del2, tc.visc_del4,
               tc.div_factor, tc.eddy_diff2, tc.eddy_diff4)
+    trim = os.environ.get("OMEGA_PATCH_LANETRIM", "0") == "1"
     return _call(frames, p.planes, p.block_class,
                  class_lists=_hashable(p.class_lists),
                  const_idx=_hashable(p.const_idx),
                  consts=consts, L=L, S=p.S, SS=p.SS, by=p.by, nt=p.nt,
                  interpret=interpret, chain_kind=chain_kind,
-                 wslice=os.environ.get("OMEGA_PATCH_WSLICE", "0") == "1")
+                 wslice=os.environ.get("OMEGA_PATCH_WSLICE", "0") == "1",
+                 class_lanes=p.class_lanes if trim else None)
 
 
 def fb_patch_megastep(mesh, cfg, state, t, dt, interpret=None):

@@ -85,7 +85,8 @@ def planar_init(nx=256, K=100, L=2, seed=0):
     return mesh, cfg, st
 
 
-def sphere_init(n=48, K=100, L=2):
+def sphere_init(n=None, K=100, L=2):
+    n = n or int(os.environ.get("OMEGA_BENCH_SUBDIV", 48))
     from omega_tpu.mesh.icos_patches import patch_icos_mesh
     from omega_tpu.mesh.spherical import spherical_icos_mesh
     mesh = patch_icos_mesh(spherical_icos_mesh(n), n).astype(dtype)
