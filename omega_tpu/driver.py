@@ -278,7 +278,53 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
     for name in tracers.names:
         fields.attach(name, np.zeros((mesh.ncells, K)))
 
-    meta = streams.read_on_startup(missing_ok_streams=("InitialState",))
+    # --- deferred (region) state reads: with ShardedIO and an explicit
+    # sharded decomposition, the startup state stream is NOT read into a
+    # global host array here; ocn_run region-reads each shard's rows
+    # once the decomposition maps exist (read-side PIO decomps,
+    # base/IO.h:256,305). Restart takes precedence over InitialState
+    # (ocn/OceanInit.cpp:160-165).
+    deferred_stream = None
+    if sharded_io and decomp_method in ("structured", "sfc"):
+        state_fields = {"LayerThickness", "NormalVelocity",
+                        *tracers.names}
+        for nm in ("RestartRead", "InitialState"):
+            if nm not in streams.streams:
+                continue
+            s_ = streams.streams[nm]
+            if s_.spec.mode != "read" or not s_.on_startup:
+                continue
+            if not state_fields & set(
+                    fields.resolve_contents(s_.spec.contents)):
+                continue
+            try:
+                import os as _os
+                if _os.path.exists(s_.resolve_read_path()):
+                    deferred_stream = nm
+                    break
+            except OmegaError:
+                continue
+            except Exception:
+                continue
+
+    if deferred_stream is not None:
+        meta = {}
+        # metadata still comes from the file (clock reset needs it);
+        # non-state startup streams read normally
+        m = streams.read_meta(deferred_stream, force=True)
+        if m is not None:
+            meta[deferred_stream] = m
+        for nm, s_ in streams.streams.items():
+            if nm == deferred_stream or s_.spec.mode != "read":
+                continue
+            if s_.should_act(clock, "startup"):
+                m = streams.read(nm, force=True,
+                                 missing_ok=nm == "InitialState"
+                                 or s_.spec.use_pointer)
+                if m is not None:
+                    meta[nm] = m
+    else:
+        meta = streams.read_on_startup(missing_ok_streams=("InitialState",))
     sim_start = start
     if "RestartRead" in meta and "SimulationTime" in meta["RestartRead"]:
         # reset the model clock from restart metadata (OceanInit.cpp:163-177)
@@ -293,14 +339,17 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
                 calendar, str(meta["RestartRead"]["StartTime"]))
             fields.update_meta("simulation", StartTime=str(sim_start))
 
-    tr_data = np.stack([np.asarray(fields.get(n).data, np.float64)
-                        for n in tracers.names])
-    state = ModelState(
-        h=jnp.asarray(np.asarray(fields.get("LayerThickness").data,
-                                 np.float64)),
-        u=jnp.asarray(np.asarray(fields.get("NormalVelocity").data,
-                                 np.float64)),
-        tracers=jnp.asarray(tr_data))
+    if deferred_stream is not None:
+        state = None        # built sharded, by region reads, in ocn_run
+    else:
+        tr_data = np.stack([np.asarray(fields.get(n).data, np.float64)
+                            for n in tracers.names])
+        state = ModelState(
+            h=jnp.asarray(np.asarray(fields.get("LayerThickness").data,
+                                     np.float64)),
+            u=jnp.asarray(np.asarray(fields.get("NormalVelocity").data,
+                                     np.float64)),
+            tracers=jnp.asarray(tr_data))
 
     stepper_name = ti.get_str("TimeStepper", "Forward-Backward")
     if stepper_name.lower().replace(" ", "").replace("-", "").replace(
@@ -358,8 +407,50 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
         timers=timers, nshards=nshards,
         decomp_method=decomp_method, sharded_io=sharded_io,
         directory=directory, analysis=analysis)
-    _attach_state(model)
+    model._deferred_state_stream = deferred_stream
+    if state is not None:
+        _attach_state(model)
     return model
+
+
+def _read_state_sharded_region(model: OceanModel) -> ModelState:
+    """Region-read the deferred startup stream straight into the stacked
+    sharded state layout — the read-side PIO decomposition
+    (base/IO.h:256,305): each shard's local rows (owned + halo) come off
+    disk individually, so no global state array ever exists on host.
+    Fields absent from the file fall back to the default initial state,
+    built per shard."""
+    import jax.numpy as jnp
+
+    c_l2g, _, e_l2g, _, _ = model._sharded_io_maps
+    S = c_l2g.shape[0]
+    K = model.model_cfg.nvertlayers
+    depth = np.asarray(model.mesh.bottom_depth)
+    hs, us, trs = [], [], []
+    with model.streams.region_reader(model._deferred_state_stream) as r:
+        for s in range(S):
+            crows = np.maximum(c_l2g[s], 0)
+            erows = np.maximum(e_l2g[s], 0)
+            if r.has("LayerThickness"):
+                h_s = np.asarray(r.read_rows("LayerThickness", crows),
+                                 np.float64)
+            else:
+                h_s = np.broadcast_to(depth[crows][:, None] / K,
+                                      (crows.size, K)).copy()
+            if r.has("NormalVelocity"):
+                u_s = np.asarray(r.read_rows("NormalVelocity", erows),
+                                 np.float64)
+            else:
+                u_s = np.zeros((erows.size, K))
+            tr_s = np.stack([
+                np.asarray(r.read_rows(nm, crows), np.float64)
+                if r.has(nm) else np.zeros((crows.size, K))
+                for nm in model.tracers.names])
+            hs.append(jnp.asarray(h_s))
+            us.append(jnp.asarray(u_s))
+            trs.append(jnp.asarray(tr_s))
+    return ModelState(h=jnp.stack(hs), u=jnp.stack(us),
+                      tracers=jnp.stack(trs))
 
 
 def _wants_diagnostics(model) -> bool:
@@ -604,7 +695,6 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                 wind_stress=model.wind_stress)
             model._gather = lambda st: sshard.gather_state(ss, st)
             scatter = lambda st: sshard.shard_state(ss, st)
-            model.state = scatter(model.state)
             if model.sharded_io:
                 from omega_tpu.ops import structured as _st
                 c_l2g, c_own = sshard.element_maps(ss, "cell")
@@ -618,6 +708,10 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                         _st.uniform_scalar(mesh, "bottom_depth"))
                 model._sharded_io_maps = (c_l2g, c_own, e_l2g, e_own,
                                           depth_st)
+            if getattr(model, "_deferred_state_stream", None):
+                model.state = _read_state_sharded_region(model)
+            else:
+                model.state = scatter(model.state)
         else:
             from omega_tpu.parallel import (decompose, gather_state,
                                             make_sharded_step, shard_state)
@@ -627,7 +721,6 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
             model._gather = lambda st: gather_state(
                 sm_d, st, mesh.ncells, mesh.nedges)
             scatter = lambda st: shard_state(sm_d, st)
-            model.state = scatter(model.state)
             if model.sharded_io:
                 model._sharded_io_maps = (
                     np.asarray(sm_d.cell_local_to_global),
@@ -635,6 +728,10 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                     np.asarray(sm_d.edge_local_to_global),
                     np.asarray(sm_d.owned_edge_mask) > 0,
                     np.asarray(sm_d.mesh.bottom_depth))
+            if getattr(model, "_deferred_state_stream", None):
+                model.state = _read_state_sharded_region(model)
+            else:
+                model.state = scatter(model.state)
         if model.sharded_io:
             # region writes need resizable HDF5 datasets
             for st_ in model.streams.streams.values():

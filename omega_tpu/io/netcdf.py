@@ -181,6 +181,15 @@ def write_sharded_frame(path: str, svars: Dict[str, dict],
                                       chunks=True if td else None)
                 for k, a in (sv.get("attrs") or {}).items():
                     ds.attrs[k] = a
+                # attach dimension scales so readers (RegionReader,
+                # xarray/netCDF4) see the axis names, esp. the leading
+                # Time record axis
+                for ax, dn in enumerate(vdims):
+                    if dn in f and dn != name:
+                        try:
+                            ds.dims[ax].attach_scale(f[dn])
+                        except Exception:
+                            pass
                 frame = 0
             else:
                 ds = f[name]
@@ -197,6 +206,84 @@ def write_sharded_frame(path: str, svars: Dict[str, dict],
                     ds[frame, rows[order]] = values[order]
                 else:
                     ds[rows[order]] = values[order]
+
+
+class RegionReader:
+    """Row-region reads without materializing the global array — the
+    read-side PIO-decomposition analogue (base/IO.h:256,305: distributed
+    array reads land each task's rows only).
+
+    hdf5: h5py dataset fancy-indexing reads just the requested rows.
+    netcdf3: scipy with mmap=True exposes variables as memory-mapped
+    views, so row indexing faults in only the touched pages.  Either
+    way peak host memory per call is O(len(rows)), not O(global).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.fmt = _detect_format(path)
+        if self.fmt == "hdf5":
+            import h5py
+            self._f = h5py.File(path, "r")
+            self.attrs = {k: _decode(v) for k, v in self._f.attrs.items()
+                          if not k.startswith(("_Netcdf",))}
+            self._vdims = {}
+            for name, ds in self._f.items():
+                import h5py as _h5
+                if not isinstance(ds, _h5.Dataset):
+                    continue
+                vdims = []
+                if "DIMENSION_LIST" in ds.attrs:
+                    for ref_list in ds.attrs["DIMENSION_LIST"]:
+                        vdims.append(self._f[ref_list[0]].name.lstrip("/"))
+                self._vdims[name] = tuple(vdims)
+        else:
+            from scipy.io import netcdf_file
+            self._f = netcdf_file(path, "r", mmap=True)
+            self.attrs = {k: _decode(v)
+                          for k, v in self._f._attributes.items()}
+            self._vdims = {name: tuple(v.dimensions)
+                           for name, v in self._f.variables.items()}
+
+    def has(self, name: str) -> bool:
+        if self.fmt == "hdf5":
+            import h5py
+            return name in self._f and isinstance(self._f[name],
+                                                  h5py.Dataset)
+        return name in self._f.variables
+
+    def var_dims(self, name: str):
+        return self._vdims.get(name, ())
+
+    def read_rows(self, name: str, rows: np.ndarray) -> np.ndarray:
+        """rows of the element (first non-time) axis, latest time frame."""
+        rows = np.asarray(rows)
+        # h5py fancy indexing must be strictly increasing — read the
+        # unique sorted rows once and fan duplicates back out
+        uniq, inv = np.unique(rows, return_inverse=True)
+        v = self._f[name] if self.fmt == "hdf5" else \
+            self._f.variables[name]
+        if self._vdims.get(name, ())[:1] == ("Time",):
+            out = np.asarray(v[v.shape[0] - 1][uniq])
+        else:
+            out = np.asarray(v[uniq])
+        return out[inv.reshape(rows.shape)]
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_attrs(path: str) -> Dict[str, Any]:
+    """Global attributes only — no variable data is materialized (the
+    restart clock reset needs just SimulationTime/StartTime)."""
+    with RegionReader(path) as r:
+        return dict(r.attrs)
 
 
 def _write_scipy(path, dims, variables, var_dims, var_attrs, attrs,

@@ -42,8 +42,9 @@ from omega_tpu.infra.field import FieldRegistry
 from omega_tpu.infra.logging import get_logger
 from omega_tpu.infra.time_manager import (Alarm, Calendar, Clock, TimeInstant,
                                           TimeInterval, TimeUnits)
-from omega_tpu.io.netcdf import (append_netcdf, read_netcdf,
-                                 write_netcdf, write_sharded_frame)
+from omega_tpu.io.netcdf import (RegionReader, append_netcdf, read_attrs,
+                                 read_netcdf, write_netcdf,
+                                 write_sharded_frame)
 
 _TIME_UNIT_NAMES = {u.value: u for u in TimeUnits}
 
@@ -304,6 +305,39 @@ class StreamManager:
         if s.alarm is not None:
             s.alarm.reset(self.clock.get_current_time())
         return dict(nc.attrs)
+
+    def read_meta(self, name: str, force: bool = False,
+                  missing_ok: bool = False) -> Optional[Dict[str, Any]]:
+        """Global attributes of a read stream's file WITHOUT materializing
+        any variable — the deferred (region-read) startup path still needs
+        SimulationTime/StartTime for the restart clock reset
+        (ocn/OceanInit.cpp:163-177)."""
+        s = self.get(name)
+        if s.spec.mode != "read":
+            raise IOError_(f"stream {name!r} is not a read stream")
+        if not force and not s.should_act(self.clock, "step"):
+            return None
+        try:
+            path = s.resolve_read_path()
+        except IOError_:
+            if missing_ok:
+                return None
+            raise
+        if not os.path.exists(path):
+            if missing_ok:
+                return None
+            raise IOError_(f"stream {name!r}: file {path} not found")
+        return read_attrs(path)
+
+    def region_reader(self, name: str) -> RegionReader:
+        """Open the stream's file for per-shard row-region reads (the
+        read-side PIO decomposition, base/IO.h:256,305): callers pull each
+        shard's global rows with reader.read_rows(field, rows), so the
+        global array never exists on host."""
+        s = self.get(name)
+        if s.spec.mode != "read":
+            raise IOError_(f"stream {name!r} is not a read stream")
+        return RegionReader(s.resolve_read_path())
 
     # ---------------- write path ----------------
     def write(self, name: str, force: bool = False) -> Optional[str]:

@@ -57,8 +57,14 @@ R = int(os.environ.get("OMEGA_MEGA_R", 8))
 R_RK2 = int(os.environ.get("OMEGA_MEGA_R_RK2", 12))
 
 
-def _ring(kind):
-    return R_RK2 if kind == "rk2" else R
+def _ring(kind, extra=0):
+    """`extra` widens the ring for chain extensions (the implicit-vmix
+    edge-thickness cmean adds one radius at the chain end; FB/RK4 stages
+    absorb it in the R=8 slack but RK2's back-to-back chains do not)."""
+    base = R_RK2 if kind == "rk2" else R
+    if kind == "rk2" and extra:
+        return base + extra
+    return base
 
 
 def parity_enabled() -> bool:

@@ -247,8 +247,12 @@ def _prep_build(mesh, dtype, key):
     p.const_idx = {k: ((v[0] - n_entry_planes, v[1])
                        if isinstance(v, tuple) else v)
                    for k, v in p.const_idx.items()}
+    # every class reads the const planes (indices [0, nconst) after the
+    # remap), so an empty entry set still needs the const prefix; entry
+    # planes are placed after the consts, so a non-empty max covers it
     p.class_lanes = tuple(
-        -(-(max(new_of[e] for e in u) + 1) // 128) * 128 if u else 128
+        -(-(max(new_of[e] for e in u) + 1) // 128) * 128 if u
+        else -(-max(nconst, 1) // 128) * 128
         for u in used_of)
 
     # lane-major plane storage: (10, SS, SS, NPLp) with the PLANE INDEX
@@ -711,7 +715,10 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
             # per-class lane trim: a block copies only its class's lane
             # prefix (prep orders planes so each class's live set is a
             # prefix); start and wait recompute the same branch from the
-            # SMEM class id, so the DMA descriptors pair up exactly
+            # SMEM class id, so the DMA descriptors pair up exactly.
+            # NOTE: the prefetch call site reads c_hbm[bidx+1] — that
+            # read is predicated by the caller's pl.when(bidx+1 <
+            # nblocks); do not hoist this read out of `dmas`.
             cls = c_hbm[bidx]
             for ext in exts:
                 cond = False

@@ -147,14 +147,22 @@ def test_conservation_and_dead_rows(pmesh):
     assert np.all(np.asarray(out.u)[dead] == 0.0)
 
 
-def test_patch_megastep_matches_composed(pmesh, monkeypatch):
+@pytest.mark.parametrize("knobs", [{},
+                                   {"OMEGA_PATCH_LANETRIM": "1",
+                                    "OMEGA_PATCH_WSLICE": "1"}],
+                         ids=["default", "lanetrim-wslice"])
+def test_patch_megastep_matches_composed(pmesh, monkeypatch, knobs):
     """The whole-step sphere kernel (ops/patch_megastep.py, interpret
     mode on CPU) equals the composed FB stepper to rounding, including
     the pole rows recomputed on the fix submesh, and conserves volume
-    exactly."""
+    exactly.  Parametrized over the kernel layout knobs (per-class lane
+    trim, lane-slice weight reads) so the optional DMA/read paths stay
+    pinned to the same oracle."""
     from omega_tpu.ops import patch_megastep
     from omega_tpu.stepping.steppers import forward_backward_step
 
+    for k, v in knobs.items():
+        monkeypatch.setenv(k, v)
     K = 3
     cfg = ModelConfig(nvertlayers=K, ntracers=1,
                       tendencies=TendencyConfig(visc_del2=1.0e3,

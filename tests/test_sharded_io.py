@@ -83,6 +83,99 @@ def test_sharded_field_data_roundtrip():
         assert nc.var_attrs["h"]["units"] == "m"
 
 
+def test_region_reader_rows(tmp_path):
+    """RegionReader pulls exactly the requested rows (latest frame) from
+    both file flavors without the global array."""
+    from omega_tpu.io.netcdf import RegionReader
+
+    rng = np.random.default_rng(7)
+    C, K = 30, 4
+    x0, x1 = rng.standard_normal((2, C, K))
+    static = rng.standard_normal((C,))
+    for fmt in ("netcdf3", "hdf5"):
+        path = str(tmp_path / f"rr_{fmt}.nc")
+        write_netcdf(path, dims={"Time": 1, "C": C, "K": K},
+                     variables={"x": x0[None], "s": static},
+                     var_dims={"x": ("Time", "C", "K"), "s": ("C",)},
+                     attrs={"SimulationTime": "t0"},
+                     unlimited="Time", fmt=fmt)
+        append_netcdf(path, variables={"x": x1[None]},
+                      var_dims={"x": ("Time", "C", "K")},
+                      attrs={"SimulationTime": "t1"}, unlimited="Time")
+        rows = np.array([17, 3, 3, 29, 0])
+        with RegionReader(path) as r:
+            assert r.attrs["SimulationTime"] == "t1"
+            assert r.has("x") and not r.has("nope")
+            np.testing.assert_array_equal(r.read_rows("x", rows), x1[rows])
+            np.testing.assert_array_equal(r.read_rows("s", rows),
+                                          static[rows])
+
+
+def test_region_read_restart_roundtrip(tmp_path):
+    """Restart chain through the DEFERRED region-read path: run 1 writes
+    a sharded restart; run 2 (ShardedIO + explicit structured decomp)
+    never materializes the global state on host — ocn_init leaves
+    state=None and ocn_run region-reads each shard's rows — and the
+    chained result is bit-exact against an unbroken run (the read-side
+    PIO-decomposition parity, base/IO.h:256,305)."""
+    from test_driver import _base_config, _perturb
+
+    from omega_tpu.driver import ocn_finalize, ocn_init, ocn_run
+
+    streams = {
+        "RestartWrite": {"Filename": "restart.$SimTime", "Mode": "write",
+                         "UsePointerFile": True,
+                         "PointerFilename": "ocn.pointer",
+                         "IfExists": "replace", "Freq": 10,
+                         "FreqUnits": "minutes", "Format": "hdf5",
+                         "Contents": ["Restart"]},
+        "RestartRead": {"Mode": "read", "UsePointerFile": True,
+                        "PointerFilename": "ocn.pointer",
+                        "Freq": 1, "FreqUnits": "OnStartup",
+                        "Contents": ["Restart"]},
+    }
+
+    def cfgfile(d, stop):
+        p = _base_config(d, stop=stop, streams=streams)
+        doc = yaml.safe_load(open(p))
+        doc["Omega"]["Mesh"]["Generate"].update(Nx=8, Ny=16)
+        doc["Omega"]["Decomp"] = {"NShards": 4, "ShardedIO": True,
+                                  "Method": "structured"}
+        yaml.safe_dump(doc, open(p, "w"))
+        return p
+
+    tmp = str(tmp_path)
+    # ---- run 1: 0 -> 20 min (writes restarts at 10, 20) ----
+    m1 = _perturb(ocn_init(config_file=cfgfile(tmp, "0001-01-01_00:20:00"),
+                           directory=tmp))
+    assert m1._deferred_state_stream is None     # no pointer file yet
+    h0 = np.asarray(m1.state.h).copy()
+    ocn_finalize(ocn_run(m1))
+    assert os.path.exists(os.path.join(tmp, "ocn.pointer"))
+
+    # ---- run 2: restart (deferred region read), 20 -> 40 min ----
+    m2 = ocn_init(config_file=cfgfile(tmp, "0001-01-01_00:40:00"),
+                  directory=tmp)
+    assert m2._deferred_state_stream == "RestartRead"
+    assert m2.state is None                      # nothing global on host
+    assert str(m2.clock.get_current_time()) == "0001-01-01_00:20:00"
+    st_chain = ocn_finalize(ocn_run(m2))
+
+    # ---- control: unbroken 0 -> 40 with the same sharded stepping ----
+    tmp2 = os.path.join(tmp, "ctl")
+    os.makedirs(tmp2)
+    mc = ocn_init(config_file=cfgfile(tmp2, "0001-01-01_00:40:00"),
+                  directory=tmp2)
+    K = mc.model_cfg.nvertlayers
+    mc.state = mc.state._replace(h=jnp.asarray(h0))
+    st_ctl = ocn_finalize(ocn_run(mc))
+
+    for fld in ("h", "u", "tracers"):
+        np.testing.assert_array_equal(np.asarray(getattr(st_chain, fld)),
+                                      np.asarray(getattr(st_ctl, fld)),
+                                      err_msg=fld)
+
+
 def test_driver_sharded_io_matches_gathered(tmp_path):
     """A Decomp.ShardedIO run writes history + restart files whose
     contents equal the gathered-IO run's, and the restart chain keeps

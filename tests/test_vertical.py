@@ -52,6 +52,178 @@ def test_teos10_physical_derivatives():
     assert 1.0e-4 < rho * float(dv_dt) < 3.0e-4
 
 
+# Recorded 75-term-polynomial sweep over the oceanographic domain
+# SA in [0, 42] g/kg x CT in [-2, 40] C x p in [0, 1e8] Pa (0-10,000 dbar).
+# Values recorded from this implementation in float64 (round 4) after
+# anchoring it at the published Roquet et al. (2015) check value (above,
+# matched to 3e-14) -- the sweep pins the full polynomial (all 75 vijk
+# terms exercise at these points) against any future coefficient or
+# Horner-evaluation regression, standing in for the reference's GSW-C
+# battery (test/CMakeLists.txt:440-449; the vendored GSW-C submodule is
+# empty, so the library itself cannot run here).
+_TEOS10_SWEEP = [
+    (0.0, -2.0, 0.0, 0.00100031851865069),
+    (0.0, -2.0, 10000000.0, 0.0009952428829289259),
+    (0.0, -2.0, 50000000.0, 0.0009765319540446061),
+    (0.0, -2.0, 100000000.0, 0.0009563529908688161),
+    (0.0, 0.0, 0.0, 0.0010001565419031),
+    (0.0, 0.0, 10000000.0, 0.0009951526800519746),
+    (0.0, 0.0, 50000000.0, 0.0009766968356304253),
+    (0.0, 0.0, 100000000.0, 0.0009567627392758064),
+    (0.0, 10.0, 0.0, 0.001000252532901333),
+    (0.0, 10.0, 10000000.0, 0.0009955384707565221),
+    (0.0, 10.0, 50000000.0, 0.0009781135429989803),
+    (0.0, 10.0, 100000000.0, 0.0009591793226656737),
+    (0.0, 25.0, 0.0, 0.001002651736909511),
+    (0.0, 25.0, 10000000.0, 0.0009982150112459267),
+    (0.0, 25.0, 50000000.0, 0.0009817902360308535),
+    (0.0, 25.0, 100000000.0, 0.0009638905840587952),
+    (0.0, 40.0, 0.0, 0.0010071199508986843),
+    (0.0, 40.0, 10000000.0, 0.0010028317075411553),
+    (0.0, 40.0, 50000000.0, 0.0009869592500916945),
+    (0.0, 40.0, 100000000.0, 0.0009697227505933956),
+    (10.0, -2.0, 0.0, 0.0009922310155187658),
+    (10.0, -2.0, 10000000.0, 0.000987329874309625),
+    (10.0, -2.0, 50000000.0, 0.0009692492757296707),
+    (10.0, -2.0, 100000000.0, 0.0009497210180332533),
+    (10.0, 0.0, 0.0, 0.0009921454284539403),
+    (10.0, 0.0, 10000000.0, 0.000987311820153943),
+    (10.0, 0.0, 50000000.0, 0.0009694702682280057),
+    (10.0, 0.0, 100000000.0, 0.0009501680107993519),
+    (10.0, 10.0, 0.0, 0.0009925502687351075),
+    (10.0, 10.0, 10000000.0, 0.00098798865124528),
+    (10.0, 10.0, 50000000.0, 0.00097110982370768),
+    (10.0, 10.0, 100000000.0, 0.0009527245350196568),
+    (10.0, 25.0, 0.0, 0.0009952647821283827),
+    (10.0, 25.0, 10000000.0, 0.000990960096429761),
+    (10.0, 25.0, 50000000.0, 0.0009749994447512924),
+    (10.0, 25.0, 100000000.0, 0.0009575386766713104),
+    (10.0, 40.0, 0.0, 0.0009999284680955547),
+    (10.0, 40.0, 10000000.0, 0.0009957574046846479),
+    (10.0, 40.0, 50000000.0, 0.0009802834294974018),
+    (10.0, 40.0, 100000000.0, 0.0009633830380241698),
+    (30.0, -2.0, 0.0, 0.0009765527625926493),
+    (30.0, -2.0, 10000000.0, 0.0009719792865924209),
+    (30.0, -2.0, 50000000.0, 0.0009550888409369906),
+    (30.0, -2.0, 100000000.0, 0.0009368022529344925),
+    (30.0, 0.0, 0.0, 0.0009765987231087922),
+    (30.0, 0.0, 10000000.0, 0.0009720846069343094),
+    (30.0, 0.0, 50000000.0, 0.0009554035333949825),
+    (30.0, 0.0, 100000000.0, 0.0009373111723876956),
+    (30.0, 10.0, 0.0, 0.0009775583602442928),
+    (30.0, 10.0, 10000000.0, 0.0009732819627722665),
+    (30.0, 10.0, 50000000.0, 0.0009574381183348409),
+    (30.0, 10.0, 100000000.0, 0.0009401245908328854),
+    (30.0, 25.0, 0.0, 0.0009808525389777417),
+    (30.0, 25.0, 10000000.0, 0.0009767957249867058),
+    (30.0, 25.0, 50000000.0, 0.0009617271871917931),
+    (30.0, 25.0, 100000000.0, 0.0009451632467783684),
+    (30.0, 40.0, 0.0, 0.0009858962250259618),
+    (30.0, 40.0, 10000000.0, 0.0009819500818592285),
+    (30.0, 40.0, 50000000.0, 0.0009672700044086998),
+    (30.0, 40.0, 100000000.0, 0.0009511182212055129),
+    (35.16504, -2.0, 0.0, 0.0009725842559530334),
+    (35.16504, -2.0, 10000000.0, 0.0009680916686611181),
+    (35.16504, -2.0, 50000000.0, 0.0009514925784146791),
+    (35.16504, -2.0, 100000000.0, 0.0009335035407274817),
+    (35.16504, 0.0, 0.0, 0.0009726613854843871),
+    (35.16504, 0.0, 10000000.0, 0.0009682261107263717),
+    (35.16504, 0.0, 50000000.0, 0.000951829051061725),
+    (35.16504, 0.0, 100000000.0, 0.0009340266379353848),
+    (35.16504, 10.0, 0.0, 0.0009737549967980532),
+    (35.16504, 10.0, 10000000.0, 0.000969548853578212),
+    (35.16504, 10.0, 50000000.0, 0.0009539579646358982),
+    (35.16504, 10.0, 100000000.0, 0.000936901301710562),
+    (35.16504, 25.0, 0.0, 0.0009771893386798505),
+    (35.16504, 25.0, 10000000.0, 0.0009731936509232546),
+    (35.16504, 25.0, 50000000.0, 0.0009583435431232801),
+    (35.16504, 25.0, 100000000.0, 0.0009419952850140042),
+    (35.16504, 40.0, 0.0, 0.0009823297412856838),
+    (35.16504, 40.0, 10000000.0, 0.000978439681099858),
+    (35.16504, 40.0, 50000000.0, 0.0009639563322375555),
+    (35.16504, 40.0, 100000000.0, 0.0009479871705152489),
+    (42.0, -2.0, 0.0, 0.0009673804943573197),
+    (42.0, -2.0, 10000000.0, 0.0009629927436722599),
+    (42.0, -2.0, 50000000.0, 0.000946767992345977),
+    (42.0, -2.0, 100000000.0, 0.0009291529790929428),
+    (42.0, 0.0, 0.0, 0.0009674972906886833),
+    (42.0, 0.0, 10000000.0, 0.0009631642010561112),
+    (42.0, 0.0, 50000000.0, 0.0009471319865909975),
+    (42.0, 0.0, 100000000.0, 0.0009296938145443213),
+    (42.0, 10.0, 0.0, 0.0009687623271594553),
+    (42.0, 10.0, 10000000.0, 0.0009646472585832862),
+    (42.0, 10.0, 50000000.0, 0.0009493810588688104),
+    (42.0, 10.0, 100000000.0, 0.0009326459921330039),
+    (42.0, 25.0, 0.0, 0.0009723760573812169),
+    (42.0, 25.0, 10000000.0, 0.000968459766005569),
+    (42.0, 25.0, 50000000.0, 0.0009538900954644975),
+    (42.0, 25.0, 100000000.0, 0.0009378105160302806),
+    (42.0, 40.0, 0.0, 0.0009776448352444408),
+    (42.0, 40.0, 10000000.0, 0.0009738280257172011),
+    (42.0, 40.0, 50000000.0, 0.0009595982606481873),
+    (42.0, 40.0, 100000000.0, 0.000943855961984835),
+]
+
+
+def test_teos10_sweep_regression():
+    """The 75-term polynomial across its domain vs the recorded table."""
+    sa, ct, p, v_ref = (jnp.asarray(c) for c in zip(*_TEOS10_SWEEP))
+    v = eos.teos10_specvol(ct, sa, p)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=1e-13, atol=0)
+
+
+def test_teos10_physical_signs_domainwide():
+    """Haline contraction and compressibility keep their physical signs
+    over the whole (SA, CT, p) domain; thermal expansion is positive
+    everywhere except cold fresh water (the density-maximum anomaly,
+    which the polynomial must reproduce: fresh water is densest near
+    4 C at surface pressure)."""
+    sa, ct, p = np.meshgrid(np.linspace(0.0, 42.0, 9),
+                            np.linspace(-2.0, 40.0, 9),
+                            np.linspace(0.0, 1.0e8, 9), indexing="ij")
+    sa, ct, p = (jnp.asarray(a) for a in (sa, ct, p))
+    eps_t, eps_s, eps_p = 1e-3, 1e-3, 1e2
+    dv_dt = (eos.teos10_specvol(ct + eps_t, sa, p)
+             - eos.teos10_specvol(ct - eps_t, sa, p)) / (2 * eps_t)
+    dv_ds = (eos.teos10_specvol(ct, sa + eps_s, p)
+             - eos.teos10_specvol(ct, sa - eps_s, p)) / (2 * eps_s)
+    dv_dp = (eos.teos10_specvol(ct, sa, p + eps_p)
+             - eos.teos10_specvol(ct, sa, p - eps_p)) / (2 * eps_p)
+    assert bool(jnp.all(dv_ds < 0))          # saltier -> denser
+    assert bool(jnp.all(dv_dp < 0))          # compressible
+    # thermal expansion positive wherever water is warm (below the
+    # density-maximum temperature T_md ~ 4 C - 0.22*SA it flips sign,
+    # which is physical — cold brackish water expands on cooling)
+    warm = ct > 5.0
+    assert bool(jnp.all(jnp.where(warm, dv_dt, 1.0) > 0))
+    # fresh-water density maximum near 4 C at surface pressure
+    cts = jnp.linspace(0.0, 10.0, 101)
+    rho = 1.0 / eos.teos10_specvol(cts, jnp.zeros_like(cts),
+                                   jnp.zeros_like(cts))
+    t_max = float(cts[int(jnp.argmax(rho))])
+    assert 3.5 < t_max < 4.5
+    assert abs(float(jnp.max(rho)) - 999.972) < 0.05
+    # density range sanity over the whole domain
+    rho_all = 1.0 / eos.teos10_specvol(ct, sa, p)
+    assert bool(jnp.all(rho_all > 950.0)) and bool(jnp.all(rho_all < 1080.0))
+
+
+def test_teos10_sound_speed():
+    """c = sqrt(-v^2 / (dv/dp)) lands in the oceanographic 1400-1600 m/s
+    band at representative ocean states (GSW sound-speed sanity)."""
+    pts = [(35.0, 10.0, 1.0e7), (34.7, 2.0, 4.0e7), (35.16504, 0.0, 0.0),
+           (36.0, 25.0, 0.0)]
+    for sa_, ct_, p_ in pts:
+        sa, ct, p = jnp.array(sa_), jnp.array(ct_), jnp.array(p_)
+        eps = 1e2
+        dv_dp = (eos.teos10_specvol(ct, sa, p + eps)
+                 - eos.teos10_specvol(ct, sa, p - eps)) / (2 * eps)
+        v = eos.teos10_specvol(ct, sa, p)
+        c = float(jnp.sqrt(-v * v / dv_dp))
+        assert 1400.0 < c < 1600.0, (sa_, ct_, p_, c)
+
+
 def test_linear_eos_and_config():
     c = eos.EosConfig(eos_type="linear", drho_dt=-0.2, drho_ds=0.8,
                       rho_t0_s0=1000.0)
