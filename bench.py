@@ -26,6 +26,15 @@ def _roofline_estimate(ncells, nedges, nvertices, nlayers, ntracers,
     Counts each (element, layer) field the FB step must read or write at
     least once, with gather amplification ignored (perfect cache of the
     K-contiguous rows). v5e-class HBM ~800 GB/s.
+
+    NOTE (round 4, cross-checked with XLA cost analysis — see
+    BENCH_NOTES.md): this denominator models the COMPOSED formulation's
+    traffic (~32 logical fields/step, the reference's own memory
+    pattern), so vs_baseline = fraction of the reference formulation's
+    HBM speed-of-light. The fused mega kernel's own minimal traffic
+    (state in + state out once) is ~7x smaller, and the kernel is
+    VPU-compute-bound, not bandwidth-bound, at that level; the
+    compiler-measured operand bytes are printed on stderr below.
     """
     # fields touched per step (read+write, very rough):
     cell_fields = 6 + 3 * ntracers          # h, ssh, ke, div, del2div, tend...
@@ -128,6 +137,17 @@ def main():
                              nlayers, ntracers)
     vs_baseline = sol / step_time   # 1.0 == HBM speed-of-light model
 
+    # compiler-measured operand/result bytes of the scan (the kernel's
+    # internal halo-amplified reads are inside the pallas call and not
+    # counted; see _roofline_estimate NOTE)
+    xla_bytes = None
+    try:
+        ca = stepn.lower(state).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        xla_bytes = float(ca.get("bytes accessed", float("nan"))) / nsteps
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "gridpoint_steps_per_sec_per_chip",
         "value": value,
@@ -136,7 +156,8 @@ def main():
     }))
     print(f"# ncells={mesh.ncells} nlayers={nlayers} ntracers={ntracers} "
           f"step_time={step_time*1e3:.3f} ms compile={compile_s:.1f} s "
-          f"roofline_est={sol*1e3:.3f} ms device={jax.devices()[0]}",
+          f"roofline_est={sol*1e3:.3f} ms "
+          f"xla_bytes_per_step={xla_bytes} device={jax.devices()[0]}",
           file=sys.stderr)
 
 

@@ -1,5 +1,6 @@
 from omega_tpu.core.config import (ModelConfig, TendencyConfig,
-                                   ManufacturedConfig, model_config_from_yaml)
+                                   ManufacturedConfig, VertMixConfig,
+                                   model_config_from_yaml)
 from omega_tpu.core.state import ModelState, init_state
 from omega_tpu.core import aux, tendencies, eos, vert_coord, vmix
 from omega_tpu.core.tracers import (TracerSet, select_tracers,

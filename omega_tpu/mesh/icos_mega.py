@@ -43,7 +43,16 @@ from omega_tpu.mesh.horz_mesh import HorzMesh, finalize_mesh, \
     unclamped_connectivity
 from omega_tpu.mesh.icos_patches import EDGE_DIRS, HALO, NPER, VERTEX_TRIS
 
-MH = 8        # mega frame halo (>= the FB chain radius, like megastep.R)
+# Mega frame halo (>= the FB chain radius 6, like megastep.R). A
+# PROCESS-LEVEL knob: ops/patch_megastep.py binds R = MH at import.
+# Smaller MH shrinks the kernel slab ring, cutting the halo-evaluation
+# amplification ((by+2MH)^2/(by*bx)) AND the Mosaic scoped-VMEM live
+# set — at icos48, MH=6 makes S=60 and tile 20 runs the same 32x32
+# slab as (MH=8, tile 16) with 2.56x amplification instead of 4x and
+# 90 blocks instead of 160. MH < 7 cannot host the in-kernel vmix
+# chain (radius 7): _build then computes validity masks without vmix
+# and patch supported() routes vmix configs to the composed stepper.
+MH = int(os.environ.get("OMEGA_PATCH_MH", "8"))
 OH = 2        # output rim written around each owned patch region
 SUB_GROW = 10  # BFS closure width of the fix submesh (chain + halo)
 
@@ -61,7 +70,7 @@ class MegaTable:
 @dataclasses.dataclass
 class MegaInfo:
     n: int
-    by: int                              # kernel tile size (divides S)
+    by: tuple                            # kernel tile (rows, cols), | S
     content: Dict[str, np.ndarray]       # (T, 10, S, S) element ids, S wide
     fills: Dict[str, Tuple[np.ndarray, np.ndarray]]  # frame pos <- flat id
     tables: Dict[str, MegaTable]
@@ -93,7 +102,8 @@ def _mega_key(mesh):
     tile-creep validity masks), so an in-process A/B over
     OMEGA_PATCH_TILE must rebuild rather than hit a stale entry."""
     pk = getattr(mesh, "patch_key", 0)
-    return (pk, os.environ.get("OMEGA_PATCH_TILE", "16")) if pk else None
+    return (pk, os.environ.get("OMEGA_PATCH_TILE", "16"), MH) if pk \
+        else None
 
 
 def get_mega(mesh) -> Optional[MegaInfo]:
@@ -359,6 +369,11 @@ def _const_planes(mesh, content):
             ce >= 0, arr[np.maximum(ce, 0)], 0.0)
     em = np.asarray(mesh.edge_mask, np.float64)
     pls["edge_mask"] = np.where(ce >= 0, em[np.maximum(ce, 0)], 0.0)
+    # cell bottom depth: the column free surface (split-explicit chain)
+    # reads ssh = sum_k h - depth (uniform-depth meshes collapse it to a
+    # scalar in const_idx)
+    cc = content["cell"]
+    pls["depth"] = np.where(cc >= 0, depth[np.maximum(cc, 0)], 0.0)
     return pls
 
 
@@ -403,7 +418,7 @@ def _tracer_tend_ops(l: int):
     ]
 
 
-def _vel_tend_ops(hv: str):
+def _vel_tend_ops(hv: str, ssh: str = "stacked"):
     # velocity section ordered to MINIMIZE the peak VMEM live set: du
     # accumulates term by term and every operand dies right after its
     # contribution (the kernel frees dead chain values by liveness).
@@ -412,6 +427,16 @@ def _vel_tend_ops(hv: str):
     # free alias of the already-computed mean_h)
     mean_hn = (("mean_hn", "st", "cmean", hv) if hv != "h"
                else ("mean_hn", "ew", "copy", "mean_h"))
+    if ssh == "column":
+        # true shared free surface (cfg.ssh_formulation='column'): the
+        # pressure gradient reads ssh = sum_k h - depth, one lane-sum
+        # value; depth rides a cell const plane
+        gssh = [("sshc", "ew", "ssh_col", hv, "$depth"),
+                ("gh", "st", "cgrad", "sshc"),
+                ("du", "ew", "gssh_col", "du", "gh")]
+    else:
+        gssh = [("gh", "st", "cgrad", hv),
+                ("du", "ew", "gssh", "du", "gh", "$gdepth")]
     return [
         ("h_v", "st", "kite", hv),
         ("rvort", "st", "curl", "u"),
@@ -427,8 +452,7 @@ def _vel_tend_ops(hv: str):
         ("ke", "st", "ke", "u2"),
         ("gke", "st", "cgrad", "ke"),
         ("du", "ew", "sub", "du", "gke"),
-        ("gh", "st", "cgrad", hv),
-        ("du", "ew", "gssh", "du", "gh", "$gdepth"),  # du - g*(gh - gd)
+        *gssh,                                        # du - g*grad(ssh)
         ("div_u", "st", "div", "u"),
         ("cdd", "st", "cgrad", "div_u"),
         ("vdr", "st", "vgrad", "rvort"),
@@ -445,7 +469,33 @@ def _vel_tend_ops(hv: str):
     ]
 
 
-def fb_chain(L: int):
+def _phys_ops(wind: bool, drag: bool):
+    """Wind forcing (top layer) + quadratic bottom drag (bottom layer)
+    appended to the du accumulation (TendencyTerms.h:281-340).  Wind
+    stress rides in three runtime-filled const planes ($wind_stress);
+    ke0 + ke1 on an edge == 2*cmean(ke) bit-exactly."""
+    ops = []
+    if wind:
+        ops.append(("du", "ew", "wind", "du", "mean_hn", "$wind_stress"))
+    if drag:
+        ops += [("kee", "st", "cmean", "ke"),
+                ("du", "ew", "drag", "du", "kee", "mean_hn", "u")]
+    return ops
+
+
+def _vmix_ops(L: int):
+    """Operator-split implicit vertical mixing on the updated state
+    (steppers._mix, constant coefficients): a lane-axis PCR per output
+    (base/TriDiagSolvers.h PCRDiffusionSolver).  he_new = cmean(h_new)
+    adds ONE chain radius at the end (<= MH slack)."""
+    ops = [("he_new", "st", "cmean", "h_new"),
+           ("u_new", "ew", "vmix_u", "u_new", "he_new")]
+    for l in range(L):
+        ops += [(f"trn{l}", "ew", "vmix_c", f"trn{l}", "h_new")]
+    return ops
+
+
+def fb_chain(L: int, wind=False, drag=False, vmix=False):
     pre = _pre_ops()
     ops = pre[:3] + [
         ("h_new", "ew", "axpy", "h", -1.0, "dh"),     # h - dt*dh (dt folded)
@@ -455,16 +505,48 @@ def fb_chain(L: int):
             (f"trn{l}", "ew", "tracer_update", f"tr{l}", "h", f"dtr{l}",
              "h_new"),
         ]
-    ops += _vel_tend_ops("h_new") + [
+    ops += _vel_tend_ops("h_new") + _phys_ops(wind, drag) + [
         # every momentum term carries the edge mask in the composed
         # chain (tendencies.py velocity_tendency); with mask in {0, 1}
-        # gating the accumulated du once is bit-identical
+        # gating the accumulated du once is bit-identical (and covers
+        # the wind/drag terms' per-term masks)
         ("u_new", "ew", "axpy_m", "u", 1.0, "du", "$edge_mask"),
     ]
+    if vmix:
+        ops += _vmix_ops(L)
     return ops
 
 
-def rk2_stage_chain(L: int, base: str, coef: float):
+def split_pre_chain(L: int):
+    """Split-explicit phase 1 (stepping/split.py:94-97): the full 3-D
+    velocity tendency at the current state with the COLUMN free surface,
+    emitted whole (du_out).  The depth averages, mode split, frozen slow
+    forcing and barotropic subcycles run FLAT outside the kernel (they
+    are 2-D lane-sums and radius-1 stencils on (·,1) fields)."""
+    return ([("mean_h", "st", "cmean", "h")]
+            + _vel_tend_ops("h", ssh="column")
+            + [("du_out", "ew", "copy", "du")])
+
+
+def split_post_chain(L: int):
+    """Split-explicit phase 3 (stepping/split.py:154-162): thickness and
+    tracer advance with the TRANSPORT velocity — which the caller loads
+    into the frames' u channels (uprime + <ubar>), so this is exactly
+    the FB chain's thickness/tracer section."""
+    pre = _pre_ops()
+    ops = pre[:3] + [
+        ("h_new", "ew", "axpy", "h", -1.0, "dh"),
+    ] + pre[3:]
+    for l in range(L):
+        ops += _tracer_tend_ops(l) + [
+            (f"trn{l}", "ew", "tracer_update", f"tr{l}", "h", f"dtr{l}",
+             "h_new"),
+        ]
+    return ops
+
+
+def rk2_stage_chain(L: int, base: str, coef: float, wind=False,
+                    drag=False, vmix=False):
     """One RK2 stage (stepping.steppers.rk2_step): ALL tendencies at the
     in-kernel state (h, u, tr*) — unlike the forward-backward chain the
     momentum terms read the SAME h — then the state update from the
@@ -482,12 +564,14 @@ def rk2_stage_chain(L: int, base: str, coef: float):
     ops = list(_pre_ops())
     for l in range(L):
         ops += _tracer_tend_ops(l)
-    ops += _vel_tend_ops("h")
+    ops += _vel_tend_ops("h") + _phys_ops(wind, drag)
     ops += [("h_new", "ew", "axpy", f"h{b}", -coef, "dh")]
     for l in range(L):
         ops += [(f"trn{l}", "ew", "tracer_updc", f"tr{b}{l}" if b
                  else f"tr{l}", f"h{b}", f"dtr{l}", "h_new", coef)]
     ops += [("u_new", "ew", "axpy_m", f"u{b}", coef, "du", "$edge_mask")]
+    if vmix and b:          # the final stage updates the full step
+        ops += _vmix_ops(L)
     return ops
 
 
@@ -495,7 +579,8 @@ _RKA = (0.0, 0.5, 0.5, 1.0)
 _RKB = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 
 
-def rk4_stage_chain(L: int, stage: int):
+def rk4_stage_chain(L: int, stage: int, wind=False, drag=False,
+                    vmix=False):
     """One classic-RK4 stage (stepping.steppers.rk4_step): k_s = ALL
     tendencies at the in-kernel state (h, u, tr*) — stage 1's in-kernel
     state IS the original; stages 2-4 read the refreshed provisional,
@@ -507,7 +592,7 @@ def rk4_stage_chain(L: int, stage: int):
     ops = list(_pre_ops())
     for l in range(L):
         ops += _tracer_tend_ops(l)
-    ops += _vel_tend_ops("h")
+    ops += _vel_tend_ops("h") + _phys_ops(wind, drag)
     b = "" if stage == 1 else "0"
     rb = _RKB[stage - 1]
     if stage < 4:
@@ -540,6 +625,8 @@ def rk4_stage_chain(L: int, stage: int):
                      f"dtr{l}", "h_new", rb)]
         ops += [("u_new", "ew", "axpy_m", "u_a", rb, "du",
                  "$edge_mask")]
+        if vmix:
+            ops += _vmix_ops(L)
     return ops
 
 
@@ -554,7 +641,9 @@ CLASS_OF = {"h": "cell", "u": "edge", "u_m": "edge",
             "vdr": "edge", "del2_e": "edge", "dd2": "cell", "dr2": "vertex",
             "mean_hn": "edge", "F": "edge", "Fq": "edge", "tf": "edge",
             "tfq": "edge", "gke": "edge", "gh": "edge", "cd4": "edge",
-            "vd4": "edge", "du": "edge", "u_new": "edge"}
+            "vd4": "edge", "du": "edge", "u_new": "edge",
+            "kee": "edge", "he_new": "edge",
+            "sshc": "cell", "du_out": "edge"}
 
 
 def chain_class(name: str) -> str:
@@ -617,8 +706,19 @@ def chain_validity(tables: Dict[str, MegaTable], content, resolved,
                   "$gdepth": content["edge"] >= 0,
                   "$scal2": content["edge"] >= 0,
                   "$scal4": content["edge"] >= 0,
-                  "$edge_mask": content["edge"] >= 0}
-    for op in fb_chain(L):
+                  "$edge_mask": content["edge"] >= 0,
+                  "$wind_stress": content["edge"] >= 0,
+                  "$depth": content["cell"] >= 0,
+                  "$f_edge": content["edge"] >= 0}
+    # validity uses the WORST-CASE chain (all physics on): the vmix
+    # edge-thickness cmean erodes u_new by one extra ring, so these
+    # masks are conservative-correct for every chain variant — a
+    # physics-off kernel is exact at strictly more positions than the
+    # masks claim, and refreshing an exact position from another exact
+    # copy of the same element is the identity.  MH < 7 cannot hold the
+    # radius-7 vmix chain at all (no position would validate), so the
+    # masks drop it and supported() routes vmix configs composed.
+    for op in fb_chain(L, wind=True, drag=True, vmix=MH >= 7):
         name, kind = op[0], op[1]
         if kind == "st":
             tab = tables[op[2]]
@@ -652,7 +752,7 @@ def chain_validity(tables: Dict[str, MegaTable], content, resolved,
 def kernel_validity(tables, content, resolved, n, by, R):
     """Exactness of the TILED kernel's outputs at every frame position.
 
-    The kernel partitions the S x S frame into (by, by) tiles, each
+    The kernel partitions the S x S frame into (byy, byx) tiles, each
     computed on a radius-R slab; values creep garbage inward from the
     slab edge exactly as a frame boundary would.  Emulated by running
     the chain-validity pass with state masks clipped to each tile's
@@ -660,21 +760,21 @@ def kernel_validity(tables, content, resolved, n, by, R):
     ONE tile that writes it.  (Identical slab boxes across the 10
     patches let each (ty, tx) run cover all patches at once.)"""
     S = n + 2 * MH
-    assert S % by == 0, (S, by)
-    nt = S // by
+    byy, byx = (by, by) if isinstance(by, int) else by
+    assert S % byy == 0 and S % byx == 0, (S, by)
     base = {"cell": content["cell"] >= 0, "edge": content["edge"] >= 0}
     outs = {k: np.zeros_like(v)
             for k, v in (("h_new", base["cell"]), ("u_new", base["edge"]),
                          ("trn0", base["cell"]))}
-    for ty in range(nt):
-        for tx in range(nt):
+    for ty in range(S // byy):
+        for tx in range(S // byx):
             box = np.zeros((1, 1, S, S), bool)
-            box[:, :, max(0, ty * by - R):ty * by + by + R,
-                max(0, tx * by - R):tx * by + by + R] = True
+            box[:, :, max(0, ty * byy - R):ty * byy + byy + R,
+                max(0, tx * byx - R):tx * byx + byx + R] = True
             sm = {k: v & box for k, v in base.items()}
             m = chain_validity(tables, content, resolved, 1, state_masks=sm)
-            ys = slice(ty * by, ty * by + by)
-            xs = slice(tx * by, tx * by + by)
+            ys = slice(ty * byy, ty * byy + byy)
+            xs = slice(tx * byx, tx * byx + byx)
             for k in outs:
                 outs[k][:, :, ys, xs] = m[k][:, :, ys, xs]
     return outs
@@ -852,8 +952,13 @@ def _build(mesh, info: ip.PatchInfo) -> MegaInfo:
     # kernel tile: bigger tiles cut the slab read amplification
     # ((by+2R)^2/by^2) and the per-output compute redundancy, at the
     # price of VMEM (the 120MB scoped limit in ops/patch_megastep.py)
-    tile = int(os.environ.get("OMEGA_PATCH_TILE", "16"))
-    by = next(b for b in (tile, 16, 8, 4) if S % b == 0)
+    spec = os.environ.get("OMEGA_PATCH_TILE", "16")
+    if "x" in spec:                     # rectangular: "ROWSxCOLS"
+        ty_, tx_ = (int(v) for v in spec.split("x"))
+    else:
+        ty_ = tx_ = int(spec)
+    pick = lambda t: max(b for b in range(1, max(t, 1) + 1) if S % b == 0)
+    by = (pick(ty_), pick(tx_))
     masks = kernel_validity(tables, content, resolved, n, by, MH)
 
     outputs = {}

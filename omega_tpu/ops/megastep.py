@@ -26,8 +26,10 @@ Mechanics:
     select, with the global row index reconstructed from the tile id
   * supported configuration = the flagship FB step (structured f-plane
     mesh with uniform geometry, center fluxes, stacked ssh, pv/ke/ssh
-    del2/del4 + tracer adv/del2/del4, no vmix/wind/drag); anything
-    else falls back to the composed stepper (steppers.py)
+    del2/del4 + tracer adv/del2/del4) PLUS the Omega-1 science physics
+    (wind forcing via a packed input channel, quadratic bottom drag,
+    constant-coefficient implicit vmix as a lane-axis PCR — round 4);
+    anything else falls back to the composed stepper (steppers.py)
 
 Semantics identical to stepping.forward_backward_step on the supported
 configuration; exactness tested in interpreter mode and on hardware.
@@ -79,8 +81,8 @@ def parity_enabled() -> bool:
     return os.environ.get("OMEGA_MEGA_PARITY", "1") in ("1", "true")
 
 
-def _rings(kind, parity):
-    r = _ring(kind)
+def _rings(kind, parity, extra=0):
+    r = _ring(kind, extra)
     return ((r + 1) // 2, r) if parity else (r, r)
 
 
@@ -98,16 +100,35 @@ def _table(mesh, name):
     return None if tab is None else tuple(tab)
 
 
+def _vmix_on(cfg) -> bool:
+    """Constant-coefficient implicit vertical mixing runs IN-KERNEL as a
+    PCR along lanes after the horizontal chain (base/TriDiagSolvers.h
+    PCRDiffusionSolver semantics); PP81 (state-dependent coefficients)
+    and the Thomas method stay on the composed path."""
+    vm = cfg.vert_mix
+    return (vm.enabled and cfg.nvertlayers >= 2
+            and vm.scheme == "constant" and vm.method == "pcr")
+
+
 def supported(mesh, cfg, kind="fb", parity=None) -> bool:
-    """The flagship configuration this kernel implements."""
+    """The flagship configuration this kernel implements.
+
+    Round 4: wind forcing, quadratic bottom drag (TendencyTerms.h:
+    281-340) and constant-coefficient implicit vertical mixing run
+    inside the kernels, so the Omega-1 science configuration stays on
+    the fused fast path."""
     tc = cfg.tendencies
     if not structured.enabled(mesh):
+        return False
+    vm = cfg.vert_mix
+    if vm.enabled and not _vmix_on(cfg):
         return False
     nx, ny = mesh.structured_nx, mesh.structured_ny
     if parity is None:
         parity = parity_enabled()
-    by, bx = _pick_tile(ny // 2 if parity else ny, nx, kind)
-    ry, rx = _rings(kind, parity)
+    by, bx = _pick_tile(ny // 2 if parity else ny, nx, kind,
+                        vmix=_vmix_on(cfg))
+    ry, rx = _rings(kind, parity, extra=1 if _vmix_on(cfg) else 0)
     # the 9-rectangle wrapped DMA needs each halo band contiguous mod n
     if by < ry or bx < rx:
         return False
@@ -125,12 +146,10 @@ def supported(mesh, cfg, kind="fb", parity=None) -> bool:
     return (cfg.flux_thickness_type == "center"
             and cfg.flux_tracer_type == "center"
             and cfg.ssh_formulation == "stacked"
-            and not cfg.vert_mix.enabled
             and tc.thickness_flux_div and tc.pv_advection and tc.ke_gradient
             and tc.ssh_gradient and tc.velocity_diffusion
             and tc.velocity_hyperdiff and tc.tracer_horz_adv
             and tc.tracer_diffusion and tc.tracer_hyperdiff
-            and not tc.wind_forcing and not tc.bottom_drag
             and not tc.use_custom_tendency)
 
 
@@ -183,14 +202,129 @@ def _apply(tab, val_list, even, pd):
     return outs
 
 
-def _fb_compute(h, u, tr, even, tabs, consts, L):
+# number of base (always-present) constants; physics extensions follow
+# at fixed offsets and the split kernels append theirs after NCONST
+NCONST = 19
+
+
+def _lane(x):
+    return jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+
+
+def _wind_drag(du, u, mean_h, ke, wslab, consts, ap):
+    """Wind forcing (top layer) and quadratic bottom drag (bottom layer)
+    appended to the du accumulation, mirroring tendencies.velocity_
+    tendency exactly (TendencyTerms.h:281-340; edge_mask == 1 on the
+    supported mesh so the mask gates are free):
+
+      du[k=0]   += stress_e / (rho0 * mean_h[e, 0])
+      du[k=K-1] -= Cd * sqrt(ke0 + ke1) * u[e, K-1] / mean_h[e, K-1]
+
+    ke0 + ke1 == 2 * cmean(ke) bit-exactly (0.5x halving and 2x doubling
+    are exact; rounding commutes with power-of-two scaling)."""
+    K, rho0, cd = consts[14], consts[15], consts[16]
+    if wslab is not None:
+        for i in range(3):
+            w_i = wslab[..., i:i + 1]
+            du[i] = du[i] + jnp.where(_lane(du[i]) == 0,
+                                      w_i / (rho0 * mean_h[i]), 0.0)
+    if cd:
+        kee = ap("cmean", [ke], 3)
+        for i in range(3):
+            speed = jnp.sqrt(jnp.maximum(2.0 * kee[i], 0.0))
+            du[i] = du[i] + jnp.where(
+                _lane(du[i]) == K - 1,
+                -(cd * speed * u[i] / mean_h[i]), 0.0)
+    return du
+
+
+def _shift_lane(x, offset, fill):
+    """x[..., k + offset] along lanes, out-of-range -> fill (the tridiag
+    PCR neighbor access, ops/tridiag._shift semantics)."""
+    K = x.shape[-1]
+    if offset == 0:
+        return x
+    pad_shape = x.shape[:-1] + (min(abs(offset), K),)
+    pad = jnp.full(pad_shape, fill, x.dtype)
+    if offset >= K or offset <= -K:
+        return jnp.full_like(x, fill)
+    if offset > 0:
+        return jnp.concatenate([x[..., offset:], pad], axis=-1)
+    return jnp.concatenate([pad, x[..., :offset]], axis=-1)
+
+
+def _pcr_diffusion(g, hmass, xs):
+    """Parallel cyclic reduction for the diffusion-form system
+    (H_k + G_k + G_{k-1}) x_k - G_{k-1} x_{k-1} - G_k x_{k+1} = b_k,
+    log2(Kp) lane sweeps (ops/tridiag.pcr run along lanes; identical
+    level count and out-of-range-row identity semantics, so results are
+    bit-equal to the composed path's K-length solve).  Solves every b in
+    `xs` against one matrix, sharing the alpha/beta factors."""
+    import math
+    a = -_shift_lane(g, -1, 0.0)
+    c = -g
+    bb = hmass + g + _shift_lane(g, -1, 0.0)
+    Kp = g.shape[-1]
+    levels = math.ceil(math.log2(Kp)) if Kp > 1 else 0
+    s = 1
+    xs = list(xs)
+    for _ in range(levels):
+        alpha = -a / _shift_lane(bb, -s, 1.0)
+        beta = -c / _shift_lane(bb, +s, 1.0)
+        a_new = alpha * _shift_lane(a, -s, 0.0)
+        c_new = beta * _shift_lane(c, +s, 0.0)
+        b_new = bb + alpha * _shift_lane(c, -s, 0.0) \
+            + beta * _shift_lane(a, +s, 0.0)
+        xs = [x + alpha * _shift_lane(x, -s, 0.0)
+              + beta * _shift_lane(x, +s, 0.0) for x in xs]
+        a, bb, c = a_new, b_new, c_new
+        s *= 2
+    return [x / bb for x in xs]
+
+
+def _vmix_apply(h_new, un, trn, tabs, consts, even, L):
+    """Operator-split backward-Euler vertical mixing on the updated
+    state (steppers._mix / core/vmix.implicit_vmix): tracers against the
+    cell-thickness matrix, velocity against the edge-thickness (cmean of
+    h_new) matrices. Constant coefficients only (see _vmix_on). Dead
+    lanes (k >= K) carry H=1/G=0 identity rows, matching the composed
+    solve's out-of-range fills bit-exactly."""
+    kt, km = consts[17], consts[18]
+    if kt is None:
+        return un, trn
+    dt, K = consts[0], consts[14]
+    ap = lambda name, vals, pd: _apply(tabs[name], vals, even, pd)
+
+    def gcoef(h, kappa):
+        dz = 0.5 * (h + _shift_lane(h, +1, 1.0))
+        g = dt * kappa / dz
+        return jnp.where(_lane(h) < K - 1, g, 0.0)
+
+    def hmass(h):
+        return jnp.where(_lane(h) < K, h, 1.0)
+
+    lm = _lane(h_new) < K
+    g_c = gcoef(h_new, kt)
+    trn = _pcr_diffusion(g_c, hmass(h_new),
+                         [jnp.where(lm, h_new * trn[l], 0.0)
+                          for l in range(L)])
+    he = ap("cmean", [h_new], 3)
+    un_out = []
+    for i in range(3):
+        (ui,) = _pcr_diffusion(gcoef(he[i], km), hmass(he[i]),
+                               [jnp.where(lm, he[i] * un[i], 0.0)])
+        un_out.append(ui)
+    return un_out, trn
+
+
+def _fb_compute(h, u, tr, even, tabs, consts, L, wslab=None):
     """The FB step chain on one VMEM slab (valid on the center; garbage
     creeps in from the slab edge by the chain radius).
 
     h: (Y, X, K); u, tr: lists of (Y, X, K). Returns (h_new, un, trn).
     """
     (dt, grav, nu2, nu4, div_factor, ed2, ed4, inv_dc, inv_dv, inv_dv_floor,
-     geo, f0v, scal2, scal4) = consts
+     geo, f0v, scal2, scal4) = consts[:14]
 
     ap = lambda name, vals, pd: _apply(tabs[name], vals, even, pd)
 
@@ -246,19 +380,22 @@ def _fb_compute(h, u, tr, even, tabs, consts, L):
 
     # the du diff terms use plain 1/dv (TendencyTerms), while
     # del2_e above used the dv >= 0.25 dc floor (Del2AuxVars)
-    un = []
+    du = []
     for i in range(3):
-        du = (pv[i]
-              - gke[i] * inv_dc
-              - grav * gssh[i] * inv_dc
-              + nu2 * scal2 * (cdd[i] * inv_dc - vdr[i] * inv_dv)
-              - nu4 * scal4 * (div_factor * cd4[i] * inv_dc
-                               - vd4[i] * inv_dv))
-        un.append(u[i] + dt * du)
+        du.append(pv[i]
+                  - gke[i] * inv_dc
+                  - grav * gssh[i] * inv_dc
+                  + nu2 * scal2 * (cdd[i] * inv_dc - vdr[i] * inv_dv)
+                  - nu4 * scal4 * (div_factor * cd4[i] * inv_dc
+                                   - vd4[i] * inv_dv))
+    # wind/drag use the FB momentum-aux level (mean_h of h_new)
+    du = _wind_drag(du, u, mean_hn, ke, wslab, consts, ap)
+    un = [u[i] + dt * du[i] for i in range(3)]
+    un, trn = _vmix_apply(h_new, un, trn, tabs, consts, even, L)
     return h_new, un, trn
 
 
-def _tend_compute(h, u, tr, even, tabs, consts, L):
+def _tend_compute(h, u, tr, even, tabs, consts, L, wslab=None):
     """compute_all_tendencies on one VMEM slab: every aux variable at the
     SAME (h, u, tr) time level (tendencies.py:178-186), unlike the FB
     chain which re-evaluates momentum aux on h_new. Radius 6.
@@ -266,7 +403,7 @@ def _tend_compute(h, u, tr, even, tabs, consts, L):
     Returns (dh, du, dtr) as slab tendencies (du/dtr are channel lists).
     """
     (dt, grav, nu2, nu4, div_factor, ed2, ed4, inv_dc, inv_dv, inv_dv_floor,
-     geo, f0v, scal2, scal4) = consts
+     geo, f0v, scal2, scal4) = consts[:14]
 
     ap = lambda name, vals, pd: _apply(tabs[name], vals, even, pd)
 
@@ -324,10 +461,12 @@ def _tend_compute(h, u, tr, even, tabs, consts, L):
                   + nu2 * scal2 * (cdd[i] * inv_dc - vdr[i] * inv_dv)
                   - nu4 * scal4 * (div_factor * cd4[i] * inv_dc
                                    - vd4[i] * inv_dv))
+    # RK semantics: momentum aux at the same level, mean_h of h
+    du = _wind_drag(du, u, mean_h, ke, wslab, consts, ap)
     return dh, du, dtr
 
 
-def _rk2_compute(h, u, tr, even, tabs, consts, L):
+def _rk2_compute(h, u, tr, even, tabs, consts, L, wslab=None):
     """Midpoint RK2 (steppers.rk2_step) on one VMEM slab: two radius-6
     tendency chains back to back (total radius 12 <= R_RK2). Garbage
     slab-edge values can divide by ~0 in the tracer mid-state; the
@@ -335,25 +474,37 @@ def _rk2_compute(h, u, tr, even, tabs, consts, L):
     radius accounting as any other creep."""
     dt = consts[0]
 
-    dh1, du1, dtr1 = _tend_compute(h, u, tr, even, tabs, consts, L)
+    dh1, du1, dtr1 = _tend_compute(h, u, tr, even, tabs, consts, L, wslab)
     h_mid = h + (0.5 * dt) * dh1
     u_mid = [u[i] + (0.5 * dt) * du1[i] for i in range(3)]
     tr_mid = [(tr[l] * h + (0.5 * dt) * dtr1[l]) / h_mid for l in range(L)]
 
     dh2, du2, dtr2 = _tend_compute(h_mid, u_mid, tr_mid, even, tabs,
-                                   consts, L)
+                                   consts, L, wslab)
     h_new = h + dt * dh2
     un = [u[i] + dt * du2[i] for i in range(3)]
     trn = [(tr[l] * h + dt * dtr2[l]) / h_new for l in range(L)]
+    un, trn = _vmix_apply(h_new, un, trn, tabs, consts, even, L)
     return h_new, un, trn
+
+
+def _split_off_wind(slabs, L, nblocks_in):
+    """Inputs carry an optional trailing wind channel (lanes 0..2 = the
+    per-edge-class normal stress): detach it from the state blocks."""
+    nbase = nblocks_in * (4 + L)
+    if len(slabs) == nbase + 1:
+        return slabs[:nbase], slabs[nbase]
+    return slabs, None
 
 
 def _state_compute(fn):
     """Adapt an (h, u, tr) -> (h, u, tr) chain to the kernel's flat
-    slab-list interface (slabs[0]=h, [1:4]=u, [4:4+L]=tracers)."""
+    slab-list interface (slabs[0]=h, [1:4]=u, [4:4+L]=tracers, optional
+    trailing wind channel)."""
     def wrapped(slabs, even, tabs, consts, L):
+        slabs, wslab = _split_off_wind(slabs, L, 1)
         h_new, un, trn = fn(slabs[0], slabs[1:4], slabs[4:4 + L],
-                            even, tabs, consts, L)
+                            even, tabs, consts, L, wslab)
         return [h_new] + list(un) + list(trn)
     return wrapped
 
@@ -382,8 +533,9 @@ def _stage_out(dt, b, h, u, tr_h, dh, du, dtr, acc, a, L):
 
 def _rk4_s1(slabs, even, tabs, consts, L):
     dt = consts[0]
+    slabs, wslab = _split_off_wind(slabs, L, 1)
     h, u, tr = slabs[0], slabs[1:4], slabs[4:4 + L]
-    dh, du, dtr = _tend_compute(h, u, tr, even, tabs, consts, L)
+    dh, du, dtr = _tend_compute(h, u, tr, even, tabs, consts, L, wslab)
     tr_h = [tr[l] * h for l in range(L)]
     acc0 = [h] + list(u) + tr_h
     return _stage_out(dt, 1.0 / 6.0, h, u, tr_h, dh, du, dtr,
@@ -394,11 +546,12 @@ def _rk4_mid(a, b):
     def fn(slabs, even, tabs, consts, L):
         dt = consts[0]
         CH = 4 + L
+        slabs, wslab = _split_off_wind(slabs, L, 3)
         st, acc, prov = slabs[:CH], slabs[CH:2 * CH], slabs[2 * CH:]
         h, u = st[0], st[1:4]
         tr_h = [st[4 + l] * h for l in range(L)]
         dh, du, dtr = _tend_compute(prov[0], prov[1:4], prov[4:],
-                                    even, tabs, consts, L)
+                                    even, tabs, consts, L, wslab)
         return _stage_out(dt, b, h, u, tr_h, dh, du, dtr, acc, a, L)
     return fn
 
@@ -406,13 +559,15 @@ def _rk4_mid(a, b):
 def _rk4_s4(slabs, even, tabs, consts, L):
     dt = consts[0]
     CH = 4 + L
+    slabs, wslab = _split_off_wind(slabs, L, 2)
     acc, prov = slabs[:CH], slabs[CH:]
     dh, du, dtr = _tend_compute(prov[0], prov[1:4], prov[4:],
-                                even, tabs, consts, L)
+                                even, tabs, consts, L, wslab)
     b = 1.0 / 6.0
     h_new = acc[0] + b * dt * dh
     un = [acc[1 + i] + b * dt * du[i] for i in range(3)]
     trn = [(acc[4 + l] + b * dt * dtr[l]) / h_new for l in range(L)]
+    un, trn = _vmix_apply(h_new, un, trn, tabs, consts, even, L)
     return [h_new] + un + trn
 
 
@@ -481,13 +636,13 @@ def _vel_tend_column(h, u, sshc, even, tabs, consts, L):
 
 
 def _split_pre(slabs, even, tabs, consts, L):
-    """Mode split + slow forcing (split.py:77-103). consts[14:] =
+    """Mode split + slow forcing (split.py:77-103). consts[NCONST:] =
     (K, depth, f_edge, bt_drag). Emits 7 channels:
     uprime x3, du_slow x3, packed 2-D (lanes: ubar x3, sshc,
     g_slow x3, het x3 — barotropic_kernel input order)."""
     (dt, grav) = consts[0], consts[1]
     inv_dc = consts[7]
-    K, depth, f_e, r_drag = consts[14:18]
+    K, depth, f_e, r_drag = consts[NCONST:NCONST + 4]
     ap = lambda name, vals, pd: _apply(tabs[name], vals, even, pd)
     h, u = slabs[0], slabs[1:4]
 
@@ -758,7 +913,7 @@ def _kernel(*refs, tabs, consts, L, ny, nx, K, by, bx, nby, nbx,
     )
 
 
-def _pick_tile(ny, nx, kind="fb"):
+def _pick_tile(ny, nx, kind="fb", vmix=False):
     """Largest (by, bx) tile dividing (ny, nx) under a VMEM-driven cap
     (OMEGA_MEGA_TILE accepts '16' or '16x32' for rectangular tiles).
     RK2's wider ring (R_RK2) wants a bigger default tile to hold the
@@ -767,8 +922,12 @@ def _pick_tile(ny, nx, kind="fb"):
         spec = os.environ.get("OMEGA_MEGA_TILE_RK2", "32")
     else:
         # tile 32 needs the raised VMEM scope (see _call); measured
-        # 5.63 ms vs 5.84 at tile 16 on the 256^2 x 100 flagship
-        spec = os.environ.get("OMEGA_MEGA_TILE", "32")
+        # 5.63 ms vs 5.84 at tile 16 on the 256^2 x 100 flagship.
+        # With in-kernel vmix the default drops to 16: the PCR's
+        # lane-shift chain makes the tile-32 Mosaic compile blow up
+        # (>25 min, vs 32 s at tile 16 / 8.11 ms measured)
+        spec = os.environ.get("OMEGA_MEGA_TILE",
+                              "16" if vmix else "32")
     if "x" in spec:
         cy, cx = (int(v) for v in spec.split("x"))
     else:
@@ -784,14 +943,15 @@ def _pick_tile(ny, nx, kind="fb"):
 
 @functools.partial(jax.jit, static_argnames=(
     "tabs", "consts", "L", "ny", "nx", "interpret", "kind", "out_ch",
-    "parity"))
+    "parity", "extra_ring"))
 def _call(*stacked, tabs, consts, L, ny, nx, interpret, kind="fb",
-          out_ch=None, parity=False):
+          out_ch=None, parity=False, extra_ring=0):
     K = stacked[0].shape[-1]
     if parity:
         ny = ny // 2          # stacked rows are split-plane rows
-    by, bx = _pick_tile(ny, nx, kind)
-    ry, rx = _rings(kind, parity)
+    by, bx = _pick_tile(ny, nx, kind,
+                        vmix=len(consts) > 17 and consts[17] is not None)
+    ry, rx = _rings(kind, parity, extra_ring)
     CHO = stacked[0].shape[0] if out_ch is None else out_ch
     if parity and out_ch is not None:
         CHO = 2 * out_ch
@@ -839,19 +999,46 @@ def _call(*stacked, tabs, consts, L, ny, nx, interpret, kind="fb",
 
 def _mega_args(mesh, cfg, dt):
     tc = cfg.tendencies
+    vm = cfg.vert_mix
     us = lambda a: structured.uniform_scalar(mesh, a)
     dc, dv = us("dc_edge"), us("dv_edge")
     inv_dv_floor = 1.0 / max(dv, 0.25 * dc)
+    vmix = _vmix_on(cfg)
     consts = (float(dt), cfg.gravity, tc.visc_del2, tc.visc_del4,
               tc.div_factor, tc.eddy_diff2, tc.eddy_diff4,
               1.0 / dc, 1.0 / dv, inv_dv_floor,
               dv / dc,                       # geo (edge_mask == 1)
               us("f_vertex"),
-              us("mesh_scaling_del2"), us("mesh_scaling_del4"))
+              us("mesh_scaling_del2"), us("mesh_scaling_del4"),
+              # physics extensions (indices 14..18, see NCONST)
+              cfg.nvertlayers, tc.density0,
+              tc.bottom_drag_coeff if tc.bottom_drag else 0.0,
+              vm.kappa_tracer if vmix else None,
+              vm.kappa_momentum if vmix else None)
     names = ("div", "ke", "curl", "kite", "tang", "cdiff", "cmean",
              "vdiff", "vmean", "signed_div")
     tabs = tuple((n, _table(mesh, n)) for n in names)
     return tabs, consts
+
+
+def stack_wind(mesh, cfg, wind_stress, dtype, parity=None):
+    """Pack the edge normal wind stress into one kernel input channel:
+    (1, ny, nx, K128) with lane t = edge-class-t stress (class-major edge
+    ids, mesh/planar.py). wind_stress = (zonal_cell, merid_cell); the
+    rotation onto edge normals (WindForcingAuxVars.h:13-40) runs once
+    here, outside the kernel."""
+    from omega_tpu.core import aux as auxmod
+    stress = auxmod.wind_normal_stress(mesh, cfg, wind_stress[0],
+                                       wind_stress[1])
+    nx, ny = mesh.structured_nx, mesh.structured_ny
+    Kp = 128
+    sg = jnp.asarray(stress, dtype).reshape(3, ny, nx)
+    w = jnp.zeros((1, ny, nx, Kp), dtype)
+    for t in range(3):
+        w = w.at[0, :, :, t].set(sg[t])
+    if parity is None:
+        parity = parity_enabled()
+    return split_parity(w, ny) if parity else w
 
 
 def split_parity(stacked, ny):
@@ -905,29 +1092,41 @@ def unstack_state(mesh, stacked, K, L, state_type):
                       tracers=s[4:].reshape(L, ny * nx, K))
 
 
-def fb_megastep_stacked(mesh, cfg, stacked, dt, interpret=None):
+def fb_megastep_stacked(mesh, cfg, stacked, dt, interpret=None, wind=None):
     """One FB step on the stacked layout (stacked -> stacked): exactly
-    one kernel launch, zero glue. Used directly by run_steps' scan."""
+    one kernel launch, zero glue. Used directly by run_steps' scan.
+    `wind` is an optional stack_wind channel (constant per segment)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     tabs, consts = _mega_args(mesh, cfg, dt)
     nx, ny = mesh.structured_nx, mesh.structured_ny
     par = parity_enabled()
     L = stacked.shape[0] // (2 if par else 1) - 4
-    return _call(stacked, tabs=tabs, consts=consts,
-                 L=L, ny=ny, nx=nx, interpret=interpret, parity=par)
+    args = (stacked,) if wind is None else (stacked, wind)
+    return _call(*args, tabs=tabs, consts=consts, L=L, ny=ny, nx=nx,
+                 interpret=interpret, parity=par,
+                 out_ch=None if wind is None else 4 + L,
+                 extra_ring=1 if consts[17] is not None else 0)
 
 
-def fb_megastep(mesh, cfg, state, t, dt, interpret=None):
+def _wind_arg(mesh, cfg, wind_stress, dtype, parity=None):
+    if wind_stress is None or not cfg.tendencies.wind_forcing:
+        return None
+    return stack_wind(mesh, cfg, wind_stress, dtype, parity)
+
+
+def fb_megastep(mesh, cfg, state, t, dt, interpret=None, wind_stress=None):
     """One forward-backward step (== stepping.forward_backward_step) for
     the supported flagship configuration."""
     h, _, tr = state
     stacked = stack_state(mesh, state)
-    out = fb_megastep_stacked(mesh, cfg, stacked, dt, interpret=interpret)
+    wind = _wind_arg(mesh, cfg, wind_stress, h.dtype)
+    out = fb_megastep_stacked(mesh, cfg, stacked, dt, interpret=interpret,
+                              wind=wind)
     return unstack_state(mesh, out, h.shape[-1], tr.shape[0], type(state))
 
 
-def rk2_megastep_stacked(mesh, cfg, stacked, dt, interpret=None):
+def rk2_megastep_stacked(mesh, cfg, stacked, dt, interpret=None, wind=None):
     """One midpoint-RK2 step on the stacked layout: both tendency
     evaluations fused into the one kernel (ring R_RK2 >= 12)."""
     if interpret is None:
@@ -936,22 +1135,26 @@ def rk2_megastep_stacked(mesh, cfg, stacked, dt, interpret=None):
     nx, ny = mesh.structured_nx, mesh.structured_ny
     par = parity_enabled()
     L = stacked.shape[0] // (2 if par else 1) - 4
-    return _call(stacked, tabs=tabs, consts=consts,
-                 L=L, ny=ny, nx=nx, interpret=interpret,
-                 kind="rk2", parity=par)
+    args = (stacked,) if wind is None else (stacked, wind)
+    return _call(*args, tabs=tabs, consts=consts, L=L, ny=ny, nx=nx,
+                 interpret=interpret, kind="rk2", parity=par,
+                 out_ch=None if wind is None else 4 + L,
+                 extra_ring=1 if consts[17] is not None else 0)
 
 
-def rk2_megastep(mesh, cfg, state, t, dt, interpret=None):
+def rk2_megastep(mesh, cfg, state, t, dt, interpret=None, wind_stress=None):
     """One RK2 step (== stepping.rk2_step) for the supported flagship
     configuration. Single-device only: the fused two-chain radius (12)
     exceeds any halo width, so sharded runs keep the composed stepper."""
     h, _, tr = state
     stacked = stack_state(mesh, state)
-    out = rk2_megastep_stacked(mesh, cfg, stacked, dt, interpret=interpret)
+    wind = _wind_arg(mesh, cfg, wind_stress, h.dtype)
+    out = rk2_megastep_stacked(mesh, cfg, stacked, dt, interpret=interpret,
+                               wind=wind)
     return unstack_state(mesh, out, h.shape[-1], tr.shape[0], type(state))
 
 
-def rk4_megastep_stacked(mesh, cfg, stacked, dt, interpret=None):
+def rk4_megastep_stacked(mesh, cfg, stacked, dt, interpret=None, wind=None):
     """One classic-RK4 step on the stacked layout as FOUR stage kernels
     (one radius-6 tendency chain each, standard R ring), threading the
     (acc, prov) channels through HBM between launches."""
@@ -963,11 +1166,12 @@ def rk4_megastep_stacked(mesh, cfg, stacked, dt, interpret=None):
     L = stacked.shape[0] // (2 if par else 1) - 4
     kw = dict(tabs=tabs, consts=consts, L=L, ny=ny, nx=nx,
               interpret=interpret, parity=par)
+    w = () if wind is None else (wind,)
     CH = 4 + L
-    ap_ = _call(stacked, kind="rk4s1", out_ch=2 * CH, **kw)
-    ap_ = _call(stacked, ap_, kind="rk4s2", out_ch=2 * CH, **kw)
-    ap_ = _call(stacked, ap_, kind="rk4s3", out_ch=2 * CH, **kw)
-    return _call(ap_, kind="rk4s4", out_ch=CH, **kw)
+    ap_ = _call(stacked, *w, kind="rk4s1", out_ch=2 * CH, **kw)
+    ap_ = _call(stacked, ap_, *w, kind="rk4s2", out_ch=2 * CH, **kw)
+    ap_ = _call(stacked, ap_, *w, kind="rk4s3", out_ch=2 * CH, **kw)
+    return _call(ap_, *w, kind="rk4s4", out_ch=CH, **kw)
 
 
 def split_supported(mesh, cfg) -> bool:
@@ -981,8 +1185,13 @@ def split_supported(mesh, cfg) -> bool:
 
     from omega_tpu.ops import barotropic_kernel as btk
     cfg_stacked = dataclasses.replace(cfg, ssh_formulation="stacked")
+    tc = cfg.tendencies
     return (cfg.ssh_formulation == "column"
             and supported(mesh, cfg_stacked, parity=False)
+            # the split kernels predate the fused physics: wind/drag/
+            # vmix configs run the composed split stepper
+            and not cfg.vert_mix.enabled
+            and not tc.wind_forcing and not tc.bottom_drag
             and btk.supported(mesh)
             and structured.uniform_scalar(mesh, "f_edge") is not None)
 
@@ -1038,10 +1247,12 @@ def split_megastep(mesh, cfg, state, t, dt, n_subcycles=10, bt_drag=0.0,
     return unstack_state(mesh, out, h.shape[-1], tr.shape[0], type(state))
 
 
-def rk4_megastep(mesh, cfg, state, t, dt, interpret=None):
+def rk4_megastep(mesh, cfg, state, t, dt, interpret=None, wind_stress=None):
     """One RK4 step (== stepping.rk4_step with an identity halo) for the
     supported flagship configuration, single-device only."""
     h, _, tr = state
     stacked = stack_state(mesh, state)
-    out = rk4_megastep_stacked(mesh, cfg, stacked, dt, interpret=interpret)
+    wind = _wind_arg(mesh, cfg, wind_stress, h.dtype)
+    out = rk4_megastep_stacked(mesh, cfg, stacked, dt, interpret=interpret,
+                               wind=wind)
     return unstack_state(mesh, out, h.shape[-1], tr.shape[0], type(state))

@@ -60,6 +60,11 @@ def enabled() -> bool:
 def supported(mesh, cfg) -> bool:
     """Flagship sphere configuration (mirrors megastep.supported).
 
+    Round 4: wind forcing, quadratic bottom drag and constant-
+    coefficient implicit vertical mixing run INSIDE the chain (wind
+    planes in reserved const lanes, lane-axis PCR after the horizontal
+    chain), so Omega-1 science configs stay on the fused path.
+
     Land (edge_mask == 0 on real edges, built by
     mesh/icos_patches.apply_land_mask) is supported: the chain carries
     the mask gates of the composed path (tracer-flux mask*u, the
@@ -72,15 +77,18 @@ def supported(mesh, cfg) -> bool:
     from omega_tpu.ops import patch_stencil
     if not patch_stencil.enabled(mesh):
         return False
+    from omega_tpu.ops.megastep import _vmix_on
+    if cfg.vert_mix.enabled and not _vmix_on(cfg):
+        return False        # PP81 / Thomas stay composed
+    if _vmix_on(cfg) and MH < 7:
+        return False        # radius-7 vmix chain needs the full margin
     return (cfg.flux_thickness_type == "center"
             and cfg.flux_tracer_type == "center"
             and cfg.ssh_formulation == "stacked"
-            and not cfg.vert_mix.enabled
             and tc.thickness_flux_div and tc.pv_advection and tc.ke_gradient
             and tc.ssh_gradient and tc.velocity_diffusion
             and tc.velocity_hyperdiff and tc.tracer_horz_adv
             and tc.tracer_diffusion and tc.tracer_hyperdiff
-            and not tc.wind_forcing and not tc.bottom_drag
             and not tc.use_custom_tendency)
 
 
@@ -101,16 +109,16 @@ def _block_classes(p, pstack_sup):
     class_lists[c] mirrors p.entry_lists filtered to the union of the
     class's blocks' live entries.  Greedy merge from the distinct
     per-block sets, minimizing sum_b |union(class(b))|."""
-    by, nt = p.by, p.nt
-    YY = by + 2 * R
+    (byy, byx), (nty, ntx) = p.by, p.nt
+    YY, XX = byy + 2 * R, byx + 2 * R
     sup = np.pad(np.stack(pstack_sup),
                  ((0, 0), (0, 0), (FR, FR), (FR, FR)))   # (NE, 10, SS, SS)
     live = []
     for r in range(10):
-        for ty in range(nt):
-            for tx in range(nt):
-                live.append(sup[:, r, ty * by:ty * by + YY,
-                                tx * by:tx * by + YY].any(axis=(1, 2)))
+        for ty in range(nty):
+            for tx in range(ntx):
+                live.append(sup[:, r, ty * byy:ty * byy + YY,
+                                tx * byx:tx * byx + XX].any(axis=(1, 2)))
     live = np.array(live)                                # (nblocks, NE)
     k = max(1, int(os.environ.get("OMEGA_PATCH_K", "4")))
     groups: Dict[bytes, list] = {}
@@ -148,7 +156,7 @@ def _prep(mesh, dtype):
     # tracer would leak into the next jit and fail it)
     key = (mesh.patch_key, np.dtype(dtype).str,
            os.environ.get("OMEGA_PATCH_TILE", "16"),
-           os.environ.get("OMEGA_PATCH_K", "4"))
+           os.environ.get("OMEGA_PATCH_K", "4"), MH)
     if key in _PREP:
         return _PREP[key]
     with jax.ensure_compile_time_eval():
@@ -160,9 +168,11 @@ def _prep_build(mesh, dtype, key):
     p = _Prep()
     p.mg = mg
     n, S, by = mg.n, mg.S, mg.by
+    if isinstance(by, int):
+        by = (by, by)
     p.n, p.S, p.by = n, S, by
     p.SS = S + 2 * FR
-    p.nt = S // by
+    p.nt = (S // by[0], S // by[1])
 
     # ---- stack all entry planes (padded to SS) + const planes ----
     planes, p.entry_lists = [], {}
@@ -180,7 +190,7 @@ def _prep_build(mesh, dtype, key):
         # uniformity over LIVE CONTENT slots (not over nonzero values:
         # a zero at a live slot is semantic — a land edge's mask, an
         # equal-depth gdepth — and must not collapse to a scalar)
-        cls = "vertex" if cname == "f_vertex" else "edge"
+        cls = {"f_vertex": "vertex", "depth": "cell"}.get(cname, "edge")
         live = (mg.content[cls] >= 0).reshape(T, -1)
         vals = flat[live]
         if not live.any() or not vals.any():
@@ -192,6 +202,12 @@ def _prep_build(mesh, dtype, key):
         p.const_idx[cname] = (len(planes), T)
         for t in range(T):
             planes.append(cpl[t])
+    # reserved wind-stress lanes (3 edge classes), zero until a wind
+    # segment fills them at runtime (make_wind) — always present so the
+    # lane layout (and the per-class prefix trim) is wind-independent
+    p.const_idx["wind_stress"] = (len(planes), 3)
+    for _ in range(3):
+        planes.append(np.zeros((10, S, S)))
     # ---- block -> entry-class specialization ----
     # Seam-rotated entries have support only near patch borders; a block
     # whose slab never touches an entry's support can skip it exactly
@@ -247,6 +263,7 @@ def _prep_build(mesh, dtype, key):
     p.const_idx = {k: ((v[0] - n_entry_planes, v[1])
                        if isinstance(v, tuple) else v)
                    for k, v in p.const_idx.items()}
+    p.wind_lanes = p.const_idx["wind_stress"][0]
     # every class reads the const planes (indices [0, nconst) after the
     # remap), so an empty entry set still needs the const prefix; entry
     # planes are placed after the consts, so a non-empty max covers it
@@ -351,6 +368,14 @@ def _prep_build(mesh, dtype, key):
             zero_pos=jnp.asarray(
                 ssf[np.flatnonzero(ids < 0)].astype(np.int32)))
         src_of_np[grp] = src_of
+        # the same chosen positions in KERNEL-OUTPUT coordinates (the
+        # content map is S-wide, so the out-frame flat index is the
+        # content flat index itself) — used to read kernel outputs that
+        # never enter the frames (the split chain's du_out)
+        src_out = np.full(Nel, -1, np.int64)
+        src_out[ids[sel]] = sel
+        src_out[ids[sel2]] = sel2
+        src_of_np[grp + "_out"] = src_out
     # sub-state gathers (fix rows overwritten from the carried fix_vals)
     p.sub_cell_src = jnp.asarray(
         np.maximum(src_of_np["cell"][mg.sub_cells], 0).astype(np.int32))
@@ -363,6 +388,8 @@ def _prep_build(mesh, dtype, key):
     p.edge_src = jnp.asarray(
         np.maximum(src_of_np["edge"], 0).astype(np.int32))
     p.edge_src_ok = jnp.asarray(src_of_np["edge"] >= 0)
+    p.edge_src_out = jnp.asarray(
+        np.maximum(src_of_np["edge_out"], 0).astype(np.int32))
 
     _PREP[key] = p
     return p
@@ -487,7 +514,7 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
     only the slab rows that can still reach the output block (see
     _chain_extents) — Y is the slab major dim so the shrink is
     relayout-free and exact at all valid positions."""
-    (dt, grav, nu2, nu4, div_factor, ed2, ed4) = consts
+    (dt, grav, nu2, nu4, div_factor, ed2, ed4) = consts[:7]
     if ops is None:
         ops = fb_chain(L)
     if outputs is None:
@@ -630,6 +657,46 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
             s4 = cval(a[3][1:], 3)
             return [du - nu4 * s * (div_factor * c - r)
                     for du, c, r, s in zip(v(a[0]), v(a[1]), v(a[2]), s4)]
+        # ---- physics extensions (consts[7:12] = K, rho0, cd, kt, km;
+        # lane/PCR helpers shared with the planar kernel) ----
+        from omega_tpu.ops.megastep import (_lane, _pcr_diffusion,
+                                            _shift_lane)
+        if fn == "wind":            # du[k=0] += stress/(rho0*mean_hn)
+            rho0 = consts[8]
+            w = cval(a[2][1:], 3)
+            return [du + jnp.where(_lane(du) == 0,
+                                   _safe_div(wi, rho0 * mh), 0.0)
+                    for du, mh, wi in zip(v(a[0]), v(a[1]), w)]
+        if fn == "drag":  # du[k=K-1] -= cd*sqrt(ke0+ke1)*u/mean_hn
+            K_, cd = consts[7], consts[9]
+            return [du + jnp.where(
+                _lane(du) == K_ - 1,
+                -_safe_div(cd * jnp.sqrt(jnp.maximum(2.0 * kee, 0.0))
+                           * u_, mh), 0.0)
+                for du, kee, mh, u_ in zip(v(a[0]), v(a[1]), v(a[2]),
+                                           v(a[3]))]
+        if fn == "ssh_col":         # sum_k h - depth  (one lane, split)
+            K_ = consts[7]
+            d = cval(a[1][1:], 1)[0]
+            from omega_tpu.ops.megastep import _lane
+            return [jnp.sum(jnp.where(_lane(h_) < K_, h_, 0.0), -1,
+                            keepdims=True) - d
+                    for h_ in v(a[0])]
+        if fn == "gssh_col":        # du - g * gh (column free surface)
+            return [du - grav * gh
+                    for du, gh in zip(v(a[0]), v(a[1]))]
+        if fn in ("vmix_u", "vmix_c"):  # backward-Euler PCR along lanes
+            K_, kt, km = consts[7], consts[10], consts[11]
+            kappa = km if fn == "vmix_u" else kt
+            phis, hs = v(a[0]), v(a[1])
+            outs = []
+            for phi, hh in zip(phis, hs):
+                dz = 0.5 * (hh + _shift_lane(hh, +1, 1.0))
+                g = jnp.where(_lane(hh) < K_ - 1, dt * kappa / dz, 0.0)
+                hmass = jnp.where(_lane(hh) < K_, hh, 1.0)
+                b = jnp.where(_lane(hh) < K_, hh * phi, 0.0)
+                outs.extend(_pcr_diffusion(g, hmass, [b]))
+            return outs
         raise ValueError(fn)
 
     last = _last_use(ops, outputs)
@@ -657,24 +724,28 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
 
 def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
             L, S, SS, by, nt, K, npl, chain_kind="fb", wslice=False,
-            class_lanes=None):
+            class_lanes=None, phys=(False, False, False)):
     CH = f_hbm.shape[0]
     CHO = o_hbm.shape[0]    # rk2b reads 2 state blocks, writes one
-    YY = by + 2 * R
+    (byy, byx) = (by, by) if isinstance(by, int) else by
+    (nty, ntx) = (nt, nt) if isinstance(nt, int) else nt
+    YY, XX = byy + 2 * R, byx + 2 * R
     NP = f_hbm.shape[1]     # 10 on one device; a subset under sharding
     B = 4 + L
-    chain_ops, outputs, in_blocks = None, None, ("",)
+    wind, drag, vmix = phys
+    outputs, in_blocks = None, ("",)
     out_map = dict({"h_new": 0, "u_new": 1},
                    **{f"trn{l}": 4 + l for l in range(L)})
     if chain_kind in ("rk2a", "rk2b"):
         from omega_tpu.mesh.icos_mega import rk2_stage_chain
-        chain_ops = (rk2_stage_chain(L, "", 0.5) if chain_kind == "rk2a"
-                     else rk2_stage_chain(L, "0", 1.0))
+        chain_ops = (rk2_stage_chain(L, "", 0.5, wind, drag, vmix)
+                     if chain_kind == "rk2a"
+                     else rk2_stage_chain(L, "0", 1.0, wind, drag, vmix))
         in_blocks = ("",) if chain_kind == "rk2a" else ("", "0")
     elif chain_kind.startswith("rk4s"):
         from omega_tpu.mesh.icos_mega import rk4_stage_chain
         stage = int(chain_kind[4:])
-        chain_ops = rk4_stage_chain(L, stage)
+        chain_ops = rk4_stage_chain(L, stage, wind, drag, vmix)
         in_blocks = ("",) if stage == 1 else ("", "0", "_a")
         if stage < 4:
             outputs = (list(out_map) + ["h_acc", "u_acc"]
@@ -682,18 +753,35 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
             out_map.update(dict({"h_acc": B, "u_acc": B + 1},
                                 **{f"tracc{l}": B + 4 + l
                                    for l in range(L)}))
+    elif chain_kind == "splitpre":
+        from omega_tpu.mesh.icos_mega import split_pre_chain
+        chain_ops = split_pre_chain(L)
+        out_map = {"du_out": 0}
+        outputs = ["du_out"]
+    elif chain_kind == "splitpost":
+        from omega_tpu.mesh.icos_mega import split_post_chain
+        chain_ops = split_post_chain(L)
+        out_map = dict({"h_new": 0}, **{f"trn{l}": 1 + l
+                                        for l in range(L)})
+        outputs = list(out_map)
+    else:
+        chain_ops = fb_chain(L, wind, drag, vmix)
     # outputs that a LATER chain op reads must stay in vals after
-    # sinking (fb: the tracer updates read h_new)
+    # sinking (fb: the tracer updates read h_new; vmix re-reads all)
     keep = set()
-    _ops = chain_ops if chain_ops is not None else fb_chain(L)
-    prod = {op[0]: i for i, op in enumerate(_ops)}
+    _ops = chain_ops
+    prod = {}
     for i, op in enumerate(_ops):
+        # a read of an ALREADY-produced output name keeps it in vals
+        # (incremental prod: a reassigning op — vmix_u reading u_new —
+        # reads the value of the earlier assignment)
         for nm in _op_inputs(op):
-            if nm in out_map and prod.get(nm, 10**9) < i:
+            if nm in out_map and nm in prod:
                 keep.add(nm)
+        prod[op[0]] = i
 
     def body(in_s, pl_s, out_s, sem):
-        nblocks = NP * nt * nt
+        nblocks = NP * nty * ntx
         cp = pltpu.make_async_copy
 
         exts = sorted(set(class_lanes)) if class_lanes else None
@@ -701,11 +789,11 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
             exts = None             # nothing to trim
 
         def dmas(slot, bidx, action):
-            r = bidx // (nt * nt)
-            rem = bidx % (nt * nt)
-            ty, tx = rem // nt, rem % nt
-            ys = pl.ds(ty * by, YY)      # SS coords: tile - R + FR
-            xs = pl.ds(tx * by, YY)
+            r = bidx // (nty * ntx)
+            rem = bidx % (nty * ntx)
+            ty, tx = rem // ntx, rem % ntx
+            ys = pl.ds(ty * byy, YY)     # SS coords: tile - R + FR
+            xs = pl.ds(tx * byx, XX)
             getattr(cp(f_hbm.at[:, r, ys, xs], in_s.at[slot],
                        sem.at[2 * slot]), action)()
             if exts is None:
@@ -733,12 +821,12 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
                                sem.at[2 * slot + 1]), action)()
 
         def out_dmas(slot, bidx):
-            r = bidx // (nt * nt)
-            rem = bidx % (nt * nt)
-            ty, tx = rem // nt, rem % nt
+            r = bidx // (nty * ntx)
+            rem = bidx % (nty * ntx)
+            ty, tx = rem // ntx, rem % ntx
             return (cp(out_s.at[slot],
-                       o_hbm.at[:, r, pl.ds(ty * by, by),
-                                pl.ds(tx * by, by)],
+                       o_hbm.at[:, r, pl.ds(ty * byy, byy),
+                                pl.ds(tx * byx, byx)],
                        sem.at[4 + slot]),)
 
         dmas(0, 0, "start")
@@ -783,12 +871,13 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
             # outputs stream into out_s as the chain finishes them, so
             # finished values don't stay resident in the VMEM stack;
             # h_new is kept — the velocity section still reads it
-            c = slice(R, R + by)
+            cx = slice(R, R + byx)
 
             def sink(name, res, ylo):
                 ch = out_map[name]
                 for i, r in enumerate(res):
-                    out_s[cur, ch + i] = r[slice(R - ylo, R - ylo + by), c]
+                    out_s[cur, ch + i] = r[slice(R - ylo, R - ylo + byy),
+                                           cx]
                 return name not in keep
 
             def eval_with(entry_lists):
@@ -807,14 +896,14 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
                         vals[tr_nm.format(l)] = [in_s[cur, o + 4 + l]]
                 _eval_chain(vals, entry_lists, pget, cget, consts, L,
                             sink=sink, ops=chain_ops, outputs=outputs,
-                            R_by=(R, by))
+                            R_by=(R, byy))
 
             if os.environ.get("OMEGA_PATCH_NOP") == "1":
                 # diagnostic: the kernel's pure-DMA floor (state +
                 # plane slabs in, centers copied out; no chain) — NOT
                 # a time step
                 for ch in range(CHO):
-                    out_s[cur, ch] = in_s[cur, ch, c, c]
+                    out_s[cur, ch] = in_s[cur, ch, slice(R, R + byy), cx]
             elif len(class_lists) == 1:
                 eval_with(class_lists[0])
             else:
@@ -840,33 +929,39 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
 
     pl.run_scoped(
         body,
-        in_s=pltpu.VMEM((2, f_hbm.shape[0], YY, YY, K), f_hbm.dtype),
-        pl_s=pltpu.VMEM((2, YY, YY, npl), p_hbm.dtype),
-        out_s=pltpu.VMEM((2, o_hbm.shape[0], by, by, K), f_hbm.dtype),
+        in_s=pltpu.VMEM((2, f_hbm.shape[0], YY, XX, K), f_hbm.dtype),
+        pl_s=pltpu.VMEM((2, YY, XX, npl), p_hbm.dtype),
+        out_s=pltpu.VMEM((2, o_hbm.shape[0], byy, byx, K), f_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA((6,)),
     )
 
 
 @functools.partial(jax.jit, static_argnames=(
     "class_lists", "const_idx", "consts", "L", "S", "SS", "by", "nt",
-    "chain_kind", "wslice", "class_lanes",
+    "chain_kind", "wslice", "class_lanes", "phys",
     "interpret"))
 def _call(frames, planes, block_class, *, class_lists, const_idx, consts,
           L, S, SS, by, nt, interpret, chain_kind="fb", wslice=False,
-          class_lanes=None):
+          class_lanes=None, phys=(False, False, False)):
     K = frames.shape[-1]
     kern = functools.partial(
         _kernel, class_lists=tuple(dict(cl) for cl in class_lists),
         const_idx=dict(const_idx),
         consts=consts, L=L, S=S, SS=SS, by=by, nt=nt, K=K,
         npl=planes.shape[-1], chain_kind=chain_kind, wslice=wslice,
-        class_lanes=class_lanes)
-    ncho = 2 if (chain_kind.startswith("rk4s")
-                 and chain_kind != "rk4s4") else 1
+        class_lanes=class_lanes, phys=phys)
+    if chain_kind.startswith("rk4s") and chain_kind != "rk4s4":
+        cho = 2 * (4 + L)
+    elif chain_kind == "splitpre":
+        cho = 3
+    elif chain_kind == "splitpost":
+        cho = 1 + L
+    else:
+        cho = 4 + L
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(
-            (ncho * (4 + L), frames.shape[1], S, S, K), frames.dtype),
+            (cho, frames.shape[1], S, S, K), frames.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -912,21 +1007,69 @@ def _assemble_frames(p, state, L, K, Kp, dtype):
     return frames
 
 
-def _run_kernel(p, cfg, frames, dt, L, interpret, chain_kind="fb"):
+def _run_kernel(p, cfg, frames, dt, L, interpret, chain_kind="fb",
+                wind=None):
+    """`wind` is a make_wind bundle; its planes array (the const stack
+    with the reserved wind lanes filled) replaces p.planes."""
+    from omega_tpu.ops.megastep import _vmix_on
     tc = cfg.tendencies
+    vm = cfg.vert_mix
+    vmix = _vmix_on(cfg)
     consts = (float(dt), cfg.gravity, tc.visc_del2, tc.visc_del4,
-              tc.div_factor, tc.eddy_diff2, tc.eddy_diff4)
+              tc.div_factor, tc.eddy_diff2, tc.eddy_diff4,
+              # physics block (consts[7:12])
+              cfg.nvertlayers, tc.density0,
+              tc.bottom_drag_coeff if tc.bottom_drag else 0.0,
+              vm.kappa_tracer if vmix else None,
+              vm.kappa_momentum if vmix else None)
+    phys = (wind is not None, bool(tc.bottom_drag and
+                                   tc.bottom_drag_coeff != 0.0), vmix)
     trim = os.environ.get("OMEGA_PATCH_LANETRIM", "0") == "1"
-    return _call(frames, p.planes, p.block_class,
+    return _call(frames, p.planes if wind is None else wind[0],
+                 p.block_class,
                  class_lists=_hashable(p.class_lists),
                  const_idx=_hashable(p.const_idx),
                  consts=consts, L=L, S=p.S, SS=p.SS, by=p.by, nt=p.nt,
-                 interpret=interpret, chain_kind=chain_kind,
+                 interpret=interpret, chain_kind=chain_kind, phys=phys,
                  wslice=os.environ.get("OMEGA_PATCH_WSLICE", "0") == "1",
                  class_lanes=p.class_lanes if trim else None)
 
 
-def fb_patch_megastep(mesh, cfg, state, t, dt, interpret=None):
+def make_wind(mesh, cfg, wind_stress, dtype):
+    """Build the per-segment wind bundle for the patch kernels:
+    (planes-with-wind-lanes-filled, (zonal_sub, merid_sub)).
+
+    The cell wind stress rotates onto edge normals ONCE here
+    (WindForcingAuxVars.h:13-40), scatters into edge frames (content +
+    halo fills) and lands in the three reserved const-plane lanes; the
+    submesh slice feeds the composed pole-fix step, whose own rotation
+    reproduces the global one exactly on its interior fix rows."""
+    if wind_stress is None or not cfg.tendencies.wind_forcing:
+        return None
+    from omega_tpu.core import aux as auxmod
+    p = _prep(mesh, dtype)
+    stress = jnp.asarray(auxmod.wind_normal_stress(
+        mesh, cfg, wind_stress[0], wind_stress[1]), dtype)
+    n, SS = p.n, p.SS
+    NG = 10 * n * n
+    grid = stress[:3 * NG].reshape(3, 10, n, n)
+    fr = jnp.zeros((3, 10, SS, SS), dtype)
+    fr = fr.at[:, :, FR + MH:FR + MH + n, FR + MH:FR + MH + n].set(grid)
+    pos, src = p.fills["edge"]
+    fr = fr.reshape(-1, 1).at[pos].set(stress[src][:, None]) \
+        .reshape(3, 10, SS, SS)
+    j0 = p.wind_lanes
+    planes = p.planes
+    for tt in range(3):
+        planes = planes.at[..., j0 + tt].set(fr[tt])
+    mg = p.mg
+    wsub = (jnp.asarray(wind_stress[0])[mg.sub_cells],
+            jnp.asarray(wind_stress[1])[mg.sub_cells])
+    return planes, wsub
+
+
+def fb_patch_megastep(mesh, cfg, state, t, dt, interpret=None,
+                      wind_stress=None):
     """One forward-backward step on a patch-structured icos mesh."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -940,7 +1083,8 @@ def fb_patch_megastep(mesh, cfg, state, t, dt, interpret=None):
     Kp = -(-K // 128) * 128
 
     frames = _assemble_frames(p, state, L, K, Kp, dtype)
-    out = _run_kernel(p, cfg, frames, dt, L, interpret)
+    wb = make_wind(mesh, cfg, wind_stress, dtype)
+    out = _run_kernel(p, cfg, frames, dt, L, interpret, wind=wb)
     if Kp != K:
         out = out[..., :K]
 
@@ -949,7 +1093,9 @@ def fb_patch_megastep(mesh, cfg, state, t, dt, interpret=None):
     from omega_tpu.stepping.steppers import forward_backward_step
     sub_state = ModelState(h=h[p.sub_cells], u=u[p.sub_edges],
                            tracers=tr[:, p.sub_cells])
-    sub_out = forward_backward_step(p.sub_mesh, cfg, sub_state, t, dt)
+    sub_out = forward_backward_step(p.sub_mesh, cfg, sub_state, t, dt,
+                                    wind_stress=None if wb is None
+                                    else wb[1])
 
     # ---- paste-back ----
     def paste(oname, ch0, T, N, flat_fix):
@@ -1034,15 +1180,16 @@ def _refresh_frames(p, nf, nfix, K, Kp, L):
 
 
 def fb_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
-                             interpret=None):
-    """One FB step on the (frames, fix_vals) carry."""
+                             interpret=None, wind=None):
+    """One FB step on the (frames, fix_vals) carry. `wind` is a
+    make_wind bundle, built once per segment (constant within a scan)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     frames, fix = carry
     p = _prep(mesh, frames.dtype)
     Kp = frames.shape[-1]
 
-    out = _run_kernel(p, cfg, frames, dt, L, interpret)
+    out = _run_kernel(p, cfg, frames, dt, L, interpret, wind=wind)
 
     # ---- submesh state from the (fully refreshed) current frames ----
     from omega_tpu.core.state import ModelState
@@ -1058,7 +1205,7 @@ def fb_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
         for l in range(L)]).at[:, p.fix_cells_local].set(fix["tr"])
     sub_out = forward_backward_step(
         p.sub_mesh, cfg, ModelState(h=h_sub, u=u_sub, tracers=tr_sub),
-        t, dt)
+        t, dt, wind_stress=None if wind is None else wind[1])
     nfix = dict(h=sub_out.h[p.fix_cells_local],
                 u=sub_out.u[p.fix_edges_local],
                 tr=sub_out.tracers[:, p.fix_cells_local])
@@ -1070,7 +1217,7 @@ def fb_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
 
 
 def rk2_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
-                              interpret=None):
+                              interpret=None, wind=None):
     """One midpoint-RK2 step on the (frames, fix_vals) carry.
 
     The frame margins are MH=8 wide — one tendency-chain radius — so
@@ -1106,12 +1253,13 @@ def rk2_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
                     u=u[p.fix_edges_local],
                     tr=tr[:, p.fix_cells_local])
 
+    wsub = None if wind is None else wind[1]
     # ---- stage A: midpoint ----
     out_a = _run_kernel(p, cfg, frames, dt, L, interpret,
-                        chain_kind="rk2a")
+                        chain_kind="rk2a", wind=wind)
     h0, u0, tr0 = sub_state(frames, fix)
     k1 = tend_mod.compute_all_tendencies(p.sub_mesh, cfg,
-                                         h0, u0, tr0, t, None)
+                                         h0, u0, tr0, t, wsub)
     h_m = h0 + 0.5 * dt * k1.dh
     u_m = u0 + 0.5 * dt * k1.du
     tr_m = (tr0 * h0[None] + 0.5 * dt * k1.dtr) / h_m[None]
@@ -1122,15 +1270,19 @@ def rk2_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
 
     # ---- stage B: full step from the original state ----
     out_b = _run_kernel(p, cfg, jnp.concatenate([mid, frames]), dt, L,
-                        interpret, chain_kind="rk2b")
+                        interpret, chain_kind="rk2b", wind=wind)
     h_m2, u_m2, tr_m2 = sub_state(mid, mid_fix)
     k2 = tend_mod.compute_all_tendencies(p.sub_mesh, cfg,
                                          h_m2, u_m2, tr_m2,
-                                         t + 0.5 * dt, None)
+                                         t + 0.5 * dt, wsub)
     h_n = h0 + dt * k2.dh
     u_n = u0 + dt * k2.du
     tr_n = (tr0 * h0[None] + dt * k2.dtr) / h_n[None]
-    nfix = fix_rows(h_n, u_n, tr_n)
+    # operator-split vmix on the final submesh state (rk2_step's _mix)
+    from omega_tpu.core.state import ModelState as _MS
+    from omega_tpu.stepping.steppers import _mix
+    st_n = _mix(p.sub_mesh, cfg, _MS(h=h_n, u=u_n, tracers=tr_n), dt)
+    nfix = fix_rows(st_n.h, st_n.u, st_n.tracers)
 
     nf = frames.at[:, :, FR:FR + p.S, FR:FR + p.S].set(out_b)
     return _refresh_frames(p, nf, nfix, K, Kp, L), nfix
@@ -1138,7 +1290,7 @@ def rk2_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
 
 
 def rk4_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
-                              interpret=None):
+                              interpret=None, wind=None):
     """One classic-RK4 step on the (frames, fix_vals) carry: four stage
     kernels (mesh/icos_mega.rk4_stage_chain), each followed by an
     in-frame refresh of the provisional and accumulator frames (the
@@ -1178,12 +1330,13 @@ def rk4_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
         return _refresh_frames(p, nf, fx, K, Kp, L)
 
     h0, u0, tr0 = sub_state(frames, fix)
+    wsub = None if wind is None else wind[1]
 
     # ---- stage 1: k1 at the original state ----
     out = _run_kernel(p, cfg, frames, dt, L, interpret,
-                      chain_kind="rk4s1")
+                      chain_kind="rk4s1", wind=wind)
     k = tend_mod.compute_all_tendencies(p.sub_mesh, cfg, h0, u0, tr0,
-                                        t, None)
+                                        t, wsub)
     ha = h0 + _RKB[0] * dt * k.dh
     ua = u0 + _RKB[0] * dt * k.du
     tra = tr0 * h0[None] + _RKB[0] * dt * k.dtr
@@ -1199,12 +1352,12 @@ def rk4_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
     for stage in (2, 3, 4):
         stacked = jnp.concatenate([prov, frames, acc])
         out = _run_kernel(p, cfg, stacked, dt, L, interpret,
-                          chain_kind=f"rk4s{stage}")
+                          chain_kind=f"rk4s{stage}", wind=wind)
         hp, up, trp = sub_state(prov, prov_fix)
         ha, ua, tra = sub_state(acc, acc_fix)
         k = tend_mod.compute_all_tendencies(
             p.sub_mesh, cfg, hp, up, trp,
-            t + _RKC[stage - 1] * dt, None)
+            t + _RKC[stage - 1] * dt, wsub)
         ha = ha + _RKB[stage - 1] * dt * k.dh
         ua = ua + _RKB[stage - 1] * dt * k.du
         tra = tra + _RKB[stage - 1] * dt * k.dtr
@@ -1217,9 +1370,174 @@ def rk4_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
             prov = paste_refresh(out[:B], prov_fix)
             acc = paste_refresh(out[B:], acc_fix)
         else:
-            nfix = fix_rows(ha, ua, tra / ha[None])
+            # operator-split vmix on the final state (rk4_step's _mix)
+            from omega_tpu.core.state import ModelState as _MS
+            from omega_tpu.stepping.steppers import _mix
+            st_n = _mix(p.sub_mesh, cfg,
+                        _MS(h=ha, u=ua, tracers=tra / ha[None]), dt)
+            nfix = fix_rows(st_n.h, st_n.u, st_n.tracers)
             nf = paste_refresh(out, nfix)
     return nf, nfix
+
+
+def split_patch_supported(mesh, cfg) -> bool:
+    """Sphere fused split-explicit: the column-ssh velocity chain runs
+    as a splitpre patch kernel, the 2-D barotropic work runs flat, and
+    the thickness/tracer advance runs as a splitpost patch kernel (see
+    split_patch_megastep_framed).  Wind/drag/vmix keep the composed
+    split stepper (parity with megastep.split_supported)."""
+    import dataclasses
+    tc = cfg.tendencies
+    return (cfg.ssh_formulation == "column"
+            and supported(mesh, dataclasses.replace(
+                cfg, ssh_formulation="stacked"))
+            and not cfg.vert_mix.enabled
+            and not tc.wind_forcing and not tc.bottom_drag)
+
+
+def _edge_frames(p, flat, K, Kp, dtype):
+    """Flat (E, K) edge field -> (3, 10, SS, SS, Kp) content frames
+    (natural grid + halo fills), the single-field form of
+    _assemble_frames."""
+    n, SS = p.n, p.SS
+    NG = 10 * n * n
+    grid = flat[:3 * NG].reshape(3, 10, n, n, K)
+    fr = jnp.zeros((3, 10, SS, SS, K), dtype)
+    fr = fr.at[:, :, FR + MH:FR + MH + n, FR + MH:FR + MH + n].set(grid)
+    pos, src = p.fills["edge"]
+    fr = fr.reshape(-1, K).at[pos].set(flat[src]).reshape(
+        3, 10, SS, SS, K)
+    if Kp != K:
+        fr = jnp.pad(fr, ((0, 0),) * 4 + ((0, Kp - K),))
+    return fr
+
+
+def split_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
+                                n_subcycles=10, bt_drag=0.0,
+                                interpret=None):
+    """One split-explicit step on the (frames, fix_vals) carry
+    (stepping/split.py semantics on the sphere):
+
+      1. splitpre kernel — the full 3-D velocity tendency with the
+         column free surface, emitted whole (du_out) and read back flat
+         (kernel-output coordinate maps; pole rows recomputed composed
+         on the fix submesh)
+      2. FLAT 2-D phase — thickness-weighted mode split, frozen slow
+         forcing, and the barotropic FB subcycles as a lax.scan over
+         (E,1)/(C,1) fields (radius-1 stencils on one-lane arrays; the
+         subcycles are global, so pole rows need no special handling)
+      3. splitpost kernel — thickness/tracer advance with the transport
+         velocity loaded into the frames' u channels; the new velocity
+         u' + dt(G - Gbar) + ubar_final is pointwise flat and
+         re-assembled into the u channels directly.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    frames, fix = carry
+    p = _prep(mesh, frames.dtype)
+    Kp = frames.shape[-1]
+    dtype = frames.dtype
+    g = cfg.gravity
+    from omega_tpu.core import tendencies as tend_mod
+    from omega_tpu.core.state import ModelState
+    from omega_tpu.ops import trisk
+    from omega_tpu.stepping.split import _depth_avg_edge
+
+    # ---- flat state (frames hold every element somewhere) ----
+    cflat = frames[0].reshape(-1, Kp)
+    eflat = frames[1:4].reshape(-1, Kp)
+    h = jnp.where(p.cell_src_ok[:, None], cflat[p.cell_src][..., :K],
+                  0.0).at[p.fix_cells_global].set(fix["h"])
+    u = jnp.where(p.edge_src_ok[:, None], eflat[p.edge_src][..., :K],
+                  0.0).at[p.fix_edges_global].set(fix["u"])
+    tr = jnp.stack([
+        jnp.where(p.cell_src_ok[:, None],
+                  frames[4 + l].reshape(-1, Kp)[p.cell_src][..., :K],
+                  0.0) for l in range(L)]).at[
+        :, p.fix_cells_global].set(fix["tr"])
+
+    # ---- 1. splitpre kernel: du_full ----
+    du_fr = _run_kernel(p, cfg, frames, dt, L, interpret,
+                        chain_kind="splitpre")
+    # the kernel emits the UNGATED du accumulation; the composed path
+    # masks every term (mask in {0,1}: mask*sum == sum of masked terms
+    # bit-exactly), and dead seam-slot edges must read as 0, not as a
+    # clamped-index garbage row
+    mask = trisk.col(mesh, "edge_mask")          # (E, 1) or scalar 1.0
+    du = du_fr.reshape(-1, Kp)[p.edge_src_out][..., :K]
+    if not isinstance(mask, (int, float)):
+        du = jnp.where(mask != 0, du, 0.0)
+    du = jnp.where(p.edge_src_ok[:, None], du, 0.0)
+    h_sub = h[p.sub_cells]
+    u_sub = u[p.sub_edges]
+    tr_sub = tr[:, p.sub_cells]
+    du_s, _ = tend_mod.compute_velocity_tendency(p.sub_mesh, cfg, h_sub,
+                                                 u_sub, t)
+    fix_e_rows = p.sub_edges[p.fix_edges_local]
+    du = du.at[fix_e_rows].set(du_s[p.fix_edges_local])
+
+    # ---- 2. flat 2-D phase (mirrors split.py:87-148) ----
+    h_edge = trisk.cell_mean_on_edge(mesh, h)
+    h_edge_tot = jnp.sum(h_edge, axis=-1, keepdims=True)
+    ubar = _depth_avg_edge(h_edge, u)
+    uprime = u - ubar
+    du_bar = _depth_avg_edge(h_edge, du)
+
+    f_e = trisk.col(mesh, "f_edge")
+    mask = trisk.col(mesh, "edge_mask")
+
+    def fast(ub, ssh_s):
+        out = (-g * trisk.grad_edge(mesh, ssh_s)
+               + f_e * trisk.tangential_edge(mesh, ub))
+        if bt_drag:
+            out = out - bt_drag * ub
+        return mask * out
+
+    ssh = jnp.sum(h, axis=-1, keepdims=True) \
+        - trisk.col(mesh, "bottom_depth")
+    g_slow = du_bar - fast(ubar, ssh)
+    dt_bt = dt / n_subcycles
+
+    def subcycle(carry_, _):
+        ub, ssh_s, acc = carry_
+        ub = ub + dt_bt * (fast(ub, ssh_s) + g_slow)
+        ssh_s = ssh_s - dt_bt * trisk.div_cell(mesh, h_edge_tot * ub)
+        return (ub, ssh_s, acc + ub), None
+
+    (ub_final, _, acc), _ = jax.lax.scan(
+        subcycle, (ubar, ssh, jnp.zeros_like(ubar)), None,
+        length=n_subcycles)
+    ubar_avg = acc / n_subcycles
+
+    u_new = (uprime + dt * (du - du_bar)) + ub_final
+    u_trans = uprime + ubar_avg
+
+    # ---- 3. splitpost kernel: h/tracer advance with u_trans ----
+    ut_fr = _edge_frames(p, u_trans, K, Kp, dtype)
+    out = _run_kernel(p, cfg, frames.at[1:4].set(ut_fr), dt, L,
+                      interpret, chain_kind="splitpost")
+
+    # pole-fix rows: composed advance on the submesh with the GLOBAL
+    # transport velocity (the subcycles are global, so sub rows reuse
+    # their exact values)
+    ut_sub = u_trans[p.sub_edges]
+    he_sub = trisk.cell_mean_on_edge(p.sub_mesh, h_sub)
+    dh_sub = -trisk.div_cell(p.sub_mesh, he_sub * ut_sub)
+    h_sub_new = h_sub + dt * dh_sub
+    dtr_sub, _ = tend_mod.compute_tracer_tendency(
+        p.sub_mesh, cfg, h_sub, ut_sub, tr_sub, he_sub, t,
+        h_new=h_sub_new, dt=dt, flux_h_edge=he_sub)
+    tr_sub_new = (tr_sub * h_sub[None] + dt * dtr_sub) / h_sub_new[None]
+    nfix = dict(h=h_sub_new[p.fix_cells_local],
+                u=u_new[p.fix_edges_global],
+                tr=tr_sub_new[:, p.fix_cells_local])
+
+    # ---- frames update: h/tr from the kernel, u from flat ----
+    nf = frames.at[0, :, FR:FR + p.S, FR:FR + p.S].set(out[0])
+    for l in range(L):
+        nf = nf.at[4 + l, :, FR:FR + p.S, FR:FR + p.S].set(out[1 + l])
+    nf = nf.at[1:4].set(_edge_frames(p, u_new, K, Kp, dtype))
+    return _refresh_frames(p, nf, nfix, K, Kp, L), nfix
 
 
 def unstack_frames(mesh, carry, K, L, state_cls):

@@ -147,7 +147,7 @@ def build_patch_shard(mesh, nshards: int, dtype) -> PatchShardPlan:
         setattr(pl_, f"{nm}_own", jnp.asarray(own))
 
     # per-device planes / block classes (blocks are patch-major)
-    nt2 = p.nt * p.nt
+    nt2 = p.nt[0] * p.nt[1]
     pl_.planes_l = jnp.asarray(np.asarray(p.planes).reshape(
         (N, pl_.P) + np.asarray(p.planes).shape[1:]))
     pl_.block_class_l = jnp.asarray(
@@ -204,9 +204,20 @@ def make_patch_sharded_run(mesh, cfg: ModelConfig, nshards: int,
         repl = NamedSharding(dmesh, P())
         fix = jax.device_put(fix, repl)
 
+        from omega_tpu.ops.megastep import _vmix_on
         tc = cfg.tendencies
+        vm = cfg.vert_mix
+        vmix = _vmix_on(cfg)
         consts = (float(dt), cfg.gravity, tc.visc_del2, tc.visc_del4,
-                  tc.div_factor, tc.eddy_diff2, tc.eddy_diff4)
+                  tc.div_factor, tc.eddy_diff2, tc.eddy_diff4,
+                  cfg.nvertlayers, tc.density0,
+                  tc.bottom_drag_coeff if tc.bottom_drag else 0.0,
+                  vm.kappa_tracer if vmix else None,
+                  vm.kappa_momentum if vmix else None)
+        # wind is unsupported on this path (the driver requires
+        # wind_stress None for patch sharding); drag/vmix run in-kernel
+        phys = (False, bool(tc.bottom_drag and tc.bottom_drag_coeff
+                            != 0.0), vmix)
 
         gc, ge = plan.groups["cell"], plan.groups["edge"]
         in_specs = (P(None, "dev"),) + (P("dev"),) * 6 + (P(),)
@@ -226,7 +237,7 @@ def make_patch_sharded_run(mesh, cfg: ModelConfig, nshards: int,
                     class_lists=pm._hashable(p.class_lists),
                     const_idx=pm._hashable(p.const_idx),
                     consts=consts, L=L, S=p.S, SS=p.SS, by=p.by,
-                    nt=p.nt, interpret=interpret)
+                    nt=p.nt, interpret=interpret, phys=phys)
 
                 # replicated pole-fix substep from the refreshed frames
                 cflat = fr[0].reshape(-1, Kp)

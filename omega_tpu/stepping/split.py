@@ -73,7 +73,7 @@ def split_forward_backward_step(mesh: HorzMesh, cfg: ModelConfig,
             "barotropic mode")
     if (halo is _identity and wind_stress is None
             and isinstance(dt, (int, float))):
-        from omega_tpu.ops import megastep
+        from omega_tpu.ops import megastep, patch_megastep
         if megastep.enabled() and megastep.split_supported(mesh, cfg):
             # fully fused fast path: splitpre kernel -> resident
             # barotropic-subcycle kernel -> splitpost kernel
@@ -81,6 +81,19 @@ def split_forward_backward_step(mesh: HorzMesh, cfg: ModelConfig,
             # composed path on the supported configuration
             return megastep.split_megastep(mesh, cfg, state, t, dt,
                                            n_subcycles, bt_drag)
+        if patch_megastep.enabled() \
+                and patch_megastep.split_patch_supported(mesh, cfg):
+            # sphere counterpart: splitpre/splitpost patch kernels with
+            # the flat 2-D barotropic phase between
+            # (patch_megastep.split_patch_megastep_framed)
+            h0, _, tr0 = state
+            K, L = h0.shape[-1], tr0.shape[0]
+            carry = patch_megastep.stack_frames(mesh, cfg, state)
+            carry = patch_megastep.split_patch_megastep_framed(
+                mesh, cfg, carry, t, dt, K=K, L=L,
+                n_subcycles=n_subcycles, bt_drag=bt_drag)
+            return patch_megastep.unstack_frames(mesh, carry, K, L,
+                                                 type(state))
     h, u, tr = state
     g = cfg.gravity
 

@@ -55,21 +55,24 @@ def forward_backward_step(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
                           t, dt, halo: Halo = _identity,
                           wind_stress=None) -> ModelState:
     """Forward h/tracer update, backward u update (uses new h)."""
-    if wind_stress is None and isinstance(dt, (int, float)):
+    if isinstance(dt, (int, float)):
         from omega_tpu.ops import megastep, patch_megastep
         if patch_megastep.enabled() and patch_megastep.supported(mesh, cfg):
             # sphere counterpart (ops/patch_megastep.py): the full FB
-            # chain per patch tile, pole rows fixed on a tiny submesh
+            # chain per patch tile (wind/drag/vmix included), pole rows
+            # fixed on a tiny submesh
             return halo(patch_megastep.fb_patch_megastep(
-                mesh, cfg, state, t, dt))
+                mesh, cfg, state, t, dt, wind_stress=wind_stress))
         if megastep.enabled() and megastep.supported(mesh, cfg):
             # single fused Pallas kernel for the flagship configuration
-            # (ops/megastep.py): reads state once, writes state once.
-            # Under sharding the local mesh is itself structured and
-            # doubly periodic: the kernel's wrap garbage lands in the
-            # halo rows, which the exchange refreshes — the same
-            # owned+halo redundancy model as the composed stepper.
-            return halo(megastep.fb_megastep(mesh, cfg, state, t, dt))
+            # (ops/megastep.py): reads state once, writes state once —
+            # including wind/drag/vmix physics, so the science config
+            # stays fused. Under sharding the local mesh is itself
+            # structured and doubly periodic: the kernel's wrap garbage
+            # lands in the halo rows, which the exchange refreshes — the
+            # same owned+halo redundancy model as the composed stepper.
+            return halo(megastep.fb_megastep(mesh, cfg, state, t, dt,
+                                             wind_stress=wind_stress))
     h, u, tr = state
     dh, thick_aux = tend_mod.compute_thickness_tendency(mesh, cfg, h, u, t)
     h_new = h + dt * dh
@@ -175,21 +178,24 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
     ocn/OceanRun.cpp:16-70, minus host-side IO which is handled by the
     driver between scan segments)."""
     if (stepper is forward_backward_step and halo is _identity
-            and wind_stress is None and isinstance(dt, (int, float))):
+            and isinstance(dt, (int, float))):
         from omega_tpu.ops import megastep, patch_megastep
         if patch_megastep.enabled() and patch_megastep.supported(mesh, cfg):
             # persistent-frame fast path (sphere): the patch frames are
             # the scan carry, so a step is one kernel + the tiny pole
             # submesh step + the in-frame halo refresh — no per-step
-            # frame assembly / paste-back scatters
+            # frame assembly / paste-back scatters. Wind planes are
+            # built once per segment.
             h, _, tr = state
             K, L = h.shape[-1], tr.shape[0]
             carry = patch_megastep.stack_frames(mesh, cfg, state)
+            pwind = patch_megastep.make_wind(mesh, cfg, wind_stress,
+                                             h.dtype)
 
             def pbody(c, _):
                 cr, t = c
                 cr = patch_megastep.fb_patch_megastep_framed(
-                    mesh, cfg, cr, t, dt, K=K, L=L)
+                    mesh, cfg, cr, t, dt, K=K, L=L, wind=pwind)
                 return (cr, t + dt), None
 
             (carry, _), _ = jax.lax.scan(
@@ -200,12 +206,16 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
         if megastep.enabled() and megastep.supported(mesh, cfg):
             # stacked fast path: keep the mega-step kernel's single
             # (CH, ny, nx, K128) array as the scan carry so each step is
-            # exactly one kernel launch (no per-step stack/pad glue)
+            # exactly one kernel launch (no per-step stack/pad glue);
+            # the wind channel is packed ONCE per segment (constant
+            # within a scan, like the composed path's per-segment wind)
             h, _, tr = state
             stacked = megastep.stack_state(mesh, state)
+            wind = megastep._wind_arg(mesh, cfg, wind_stress, h.dtype)
 
             def mbody(carry, _):
-                return megastep.fb_megastep_stacked(mesh, cfg, carry, dt), None
+                return megastep.fb_megastep_stacked(mesh, cfg, carry, dt,
+                                                    wind=wind), None
 
             stacked, _ = jax.lax.scan(mbody, stacked, None, length=nsteps)
             return megastep.unstack_state(mesh, stacked, h.shape[-1],
@@ -213,7 +223,27 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
     split_params = getattr(stepper, "split_explicit_params", None)
     if (split_params is not None and halo is _identity
             and wind_stress is None and isinstance(dt, (int, float))):
-        from omega_tpu.ops import megastep
+        from omega_tpu.ops import megastep, patch_megastep
+        if patch_megastep.enabled() \
+                and patch_megastep.split_patch_supported(mesh, cfg):
+            # sphere split-explicit on the persistent frames carry
+            M, r_drag = split_params
+            h, _, tr = state
+            K, L = h.shape[-1], tr.shape[0]
+            carry = patch_megastep.stack_frames(mesh, cfg, state)
+
+            def spbody(c, _):
+                cr, tt = c
+                cr = patch_megastep.split_patch_megastep_framed(
+                    mesh, cfg, cr, tt, dt, K=K, L=L, n_subcycles=M,
+                    bt_drag=r_drag)
+                return (cr, tt + dt), None
+
+            (carry, _), _ = jax.lax.scan(
+                spbody, (carry, jnp.asarray(t0, h.dtype)), None,
+                length=nsteps)
+            return patch_megastep.unstack_frames(mesh, carry, K, L,
+                                                 type(state))
         if megastep.enabled() and megastep.split_supported(mesh, cfg):
             # split-explicit stacked fast path: splitpre/subcycle/
             # splitpost kernels per step on the persistent mega layout
@@ -229,7 +259,7 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
             return megastep.unstack_state(mesh, stacked, h.shape[-1],
                                           tr.shape[0], type(state))
     if (stepper in (rk2_step, rk4_step) and halo is _identity
-            and wind_stress is None and isinstance(dt, (int, float))):
+            and isinstance(dt, (int, float))):
         from omega_tpu.ops import megastep, patch_megastep
         kind = "rk2" if stepper is rk2_step else "rk4"
         if patch_megastep.enabled() and patch_megastep.supported(mesh, cfg):
@@ -239,13 +269,15 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
             h, _, tr = state
             K, L = h.shape[-1], tr.shape[0]
             carry = patch_megastep.stack_frames(mesh, cfg, state)
+            pwind = patch_megastep.make_wind(mesh, cfg, wind_stress,
+                                             h.dtype)
             stepfn = (patch_megastep.rk2_patch_megastep_framed
                       if stepper is rk2_step
                       else patch_megastep.rk4_patch_megastep_framed)
 
             def p2body(c, _):
                 cr, tt = c
-                cr = stepfn(mesh, cfg, cr, tt, dt, K=K, L=L)
+                cr = stepfn(mesh, cfg, cr, tt, dt, K=K, L=L, wind=pwind)
                 return (cr, tt + dt), None
 
             (carry, _), _ = jax.lax.scan(
@@ -260,11 +292,12 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
             # halo width, so sharded runs keep the composed path.
             h, _, tr = state
             stacked = megastep.stack_state(mesh, state)
+            wind = megastep._wind_arg(mesh, cfg, wind_stress, h.dtype)
             stepfn = (megastep.rk2_megastep_stacked if kind == "rk2"
                       else megastep.rk4_megastep_stacked)
 
             def rbody(carry, _):
-                return stepfn(mesh, cfg, carry, dt), None
+                return stepfn(mesh, cfg, carry, dt, wind=wind), None
 
             stacked, _ = jax.lax.scan(rbody, stacked, None, length=nsteps)
             return megastep.unstack_state(mesh, stacked, h.shape[-1],

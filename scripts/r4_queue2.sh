@@ -11,5 +11,6 @@ run() {
 }
 run python scripts/tpu_r3_item.py sphere-fb-lanetrim OMEGA_PATCH_LANETRIM=1
 run python scripts/tpu_r3_item.py sphere-fb-lanetrim-wslice OMEGA_PATCH_LANETRIM=1 OMEGA_PATCH_WSLICE=1
+run python scripts/tpu_sphere_breakdown.py
 run python scripts/tpu_profile_trace.py
 echo "ALL DONE" >> $LOG

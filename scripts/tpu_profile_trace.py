@@ -15,7 +15,10 @@ the kernel's in/out arrays, which is exactly the roofline denominator.
 """
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

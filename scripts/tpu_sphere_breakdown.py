@@ -14,7 +14,10 @@ plus the full framed step for reference.  Run with the same env knobs
 as the bench (OMEGA_PATCH_TILE / OMEGA_PATCH_K).
 """
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

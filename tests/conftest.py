@@ -24,6 +24,17 @@ import pytest  # noqa: E402
 from omega_tpu.mesh import planar_hex_mesh  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Bound host memory across the suite: compiled executables (and
+    their baked-in mesh constants — interpret-mode Pallas kernels are
+    large) otherwise accumulate to tens of GB over a full run and can
+    OOM the host. Clearing per module trades some recompilation for a
+    bounded footprint."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def mesh16():
     return planar_hex_mesh(16, 16, dc=1000.0)

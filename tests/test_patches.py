@@ -262,6 +262,93 @@ def test_rk4_patch_megastep_matches_composed(pmesh):
         assert np.max(np.abs(a - b)) / scale < 1e-12, fld
 
 
+def test_patch_megastep_physics_wind_drag_vmix(pmesh, monkeypatch):
+    """The Omega-1 science configuration on the SPHERE kernel (round 4):
+    wind forcing, quadratic bottom drag and constant-coefficient
+    implicit vertical mixing run inside the patch chain (wind planes in
+    reserved const lanes, lane-axis PCR after the horizontal chain) and
+    match the composed FB stepper to rounding, pole-fix rows included."""
+    from omega_tpu.core import VertMixConfig
+    from omega_tpu.core.state import ModelState as MS
+    from omega_tpu.ops import patch_megastep
+    from omega_tpu.stepping.steppers import forward_backward_step
+
+    K, L = 4, 1
+    cfg = ModelConfig(
+        nvertlayers=K, ntracers=L,
+        vert_mix=VertMixConfig(enabled=True, kappa_tracer=1e-3,
+                               kappa_momentum=1e-2),
+        tendencies=TendencyConfig(visc_del2=1.0e3, visc_del4=1.0e9,
+                                  wind_forcing=True, bottom_drag=True,
+                                  bottom_drag_coeff=3.0e-3))
+    assert patch_megastep.supported(pmesh, cfg)
+    state = _initial_state(pmesh, K, L)
+    rng = np.random.default_rng(31)
+    u0 = 0.1 * rng.standard_normal((pmesh.nedges, K))
+    u0 *= np.asarray(pmesh.edge_mask)[:, None]
+    state = MS(h=state.h, u=jnp.asarray(u0), tracers=state.tracers)
+    wind = (jnp.asarray(0.1 * np.cos(np.asarray(pmesh.lat_cell))),
+            jnp.asarray(0.05 * np.sin(np.asarray(pmesh.lat_cell))))
+    dt, nsteps = 60.0, 2
+
+    # framed carry (the run_steps fast path's building block)
+    carry = patch_megastep.stack_frames(pmesh, cfg, state)
+    pw = patch_megastep.make_wind(pmesh, cfg, wind, state.h.dtype)
+    ref, t = state, 0.0
+    for _ in range(nsteps):
+        carry = patch_megastep.fb_patch_megastep_framed(
+            pmesh, cfg, carry, t, dt, K=K, L=L, interpret=True, wind=pw)
+        ref = forward_backward_step(pmesh, cfg, ref, t, dt,
+                                    wind_stress=wind)
+        t += dt
+    out = patch_megastep.unstack_frames(pmesh, carry, K, L, MS)
+    for fld in ("h", "u", "tracers"):
+        a, b = np.asarray(getattr(out, fld)), np.asarray(getattr(ref, fld))
+        scale = np.max(np.abs(b)) + 1e-300
+        assert np.max(np.abs(a - b)) / scale < 1e-12, fld
+        assert np.all(np.isfinite(a)), fld
+
+
+def test_rk2_patch_megastep_physics(pmesh):
+    """RK2 patch stage kernels with wind/drag/vmix vs composed rk2_step
+    (vmix applies once, at the end of the full step)."""
+    from omega_tpu.core import VertMixConfig
+    from omega_tpu.core.state import ModelState as MS
+    from omega_tpu.ops import patch_megastep
+    from omega_tpu.stepping.steppers import rk2_step
+
+    K, L = 3, 1
+    cfg = ModelConfig(
+        nvertlayers=K, ntracers=L,
+        vert_mix=VertMixConfig(enabled=True, kappa_tracer=1e-3,
+                               kappa_momentum=1e-2),
+        tendencies=TendencyConfig(visc_del2=1.0e3, visc_del4=1.0e9,
+                                  wind_forcing=True, bottom_drag=True,
+                                  bottom_drag_coeff=3.0e-3))
+    state = _initial_state(pmesh, K, L)
+    rng = np.random.default_rng(37)
+    u0 = 0.1 * rng.standard_normal((pmesh.nedges, K))
+    u0 *= np.asarray(pmesh.edge_mask)[:, None]
+    state = MS(h=state.h, u=jnp.asarray(u0), tracers=state.tracers)
+    wind = (jnp.asarray(0.1 * np.cos(np.asarray(pmesh.lat_cell))),
+            jnp.asarray(0.05 * np.ones(pmesh.ncells)))
+    dt, nsteps = 60.0, 2
+
+    carry = patch_megastep.stack_frames(pmesh, cfg, state)
+    pw = patch_megastep.make_wind(pmesh, cfg, wind, state.h.dtype)
+    ref, t = state, 0.0
+    for _ in range(nsteps):
+        carry = patch_megastep.rk2_patch_megastep_framed(
+            pmesh, cfg, carry, t, dt, K=K, L=L, interpret=True, wind=pw)
+        ref = rk2_step(pmesh, cfg, ref, t, dt, wind_stress=wind)
+        t += dt
+    out = patch_megastep.unstack_frames(pmesh, carry, K, L, MS)
+    for fld in ("h", "u", "tracers"):
+        a, b = np.asarray(getattr(out, fld)), np.asarray(getattr(ref, fld))
+        scale = np.max(np.abs(b)) + 1e-300
+        assert np.max(np.abs(a - b)) / scale < 1e-12, fld
+
+
 def test_patch_megastep_framed_carry(pmesh, monkeypatch):
     """The persistent-frame scan carry (stack_frames -> N framed steps
     -> unstack_frames) equals both the per-step kernel API and the

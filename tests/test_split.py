@@ -248,3 +248,58 @@ def test_split_megastep_matches_composed(monkeypatch):
         np.testing.assert_allclose(np.asarray(getattr(scan_out, n)),
                                    np.asarray(getattr(ref, n)),
                                    rtol=1e-10, atol=1e-10, err_msg=n)
+
+
+def test_split_patch_megastep_matches_composed(monkeypatch):
+    """Sphere fused split-explicit (splitpre patch kernel -> flat 2-D
+    barotropic phase -> splitpost patch kernel,
+    ops/patch_megastep.split_patch_megastep_framed; interpret mode)
+    reproduces the composed split_forward_backward_step to roundoff on
+    the patch icos mesh, pole rows included, and conserves volume."""
+    from omega_tpu.core.state import ModelState as MS
+    from omega_tpu.mesh.icos_patches import patch_icos_mesh
+    from omega_tpu.mesh.spherical import spherical_icos_mesh
+    from omega_tpu.ops import patch_megastep
+
+    n, K, L = 8, 4, 1
+    mesh = patch_icos_mesh(spherical_icos_mesh(n), n)
+    cfg = ModelConfig(nvertlayers=K, ntracers=L, ssh_formulation="column",
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e9))
+    assert patch_megastep.split_patch_supported(mesh, cfg)
+    rng = np.random.default_rng(19)
+    sshp = np.sin(2 * np.asarray(mesh.lat_cell))
+    d0 = float(np.asarray(mesh.bottom_depth)[0])
+    h = jnp.asarray((d0 + 100.0 * sshp[:, None]) / K) * jnp.ones((1, K))
+    u0 = 0.05 * rng.standard_normal((mesh.nedges, K)) \
+        * np.asarray(mesh.edge_mask)[:, None]
+    st = MS(h=h, u=jnp.asarray(u0),
+            tracers=jnp.asarray(10.0 + rng.standard_normal(
+                (L, mesh.ncells, K))))
+
+    dt, nsteps = 120.0, 2
+    # composed oracle (patch kernels off)
+    monkeypatch.setenv("OMEGA_PATCH_MEGA", "0")
+    ref, t = st, 0.0
+    for _ in range(nsteps):
+        ref = split_forward_backward_step(mesh, cfg, ref, t, dt,
+                                          n_subcycles=6, bt_drag=1e-4)
+        t += dt
+    monkeypatch.setenv("OMEGA_PATCH_MEGA", "1")
+
+    carry = patch_megastep.stack_frames(mesh, cfg, st)
+    t = 0.0
+    for _ in range(nsteps):
+        carry = patch_megastep.split_patch_megastep_framed(
+            mesh, cfg, carry, t, dt, K=K, L=L, n_subcycles=6,
+            bt_drag=1e-4, interpret=True)
+        t += dt
+    out = patch_megastep.unstack_frames(mesh, carry, K, L, MS)
+    for nm in ("h", "u", "tracers"):
+        a, b = np.asarray(getattr(out, nm)), np.asarray(getattr(ref, nm))
+        scale = np.max(np.abs(b)) + 1e-300
+        assert np.max(np.abs(a - b)) / scale < 1e-11, nm
+    area = np.asarray(mesh.area_cell)[:, None]
+    v0 = float(np.sum(np.asarray(st.h) * area))
+    v1 = float(np.sum(np.asarray(out.h) * area))
+    assert abs(v1 - v0) / v0 < 1e-13

@@ -305,6 +305,107 @@ def test_megastep_parity_split(monkeypatch, scheme):
                                    rtol=1e-10, atol=1e-10, err_msg=n)
 
 
+@pytest.mark.parametrize("scheme", ["fb", "rk2", "rk4"])
+@pytest.mark.parametrize("parity", ["0", "1"])
+def test_megastep_physics_wind_drag_vmix(monkeypatch, scheme, parity):
+    """The Omega-1 science configuration — wind forcing, quadratic
+    bottom drag (TendencyTerms.h:281-340) and constant-coefficient
+    implicit vertical mixing (base/TriDiagSolvers.h PCR) — runs INSIDE
+    the mega kernels (round-4): supported() accepts it and the fused
+    result matches the composed steppers to roundoff, in both row
+    layouts."""
+    from omega_tpu.core import (ModelConfig, ModelState, TendencyConfig,
+                                VertMixConfig)
+    from omega_tpu.ops import megastep
+    from omega_tpu.stepping import forward_backward_step, rk2_step, rk4_step
+
+    monkeypatch.setenv("OMEGA_MEGA_PARITY", parity)
+    mesh = planar_hex_mesh(32, 16, dc=5000.0, f0=1e-4, bottom_depth=1000.0)
+    K = 4
+    cfg = ModelConfig(
+        nvertlayers=K, ntracers=2,
+        vert_mix=VertMixConfig(enabled=True, kappa_tracer=1e-3,
+                               kappa_momentum=1e-2),
+        tendencies=TendencyConfig(visc_del2=1e3, visc_del4=1e9,
+                                  wind_forcing=True,
+                                  bottom_drag=True,
+                                  bottom_drag_coeff=3.0e-3))
+    assert megastep.supported(mesh, cfg, kind="rk2" if scheme == "rk2"
+                              else "fb")
+    # PP81 / Thomas stay composed
+    import dataclasses
+    cfg_pp = dataclasses.replace(cfg, vert_mix=dataclasses.replace(
+        cfg.vert_mix, scheme="pp81"))
+    assert not megastep.supported(mesh, cfg_pp)
+
+    rng = np.random.default_rng(23)
+    kx = 2 * np.pi / mesh.x_period
+    ky = 2 * np.pi / mesh.y_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell)) * \
+        np.sin(ky * np.asarray(mesh.y_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / K) * jnp.ones((1, K))
+    st = ModelState(
+        h=h,
+        u=jnp.asarray(0.01 * rng.standard_normal((mesh.nedges, K))),
+        tracers=jnp.asarray(10.0 + rng.standard_normal((2, mesh.ncells,
+                                                        K))))
+    wind = (jnp.asarray(0.1 * np.sin(ky * np.asarray(mesh.y_cell))),
+            jnp.asarray(0.05 * np.ones(mesh.ncells)))
+
+    mega = {"fb": megastep.fb_megastep, "rk2": megastep.rk2_megastep,
+            "rk4": megastep.rk4_megastep}[scheme]
+    comp = {"fb": forward_backward_step, "rk2": rk2_step,
+            "rk4": rk4_step}[scheme]
+    ref, out = st, st
+    for _ in range(2):
+        ref = comp(mesh, cfg, ref, 0.0, 30.0, wind_stress=wind)
+        out = mega(mesh, cfg, out, 0.0, 30.0, interpret=True,
+                   wind_stress=wind)
+    for n in ("h", "u", "tracers"):
+        np.testing.assert_allclose(np.asarray(getattr(out, n)),
+                                   np.asarray(getattr(ref, n)),
+                                   rtol=1e-10, atol=1e-10, err_msg=n)
+    # the bottom layer actually decelerated (drag active) and the top
+    # layer picked up wind momentum
+    assert float(jnp.abs(out.u[:, -1]).max()) > 0
+    assert float(jnp.abs(out.u[:, 0] - st.u[:, 0]).max()) > 0
+
+
+def test_megastep_run_steps_physics_fast_path(monkeypatch):
+    """run_steps' stacked scan fast path engages for the science config
+    (wind packed once per segment) and matches per-step composed calls."""
+    from omega_tpu.core import (ModelConfig, ModelState, TendencyConfig,
+                                VertMixConfig)
+    from omega_tpu.stepping import forward_backward_step, run_steps
+
+    monkeypatch.setenv("OMEGA_MEGA_STEP", "1")
+    mesh = planar_hex_mesh(32, 16, dc=5000.0, f0=1e-4, bottom_depth=1000.0)
+    K = 3
+    cfg = ModelConfig(
+        nvertlayers=K, ntracers=1,
+        vert_mix=VertMixConfig(enabled=True),
+        tendencies=TendencyConfig(visc_del2=1e3, visc_del4=1e9,
+                                  wind_forcing=True, bottom_drag=True,
+                                  bottom_drag_coeff=1e-3))
+    rng = np.random.default_rng(29)
+    kx = 2 * np.pi / mesh.x_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / K) * jnp.ones((1, K))
+    st = ModelState(
+        h=h, u=jnp.asarray(0.01 * rng.standard_normal((mesh.nedges, K))),
+        tracers=jnp.asarray(10.0 + rng.standard_normal((1, mesh.ncells,
+                                                        K))))
+    wind = (jnp.asarray(0.1 * np.ones(mesh.ncells)),
+            jnp.asarray(0.02 * np.ones(mesh.ncells)))
+    out = run_steps(mesh, cfg, st, 0.0, 30.0, 3, wind_stress=wind)
+    monkeypatch.setenv("OMEGA_MEGA_STEP", "0")
+    ref = run_steps(mesh, cfg, st, 0.0, 30.0, 3, wind_stress=wind)
+    for n in ("h", "u", "tracers"):
+        np.testing.assert_allclose(np.asarray(getattr(out, n)),
+                                   np.asarray(getattr(ref, n)),
+                                   rtol=1e-10, atol=1e-10, err_msg=n)
+
+
 def test_megastep_interior_fast_path_tiles():
     """A mesh with >2 tiles per axis exercises the kernel's interior
     single-rectangle DMA branch alongside the 9-rect wrap branch."""
