@@ -30,7 +30,8 @@ from omega_tpu.core.config import ModelConfig
 from omega_tpu.core.state import ModelState
 from omega_tpu.mesh.horz_mesh import HorzMesh
 from omega_tpu.ops import trisk
-from omega_tpu.parallel.reductions import global_sum
+from omega_tpu.parallel.reductions import (global_max, global_min,
+                                           global_sum)
 
 
 def energetics(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
@@ -74,6 +75,72 @@ def energetics(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
     return {k: float(v) for k, v in out.items()}
 
 
+def energetics_local(mesh_l, cfg: ModelConfig, state: ModelState,
+                     own_c, own_v, ssh_ref, axis_name: str = "x"):
+    """Per-shard energetics INSIDE shard_map — the sharded counterpart of
+    `energetics` (no global gather: each shard computes its owned-masked
+    partial terms on its local mesh, halos fresh from the last exchange,
+    and the double-double psum combines them). Removes the
+    global-state-per-sample chokepoint of sharded runs (the reference
+    computes norms the same way, per rank + MPI reduction,
+    test/ocn/OceanTestCommon.h:396-560).
+
+    own_c/own_v: (Cl,)/(Vl,) owned masks. Returns a dict of traced
+    scalars; the caller hosts them after the shard_map returns."""
+    h, u = state.h, state.u
+    area = jnp.asarray(mesh_l.area_cell)[:, None]
+    area_v = jnp.asarray(mesh_l.area_triangle)[:, None]
+    mc = own_c[:, None] > 0
+    mv = own_v[:, None] > 0
+
+    ke_cell = trisk.ke_cell(mesh_l, u)
+    if cfg.ssh_formulation == "column":
+        ssh = (jnp.sum(h, axis=-1, keepdims=True)
+               - trisk.col(mesh_l, "bottom_depth"))
+    else:
+        ssh = h - trisk.col(mesh_l, "bottom_depth")
+    eta = ssh - ssh_ref
+
+    xi = trisk.curl_vertex(mesh_l, u)
+    h_v = trisk.cell_to_vertex_kite(mesh_l, h)
+    f_v = jnp.asarray(mesh_l.f_vertex)[:, None]
+    absv = xi + f_v
+
+    gs = lambda v, m: global_sum(v, axis_name, mask=m)
+    out = {
+        "volume": gs(area * h, mc),
+        "kinetic_energy": gs(area * h * ke_cell, mc),
+        "potential_energy": 0.5 * cfg.gravity * gs(area * eta * eta, mc),
+        "potential_enstrophy": 0.5 * gs(area_v * absv * absv / h_v, mv),
+    }
+    out["total_energy"] = out["kinetic_energy"] + out["potential_energy"]
+    for l in range(state.tracers.shape[0]):
+        tr = state.tracers[l]
+        out[f"tracer{l}_mass"] = gs(area * h * tr, mc)
+        out[f"tracer{l}_min"] = global_min(tr, axis_name, mask=mc)
+        out[f"tracer{l}_max"] = global_max(tr, axis_name, mask=mc)
+    return out
+
+
+def mean_ssh_local(mesh_l, cfg: ModelConfig, state: ModelState, own_c,
+                   axis_name: str = "x"):
+    """Sharded area-mean ssh (traced scalar; see mean_ssh)."""
+    area = jnp.asarray(mesh_l.area_cell)[:, None]
+    h = state.h
+    mc = own_c[:, None] > 0
+    if cfg.ssh_formulation == "column":
+        ssh = (jnp.sum(h, axis=-1, keepdims=True)
+               - trisk.col(mesh_l, "bottom_depth"))
+    else:
+        ssh = h - trisk.col(mesh_l, "bottom_depth")
+    num = global_sum(area * ssh, axis_name, mask=mc)
+    # broadcast the area over ssh's lanes so the denominator carries the
+    # same total-area (x K in stacked form) factor as mean_ssh's
+    den = global_sum(jnp.broadcast_to(area, ssh.shape), axis_name,
+                     mask=mc)
+    return num / den
+
+
 def mean_ssh(mesh: HorzMesh, cfg: ModelConfig, state: ModelState) -> float:
     """Area-mean ssh (the natural ssh_ref, fixed at t=0 by volume
     conservation)."""
@@ -105,7 +172,15 @@ class EnergeticsMonitor:
     def sample(self, state: ModelState, time_str: str) -> Dict[str, float]:
         if self.ssh_ref is None:
             self.ssh_ref = mean_ssh(self.mesh, self.cfg, state)
-        row = energetics(self.mesh, self.cfg, state, self.ssh_ref)
+        # sorted keys: identical CSV schema to the sharded sampler
+        row = dict(sorted(energetics(self.mesh, self.cfg, state,
+                                     self.ssh_ref).items()))
+        self.write_row(row, time_str)
+        return row
+
+    def write_row(self, row: Dict[str, float], time_str: str) -> None:
+        """Append one precomputed row (the sharded sampler's entry: the
+        scalars come off a shard_map'd reduction, no global gather)."""
         mode = "a" if self._wrote_header else "w"
         with open(self.path, mode) as f:
             if not self._wrote_header:
@@ -113,4 +188,3 @@ class EnergeticsMonitor:
                 self._wrote_header = True
             f.write(time_str + ","
                     + ",".join(repr(v) for v in row.values()) + "\n")
-        return row

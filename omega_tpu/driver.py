@@ -695,6 +695,9 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                 wind_stress=model.wind_stress)
             model._gather = lambda st: sshard.gather_state(ss, st)
             scatter = lambda st: sshard.shard_state(ss, st)
+            if model.analysis is not None:
+                model._sharded_energetics = \
+                    sshard.make_sharded_energetics(ss, cfg, dmesh)
             if model.sharded_io:
                 from omega_tpu.ops import structured as _st
                 c_l2g, c_own = sshard.element_maps(ss, "cell")
@@ -721,6 +724,11 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
             model._gather = lambda st: gather_state(
                 sm_d, st, mesh.ncells, mesh.nedges)
             scatter = lambda st: shard_state(sm_d, st)
+            if model.analysis is not None:
+                from omega_tpu.parallel.sharded import \
+                    make_sharded_energetics
+                model._sharded_energetics = \
+                    make_sharded_energetics(sm_d, cfg, dmesh)
             if model.sharded_io:
                 model._sharded_io_maps = (
                     np.asarray(sm_d.cell_local_to_global),
@@ -782,6 +790,13 @@ def _run_loop(model: OceanModel, segment, sharded: bool,
 
     def _sample_analysis():
         mon, _ = model.analysis
+        sfn = getattr(model, "_sharded_energetics", None)
+        if sharded and sfn is not None:
+            # shard_map'd owned-masked reductions — no global gather
+            # at the sample boundary (analysis.energetics_local)
+            row, mon.ssh_ref = sfn(model.state, mon.ssh_ref)
+            mon.write_row(row, str(model.clock.get_current_time()))
+            return
         st = model._gather(model.state) if sharded else model.state
         mon.sample(st, str(model.clock.get_current_time()))
 

@@ -921,13 +921,12 @@ def _pick_tile(ny, nx, kind="fb", vmix=False):
     if kind == "rk2":
         spec = os.environ.get("OMEGA_MEGA_TILE_RK2", "32")
     else:
-        # tile 32 needs the raised VMEM scope (see _call); measured
-        # 5.63 ms vs 5.84 at tile 16 on the 256^2 x 100 flagship.
-        # With in-kernel vmix the default drops to 16: the PCR's
-        # lane-shift chain makes the tile-32 Mosaic compile blow up
-        # (>25 min, vs 32 s at tile 16 / 8.11 ms measured)
-        spec = os.environ.get("OMEGA_MEGA_TILE",
-                              "16" if vmix else "32")
+        # default 16 since round 4: with the parity-split row layout
+        # tile 16 measured 4.83 ms vs 4.91 at tile 32 on the 256^2x100
+        # flagship (the r2 "tile 32 wins" A/B predates parity rows),
+        # and the in-kernel vmix PCR makes the tile-32 Mosaic compile
+        # blow up (>25 min vs 32 s / 8.11 ms at 16)
+        spec = os.environ.get("OMEGA_MEGA_TILE", "16")
     if "x" in spec:
         cy, cx = (int(v) for v in spec.split("x"))
     else:

@@ -97,6 +97,8 @@ def partition_cells(mesh: HorzMesh, nshards: int,
         "mesh", "owned_cell_mask", "owned_edge_mask", "owned_vertex_mask",
         "cell_send_idx", "cell_recv_src_shard", "cell_recv_src_slot", "cell_recv_dst",
         "edge_send_idx", "edge_recv_src_shard", "edge_recv_src_slot", "edge_recv_dst",
+        "vertex_send_idx", "vertex_recv_src_shard", "vertex_recv_src_slot",
+        "vertex_recv_dst",
         "cell_local_to_global", "edge_local_to_global", "vertex_local_to_global",
     ],
     meta_fields=["nshards", "halo_width"],
@@ -122,6 +124,13 @@ class ShardedMesh:
     edge_recv_src_shard: jax.Array      # (S, NHe)
     edge_recv_src_slot: jax.Array       # (S, NHe)
     edge_recv_dst: jax.Array            # (S, NHe)
+    # vertex-space exchange (the reference's Halo exchanges any array on
+    # any of the three index spaces, base/Halo.h:45; diagnostics like
+    # vorticity snapshots need it even though the step loop does not)
+    vertex_send_idx: jax.Array          # (S, NSv)
+    vertex_recv_src_shard: jax.Array    # (S, NHv)
+    vertex_recv_src_slot: jax.Array     # (S, NHv)
+    vertex_recv_dst: jax.Array          # (S, NHv)
     cell_local_to_global: jax.Array     # (S, Cl), -1 on padding
     edge_local_to_global: jax.Array     # (S, El)
     vertex_local_to_global: jax.Array   # (S, Vl)
@@ -213,17 +222,23 @@ def decompose(mesh: HorzMesh, nshards: int, *, halo_width: int = HALO_WIDTH,
     # ---- send lists: owned elements needed by any other shard ----
     cell_needed = [set() for _ in range(nshards)]   # global ids per owner
     edge_needed = [set() for _ in range(nshards)]
+    vert_needed = [set() for _ in range(nshards)]
     for s, sh in enumerate(shards):
         for gc in sh["cells"][sh["n_owned_c"]:].tolist():
             cell_needed[owner_cell[gc]].add(gc)
         for ge in sh["edges"][sh["n_owned_e"]:].tolist():
             edge_needed[owner_edge[ge]].add(ge)
+        for gv in sh["verts"][sh["n_owned_v"]:].tolist():
+            vert_needed[owner_vertex[gv]].add(gv)
     cell_send_global = [np.array(sorted(cn), np.int64) for cn in cell_needed]
     edge_send_global = [np.array(sorted(en), np.int64) for en in edge_needed]
+    vert_send_global = [np.array(sorted(vn), np.int64) for vn in vert_needed]
     NSc = max(1, max(len(a) for a in cell_send_global))
     NSe = max(1, max(len(a) for a in edge_send_global))
+    NSv = max(1, max(len(a) for a in vert_send_global))
     NHc = max(1, max(len(sh["cells"]) - sh["n_owned_c"] for sh in shards))
     NHe = max(1, max(len(sh["edges"]) - sh["n_owned_e"] for sh in shards))
+    NHv = max(1, max(len(sh["verts"]) - sh["n_owned_v"] for sh in shards))
 
     # global slot lookup: for each global element, its slot in owner's buffer
     cell_slot = np.full(C, -1, np.int64)
@@ -232,6 +247,9 @@ def decompose(mesh: HorzMesh, nshards: int, *, halo_width: int = HALO_WIDTH,
     edge_slot = np.full(E, -1, np.int64)
     for o, arr in enumerate(edge_send_global):
         edge_slot[arr] = np.arange(len(arr))
+    vert_slot = np.full(V, -1, np.int64)
+    for o, arr in enumerate(vert_send_global):
+        vert_slot[arr] = np.arange(len(arr))
 
     # ---- per-shard arrays ----
     def new(shape, fill, dtype=np.int64):
@@ -252,6 +270,10 @@ def decompose(mesh: HorzMesh, nshards: int, *, halo_width: int = HALO_WIDTH,
     e_rsrc = new((NHe,), 0)
     e_rslot = new((NHe,), 0)
     e_rdst = new((NHe,), El - 1)
+    v_send = new((NSv,), Vl - 1)
+    v_rsrc = new((NHv,), 0)
+    v_rslot = new((NHv,), 0)
+    v_rdst = new((NHv,), Vl - 1)
 
     for s, sh in enumerate(shards):
         lc, le, lv = sh["cells"], sh["edges"], sh["verts"]
@@ -335,12 +357,18 @@ def decompose(mesh: HorzMesh, nshards: int, *, halo_width: int = HALO_WIDTH,
         e_rsrc[s, :len(halo_e)] = owner_edge[halo_e]
         e_rslot[s, :len(halo_e)] = edge_slot[halo_e]
         e_rdst[s, :len(halo_e)] = np.arange(sh["n_owned_e"], ne)
+        halo_v = lv[sh["n_owned_v"]:]
+        v_rsrc[s, :len(halo_v)] = owner_vertex[halo_v]
+        v_rslot[s, :len(halo_v)] = vert_slot[halo_v]
+        v_rdst[s, :len(halo_v)] = np.arange(sh["n_owned_v"], nv)
 
         # send lists in *local* indices
         cs = cell_send_global[s]
         c_send[s, :len(cs)] = cmap[cs]
         es = edge_send_global[s]
         e_send[s, :len(es)] = emap[es]
+        vs = vert_send_global[s]
+        v_send[s, :len(vs)] = vmap[vs]
 
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *meshes)
     i32 = lambda a: a.astype(np.int32)
@@ -354,6 +382,9 @@ def decompose(mesh: HorzMesh, nshards: int, *, halo_width: int = HALO_WIDTH,
         edge_send_idx=i32(e_send),
         edge_recv_src_shard=i32(e_rsrc), edge_recv_src_slot=i32(e_rslot),
         edge_recv_dst=i32(e_rdst),
+        vertex_send_idx=i32(v_send),
+        vertex_recv_src_shard=i32(v_rsrc), vertex_recv_src_slot=i32(v_rslot),
+        vertex_recv_dst=i32(v_rdst),
         cell_local_to_global=i32(c_l2g), edge_local_to_global=i32(e_l2g),
         vertex_local_to_global=i32(v_l2g),
     )

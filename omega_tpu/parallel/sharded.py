@@ -62,7 +62,7 @@ def build_permute_lists(smesh: ShardedMesh, kind: str):
     """Per-neighbor-distance exchange lists for ppermute halos (host side;
     the analogue of Halo::generateExchangeLists, base/Halo.cpp:455-600).
 
-    kind: 'cell' | 'edge'. Returns a list of
+    kind: 'cell' | 'edge' | 'vertex'. Returns a list of
       (d, send_idx (S, Nd), recv_dst (S, Nd))
     — for rank distance d, shard s sends rows send_idx[s] to (s+d) % S and
     scatters what it receives from (s-d) % S into recv_dst[s]. The send
@@ -70,19 +70,14 @@ def build_permute_lists(smesh: ShardedMesh, kind: str):
     needed on the wire. Padded entries use each shard's dummy row.
     """
     S = smesh.nshards
-    if kind == "cell":
-        send_glob = np.asarray(smesh.cell_send_idx)
-        rsrc = np.asarray(smesh.cell_recv_src_shard)
-        rslot = np.asarray(smesh.cell_recv_src_slot)
-        rdst = np.asarray(smesh.cell_recv_dst)
-    else:
-        send_glob = np.asarray(smesh.edge_send_idx)
-        rsrc = np.asarray(smesh.edge_recv_src_shard)
-        rslot = np.asarray(smesh.edge_recv_src_slot)
-        rdst = np.asarray(smesh.edge_recv_dst)
+    pre = {"cell": "cell", "edge": "edge", "vertex": "vertex"}[kind]
+    send_glob = np.asarray(getattr(smesh, f"{pre}_send_idx"))
+    rsrc = np.asarray(getattr(smesh, f"{pre}_recv_src_shard"))
+    rslot = np.asarray(getattr(smesh, f"{pre}_recv_src_slot"))
+    rdst = np.asarray(getattr(smesh, f"{pre}_recv_dst"))
     dummy = send_glob.max() if send_glob.size else 0
-    n_local = np.asarray(smesh.cell_local_to_global if kind == "cell"
-                         else smesh.edge_local_to_global).shape[1]
+    n_local = np.asarray(
+        getattr(smesh, f"{pre}_local_to_global")).shape[1]
     dummy_row = n_local - 1
 
     # distance -> per-src (send rows, per-dst recv rows)
@@ -114,6 +109,26 @@ def build_permute_lists(smesh: ShardedMesh, kind: str):
             recv[dst, :len(r_rows)] = r_rows
         out.append((d, send, recv))
     return out
+
+
+def exchange_any(sm: ShardedMesh, x, space: str, axis_name: str = "x",
+                 plists=None):
+    """General halo refresh of ANY local array on any of the three index
+    spaces — the Halo::exchangeFullArrayHalo analogue (base/Halo.h:45,
+    769): exchanges (..., N_local, K) arrays on 'cell' | 'edge' |
+    'vertex'. Call inside shard_map with per-shard (leading-axis-
+    stripped) operands; the step loop never needs the vertex space (aux
+    vars recompute locally), but diagnostics that publish vertex fields
+    (vorticity snapshots) do. `sm` must be the UNSTACKED per-shard
+    pytree (as make_halo_fn receives it inside shard_map)."""
+    if plists is not None:
+        return halo_mod.exchange_permute(x, plists, axis_name)
+    pre = {"cell": "cell", "edge": "edge", "vertex": "vertex"}[space]
+    return halo_mod.exchange(
+        x, getattr(sm, f"{pre}_send_idx"),
+        getattr(sm, f"{pre}_recv_src_shard"),
+        getattr(sm, f"{pre}_recv_src_slot"),
+        getattr(sm, f"{pre}_recv_dst"), axis_name)
 
 
 def make_halo_fn(sm: ShardedMesh, axis_name: str = "x",
@@ -287,3 +302,59 @@ def comm_volume_by_link(smesh: ShardedMesh, host_of) -> dict:
                     out["per_dcn_pair"][key] = \
                         out["per_dcn_pair"].get(key, 0) + n
     return out
+
+
+def make_sharded_energetics(smesh: ShardedMesh, cfg, device_mesh: Mesh,
+                            axis_name: str = "x"):
+    """Sharded energetics sampler for the SFC decomposition: each shard
+    computes its owned-masked budget terms on its local mesh and the
+    double-double psum combines them — no global state gather at sample
+    boundaries (analysis.energetics_local). Returns
+    sample(state, ssh_ref=None) -> dict of floats; ssh_ref None computes
+    the t=0 area-mean ssh (also sharded)."""
+    from omega_tpu import analysis as ana
+    pspec = P(axis_name)
+    smesh_specs = jax.tree.map(lambda _: pspec, smesh)
+    state_specs = ModelState(h=pspec, u=pspec, tracers=pspec)
+    keys = None
+
+    def local_row(sm_st, state_st, ssh_ref):
+        sm = jax.tree.map(lambda a: a[0], sm_st)
+        st = jax.tree.map(lambda a: a[0], state_st)
+        row = ana.energetics_local(sm.mesh, cfg, st,
+                                   sm.owned_cell_mask,
+                                   sm.owned_vertex_mask,
+                                   ssh_ref, axis_name)
+        return tuple(row[k] for k in sorted(row))
+
+    def local_mean(sm_st, state_st):
+        sm = jax.tree.map(lambda a: a[0], sm_st)
+        st = jax.tree.map(lambda a: a[0], state_st)
+        return ana.mean_ssh_local(sm.mesh, cfg, st, sm.owned_cell_mask,
+                                  axis_name)
+
+    def sample(state, ssh_ref=None):
+        nonlocal keys
+        if keys is None:
+            # key order from a host-side dry build (ntracers-dependent)
+            L = state.tracers.shape[1]
+            base = ["volume", "kinetic_energy", "potential_energy",
+                    "potential_enstrophy", "total_energy"]
+            for l in range(L):
+                base += [f"tracer{l}_mass", f"tracer{l}_min",
+                         f"tracer{l}_max"]
+            keys = sorted(base)
+        if ssh_ref is None:
+            ssh_ref = float(jax.jit(jax.shard_map(
+                local_mean, mesh=device_mesh,
+                in_specs=(smesh_specs, state_specs), out_specs=P(),
+                check_vma=False))(smesh, state))
+        nout = len(keys)
+        vals = jax.jit(jax.shard_map(
+            local_row, mesh=device_mesh,
+            in_specs=(smesh_specs, state_specs, P()),
+            out_specs=tuple(P() for _ in range(nout)),
+            check_vma=False))(smesh, state, jnp.asarray(ssh_ref))
+        return {k: float(v) for k, v in zip(keys, vals)}, ssh_ref
+
+    return sample

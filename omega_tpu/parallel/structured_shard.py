@@ -395,3 +395,62 @@ def make_sharded_step(ss: StructuredShards, cfg: ModelConfig, stepper,
 
     step.scatter_wind = scatter_wind
     return step
+
+
+def make_sharded_energetics(ss: StructuredShards, cfg,
+                            device_mesh: Mesh, axis_name: str = "x"):
+    """Sharded energetics sampler for the structured decomposition
+    (analysis.energetics_local per shard + double-double psum): removes
+    the global-state gather at analysis sample boundaries. Returns
+    sample(state, ssh_ref=None) -> (row dict, ssh_ref)."""
+    import dataclasses as _dc
+
+    from omega_tpu import analysis as ana
+    pspec = P(axis_name)
+    state_specs = ModelState(h=pspec, u=pspec, tracers=pspec)
+    local = ss.local_mesh
+    ov_names = tuple(a for a, _ in ss.mesh_overrides)
+    ov_data = tuple(v for _, v in ss.mesh_overrides)
+    ovspecs = tuple(pspec for _ in ov_data)
+    own_c = jnp.asarray(element_maps(ss, "cell")[1].astype(np.float64))
+    own_v = jnp.asarray(element_maps(ss, "vertex")[1].astype(np.float64))
+
+    def mesh_of(ov_stacked):
+        m = local
+        if ov_names:
+            m = _dc.replace(m, **{a: v[0] for a, v in
+                                  zip(ov_names, ov_stacked)})
+        return m
+
+    def local_row(ov_st, oc, ov_, state_st, ssh_ref):
+        st = jax.tree.map(lambda a: a[0], state_st)
+        return tuple(d[1] for d in sorted(ana.energetics_local(
+            mesh_of(ov_st), cfg, st, oc[0], ov_[0], ssh_ref,
+            axis_name).items()))
+
+    def local_mean(ov_st, oc, state_st):
+        st = jax.tree.map(lambda a: a[0], state_st)
+        return ana.mean_ssh_local(mesh_of(ov_st), cfg, st, oc[0],
+                                  axis_name)
+
+    def sample(state, ssh_ref=None):
+        L = state.tracers.shape[1]
+        base = ["volume", "kinetic_energy", "potential_energy",
+                "potential_enstrophy", "total_energy"]
+        for l in range(L):
+            base += [f"tracer{l}_mass", f"tracer{l}_min",
+                     f"tracer{l}_max"]
+        keys = sorted(base)
+        if ssh_ref is None:
+            ssh_ref = float(jax.jit(jax.shard_map(
+                local_mean, mesh=device_mesh,
+                in_specs=(ovspecs, pspec, state_specs),
+                out_specs=P(), check_vma=False))(ov_data, own_c, state))
+        vals = jax.jit(jax.shard_map(
+            local_row, mesh=device_mesh,
+            in_specs=(ovspecs, pspec, pspec, state_specs, P()),
+            out_specs=tuple(P() for _ in keys), check_vma=False))(
+                ov_data, own_c, own_v, state, jnp.asarray(ssh_ref))
+        return {k: float(v) for k, v in zip(keys, vals)}, ssh_ref
+
+    return sample

@@ -132,3 +132,48 @@ def test_driver_analysis_stream(tmp_path):
     en = np.array([float(r["total_energy"]) for r in rows])
     decay = (en[0] - en[-1]) / en[0]
     assert 0.0 <= decay < 0.05, decay     # viscosity dissipates, mildly
+
+
+@pytest.mark.parametrize("path", ["sfc", "structured"])
+def test_sharded_energetics_matches_gathered(path):
+    """The shard_map'd energetics sampler (owned-masked double-double
+    reductions per shard, analysis.energetics_local) matches the
+    gathered-global computation to reduction roundoff on both
+    decomposition paths — no global state at the sample boundary."""
+    mesh = planar_hex_mesh(16, 16, dc=50.0e3, f0=1.0e-4,
+                           bottom_depth=1000.0)
+    K, L = 3, 2
+    cfg = ModelConfig(nvertlayers=K, ntracers=L,
+                      tendencies=TendencyConfig(visc_del2=1.0,
+                                                visc_del4=1e6))
+    rng = np.random.default_rng(3)
+    kx = 2 * np.pi / mesh.x_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / K) * jnp.ones((1, K))
+    st = ModelState(
+        h=h, u=jnp.asarray(0.05 * rng.standard_normal((mesh.nedges, K))),
+        tracers=jnp.asarray(10.0 + rng.standard_normal((L, mesh.ncells,
+                                                        K))))
+    ref_ssh = mean_ssh(mesh, cfg, st)
+    ref = dict(sorted(energetics(mesh, cfg, st, ref_ssh).items()))
+
+    from omega_tpu.parallel.sharded import default_device_mesh
+    dmesh = default_device_mesh(8)
+    if path == "sfc":
+        from omega_tpu.parallel import decompose, shard_state
+        from omega_tpu.parallel.sharded import make_sharded_energetics
+        sm = decompose(mesh, 8)
+        sst = shard_state(sm, st)
+        sample = make_sharded_energetics(sm, cfg, dmesh)
+    else:
+        from omega_tpu.parallel import structured_shard as sshard
+        ss = sshard.decompose_structured(mesh, 8, layout=(4, 2))
+        sst = sshard.shard_state(ss, st)
+        sample = sshard.make_sharded_energetics(ss, cfg, dmesh)
+
+    row, ssh_ref = sample(sst)
+    assert abs(ssh_ref - ref_ssh) < 1e-12 * max(1.0, abs(ref_ssh))
+    assert sorted(row) == sorted(ref)
+    for k in ref:
+        scale = abs(ref[k]) + 1e-300
+        assert abs(row[k] - ref[k]) / scale < 1e-12, (k, row[k], ref[k])
