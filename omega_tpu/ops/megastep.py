@@ -101,13 +101,15 @@ def _table(mesh, name):
 
 
 def _vmix_on(cfg) -> bool:
-    """Constant-coefficient implicit vertical mixing runs IN-KERNEL as a
-    PCR along lanes after the horizontal chain (base/TriDiagSolvers.h
-    PCRDiffusionSolver semantics); PP81 (state-dependent coefficients)
-    and the Thomas method stay on the composed path."""
+    """Implicit vertical mixing runs IN-KERNEL as a PCR along lanes
+    after the horizontal chain (base/TriDiagSolvers.h PCRDiffusionSolver
+    semantics) — both the constant-coefficient scheme and the PP81
+    Richardson-number closure (whose coefficient fields are one more
+    radius-1 sweep over the updated state). The Thomas method stays on
+    the composed path."""
     vm = cfg.vert_mix
     return (vm.enabled and cfg.nvertlayers >= 2
-            and vm.scheme == "constant" and vm.method == "pcr")
+            and vm.scheme in ("constant", "pp81") and vm.method == "pcr")
 
 
 def supported(mesh, cfg, kind="fb", parity=None) -> bool:
@@ -204,7 +206,9 @@ def _apply(tab, val_list, even, pd):
 
 # number of base (always-present) constants; physics extensions follow
 # at fixed offsets and the split kernels append theirs after NCONST
-NCONST = 19
+# (14..18 = K, rho0, drag_coeff, kappa_tracer, kappa_momentum;
+#  19 = None or the PP81 parameter tuple, see _mega_args)
+NCONST = 20
 
 
 def _lane(x):
@@ -282,11 +286,52 @@ def _pcr_diffusion(g, hmass, xs):
     return [x / bb for x in xs]
 
 
+def _pp81_coeffs(h_new, un, trn, tabs, consts, even, L):
+    """Richardson-number mixing coefficients on the slab, mirroring
+    core/vmix.pp81_coefficients exactly (interface values live at lanes
+    k < K-1; later masking ignores the rest). Returns
+    (kappa_cell (.., K), nu_edge [3 x (.., K)])."""
+    grav, K = consts[1], consts[14]
+    (nu0, alpha, n_exp, a_t, b_s, ti, si, kt0, km0) = consts[19]
+    ap = lambda name, vals, pd: _apply(tabs[name], vals, even, pd)
+    eps = 1.0e-16
+    sh = lambda x: _shift_lane(x, +1, 1.0)
+
+    du = [un[i] - _shift_lane(un[i], +1, 0.0) for i in range(3)]
+    dz_e = 0.5 * (h_new + sh(h_new))
+    if ti >= 0 and si >= 0:
+        T, S = trn[ti], trn[si]
+        db = grav * (a_t * (T - _shift_lane(T, +1, 0.0))
+                     - b_s * (S - _shift_lane(S, +1, 0.0)))
+        n2_cell = jnp.maximum(db / dz_e, 0.0)
+    else:
+        n2_cell = jnp.zeros_like(dz_e)
+
+    dz_edge = ap("cmean", [dz_e], 3)
+    ke_du = ap("ke", [d * d for d in du], 1)[0]
+    shear2_cell = 2.0 * ke_du / (dz_e * dz_e)
+    shear2_edge = [(du[i] / dz_edge[i]) ** 2 for i in range(3)]
+
+    ri_cell = n2_cell / jnp.maximum(shear2_cell, eps)
+    n2_edge = ap("cmean", [n2_cell], 3)
+    ri_edge = [n2_edge[i] / jnp.maximum(shear2_edge[i], eps)
+               for i in range(3)]
+
+    def coeffs(ri):
+        f = 1.0 + alpha * jnp.maximum(ri, 0.0)
+        nu = nu0 / f ** n_exp
+        return nu / f + kt0, nu + km0
+
+    kappa_cell, _ = coeffs(ri_cell)
+    nu_edge = [coeffs(ri_edge[i])[1] for i in range(3)]
+    return kappa_cell, nu_edge
+
+
 def _vmix_apply(h_new, un, trn, tabs, consts, even, L):
     """Operator-split backward-Euler vertical mixing on the updated
     state (steppers._mix / core/vmix.implicit_vmix): tracers against the
     cell-thickness matrix, velocity against the edge-thickness (cmean of
-    h_new) matrices. Constant coefficients only (see _vmix_on). Dead
+    h_new) matrices; coefficients constant or PP81 (consts[19]). Dead
     lanes (k >= K) carry H=1/G=0 identity rows, matching the composed
     solve's out-of-range fills bit-exactly."""
     kt, km = consts[17], consts[18]
@@ -294,6 +339,10 @@ def _vmix_apply(h_new, un, trn, tabs, consts, even, L):
         return un, trn
     dt, K = consts[0], consts[14]
     ap = lambda name, vals, pd: _apply(tabs[name], vals, even, pd)
+    if consts[19] is not None:
+        kt, km_e = _pp81_coeffs(h_new, un, trn, tabs, consts, even, L)
+    else:
+        km_e = [km] * 3
 
     def gcoef(h, kappa):
         dz = 0.5 * (h + _shift_lane(h, +1, 1.0))
@@ -311,7 +360,7 @@ def _vmix_apply(h_new, un, trn, tabs, consts, even, L):
     he = ap("cmean", [h_new], 3)
     un_out = []
     for i in range(3):
-        (ui,) = _pcr_diffusion(gcoef(he[i], km), hmass(he[i]),
+        (ui,) = _pcr_diffusion(gcoef(he[i], km_e[i]), hmass(he[i]),
                                [jnp.where(lm, he[i] * un[i], 0.0)])
         un_out.append(ui)
     return un_out, trn
@@ -1003,17 +1052,23 @@ def _mega_args(mesh, cfg, dt):
     dc, dv = us("dc_edge"), us("dv_edge")
     inv_dv_floor = 1.0 / max(dv, 0.25 * dc)
     vmix = _vmix_on(cfg)
+    pp81 = None
+    if vmix and vm.scheme == "pp81":
+        pp81 = (vm.nu0, vm.alpha, vm.n_exp, vm.eos_alpha_t,
+                vm.eos_beta_s, vm.temp_index, vm.salt_index,
+                vm.kappa_tracer, vm.kappa_momentum)
     consts = (float(dt), cfg.gravity, tc.visc_del2, tc.visc_del4,
               tc.div_factor, tc.eddy_diff2, tc.eddy_diff4,
               1.0 / dc, 1.0 / dv, inv_dv_floor,
               dv / dc,                       # geo (edge_mask == 1)
               us("f_vertex"),
               us("mesh_scaling_del2"), us("mesh_scaling_del4"),
-              # physics extensions (indices 14..18, see NCONST)
+              # physics extensions (indices 14..19, see NCONST)
               cfg.nvertlayers, tc.density0,
               tc.bottom_drag_coeff if tc.bottom_drag else 0.0,
               vm.kappa_tracer if vmix else None,
-              vm.kappa_momentum if vmix else None)
+              vm.kappa_momentum if vmix else None,
+              pp81)
     names = ("div", "ke", "curl", "kite", "tang", "cdiff", "cmean",
              "vdiff", "vmean", "signed_div")
     tabs = tuple((n, _table(mesh, n)) for n in names)

@@ -78,8 +78,9 @@ def supported(mesh, cfg) -> bool:
     if not patch_stencil.enabled(mesh):
         return False
     from omega_tpu.ops.megastep import _vmix_on
-    if cfg.vert_mix.enabled and not _vmix_on(cfg):
-        return False        # PP81 / Thomas stay composed
+    if cfg.vert_mix.enabled and (not _vmix_on(cfg)
+                                 or cfg.vert_mix.scheme != "constant"):
+        return False        # PP81 (planar-fused only) / Thomas composed
     if _vmix_on(cfg) and MH < 7:
         return False        # radius-7 vmix chain needs the full margin
     return (cfg.flux_thickness_type == "center"

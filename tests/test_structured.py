@@ -305,6 +305,57 @@ def test_megastep_parity_split(monkeypatch, scheme):
                                    rtol=1e-10, atol=1e-10, err_msg=n)
 
 
+def test_megastep_pp81_vmix_matches_composed(monkeypatch):
+    """PP81 (Richardson-number) vertical mixing fused in-kernel: the
+    coefficient fields (shear from the kite-weighted KE of the vertical
+    velocity difference, N^2 from the linear-EOS T/S slopes,
+    core/vmix.pp81_coefficients) are one more radius-1 sweep over the
+    updated state, then the same lane-axis PCR — exact vs the composed
+    stepper's _mix."""
+    from omega_tpu.core import (ModelConfig, ModelState, TendencyConfig,
+                                VertMixConfig)
+    from omega_tpu.ops import megastep
+    from omega_tpu.stepping import forward_backward_step
+
+    mesh = planar_hex_mesh(32, 16, dc=5000.0, f0=1e-4, bottom_depth=1000.0)
+    K = 5
+    cfg = ModelConfig(
+        nvertlayers=K, ntracers=2,
+        vert_mix=VertMixConfig(enabled=True, scheme="pp81",
+                               nu0=1e-2, alpha=5.0, n_exp=2,
+                               temp_index=0, salt_index=1),
+        tendencies=TendencyConfig(visc_del2=1e3, visc_del4=1e9,
+                                  wind_forcing=True, bottom_drag=True,
+                                  bottom_drag_coeff=3.0e-3))
+    assert megastep.supported(mesh, cfg)
+
+    rng = np.random.default_rng(31)
+    kx = 2 * np.pi / mesh.x_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / K) * jnp.ones((1, K))
+    # stratified T/S + sheared u so Ri spans stable and unstable
+    T = 10.0 + 2.0 * np.arange(K)[::-1] / K \
+        + 0.1 * rng.standard_normal((mesh.ncells, K))
+    S = 35.0 + 0.1 * rng.standard_normal((mesh.ncells, K))
+    st = ModelState(
+        h=h,
+        u=jnp.asarray(0.1 * rng.standard_normal((mesh.nedges, K))),
+        tracers=jnp.asarray(np.stack([T, S])))
+    wind = (jnp.asarray(0.1 * np.ones(mesh.ncells)),
+            jnp.asarray(0.02 * np.ones(mesh.ncells)))
+
+    ref, out = st, st
+    for _ in range(2):
+        ref = forward_backward_step(mesh, cfg, ref, 0.0, 30.0,
+                                    wind_stress=wind)
+        out = megastep.fb_megastep(mesh, cfg, out, 0.0, 30.0,
+                                   interpret=True, wind_stress=wind)
+    for n in ("h", "u", "tracers"):
+        np.testing.assert_allclose(np.asarray(getattr(out, n)),
+                                   np.asarray(getattr(ref, n)),
+                                   rtol=1e-10, atol=1e-10, err_msg=n)
+
+
 @pytest.mark.parametrize("scheme", ["fb", "rk2", "rk4"])
 @pytest.mark.parametrize("parity", ["0", "1"])
 def test_megastep_physics_wind_drag_vmix(monkeypatch, scheme, parity):
@@ -332,11 +383,11 @@ def test_megastep_physics_wind_drag_vmix(monkeypatch, scheme, parity):
                                   bottom_drag_coeff=3.0e-3))
     assert megastep.supported(mesh, cfg, kind="rk2" if scheme == "rk2"
                               else "fb")
-    # PP81 / Thomas stay composed
+    # the Thomas method stays composed (PP81 is fused since round 4)
     import dataclasses
-    cfg_pp = dataclasses.replace(cfg, vert_mix=dataclasses.replace(
-        cfg.vert_mix, scheme="pp81"))
-    assert not megastep.supported(mesh, cfg_pp)
+    cfg_th = dataclasses.replace(cfg, vert_mix=dataclasses.replace(
+        cfg.vert_mix, method="thomas"))
+    assert not megastep.supported(mesh, cfg_th)
 
     rng = np.random.default_rng(23)
     kx = 2 * np.pi / mesh.x_period
