@@ -655,7 +655,6 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                 forward_backward_step as _fb
             eligible = (getattr(mesh, "patch_key", 0) != 0
                         and model.nshards in (2, 5, 10)
-                        and model.wind_stress is None
                         and model.stepper is _fb
                         and _pm.supported(mesh, cfg))
             if eligible:
@@ -750,8 +749,14 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                     st_.spec.format = "hdf5"
 
         if use_patch:
+            # wind rides global (C,) cell arrays; make_wind packs the
+            # stress into the plane lanes per segment inside run_p
+            model._scatter_wind = lambda w: w
+
             def segment_sharded(state, t0, nsteps, wind=None):
-                return run_p(state, t0, model.dt, nsteps)
+                return run_p(state, t0, model.dt, nsteps,
+                             wind_stress=(model.wind_stress
+                                          if wind is None else wind))
         else:
             @partial(jax.jit, static_argnums=2)
             def segment_sharded(state, t0, nsteps, wind=None):

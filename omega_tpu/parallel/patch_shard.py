@@ -191,7 +191,8 @@ def make_patch_sharded_run(mesh, cfg: ModelConfig, nshards: int,
     dmesh = Mesh(np.asarray(devices), ("dev",))
     N = nshards
 
-    def run(state: ModelState, t0, dt, nsteps: int) -> ModelState:
+    def run(state: ModelState, t0, dt, nsteps: int,
+            wind_stress=None) -> ModelState:
         h, _, tr = state
         K, L = h.shape[-1], tr.shape[0]
         dtype = h.dtype
@@ -203,6 +204,17 @@ def make_patch_sharded_run(mesh, cfg: ModelConfig, nshards: int,
             frames, NamedSharding(dmesh, P(None, "dev")))
         repl = NamedSharding(dmesh, P())
         fix = jax.device_put(fix, repl)
+        # wind planes: the reserved const lanes filled per segment, then
+        # split per device exactly like plan.planes_l; the submesh slice
+        # rides replicated into the pole-fix substep
+        wb = pm.make_wind(mesh, cfg, wind_stress, dtype)
+        if wb is None:
+            planes_l, wsub = plan.planes_l, None
+        else:
+            pshape = np.asarray(plan.planes_l).shape
+            planes_l = jax.device_put(
+                wb[0].reshape(pshape), NamedSharding(dmesh, P("dev")))
+            wsub = jax.device_put(wb[1], repl)
 
         from omega_tpu.ops.megastep import _vmix_on
         tc = cfg.tendencies
@@ -214,10 +226,9 @@ def make_patch_sharded_run(mesh, cfg: ModelConfig, nshards: int,
                   tc.bottom_drag_coeff if tc.bottom_drag else 0.0,
                   vm.kappa_tracer if vmix else None,
                   vm.kappa_momentum if vmix else None)
-        # wind is unsupported on this path (the driver requires
-        # wind_stress None for patch sharding); drag/vmix run in-kernel
-        phys = (False, bool(tc.bottom_drag and tc.bottom_drag_coeff
-                            != 0.0), vmix)
+        phys = (wb is not None,
+                bool(tc.bottom_drag and tc.bottom_drag_coeff != 0.0),
+                vmix)
 
         gc, ge = plan.groups["cell"], plan.groups["edge"]
         in_specs = (P(None, "dev"),) + (P("dev"),) * 6 + (P(),)
@@ -257,7 +268,8 @@ def make_patch_sharded_run(mesh, cfg: ModelConfig, nshards: int,
                         fx["tr"])
                 sub_out = forward_backward_step(
                     p.sub_mesh, cfg,
-                    ModelState(h=h_sub, u=u_sub, tracers=tr_sub), t, dt)
+                    ModelState(h=h_sub, u=u_sub, tracers=tr_sub), t, dt,
+                    wind_stress=wsub)
                 nfx = dict(h=sub_out.h[p.fix_cells_local],
                            u=sub_out.u[p.fix_edges_local],
                            tr=sub_out.tracers[:, p.fix_cells_local])
@@ -289,7 +301,7 @@ def make_patch_sharded_run(mesh, cfg: ModelConfig, nshards: int,
             return fr, fx
 
         frames, fix = jax.jit(run_sharded)(
-            frames, plan.planes_l, plan.block_class_l,
+            frames, planes_l, plan.block_class_l,
             plan.sub_cell_src_l, plan.sub_cell_own,
             plan.sub_edge_src_l, plan.sub_edge_own, fix)
         frames = jax.device_get(frames)
