@@ -145,8 +145,8 @@ def supported(mesh, cfg, kind="fb", parity=None) -> bool:
              "vdiff", "vmean", "signed_div")
     if any(_table(mesh, n) is None for n in names):
         return False
-    return (cfg.flux_thickness_type == "center"
-            and cfg.flux_tracer_type == "center"
+    return (cfg.flux_thickness_type in ("center", "upwind")
+            and cfg.flux_tracer_type in ("center", "upwind")
             and cfg.ssh_formulation == "stacked"
             and tc.thickness_flux_div and tc.pv_advection and tc.ke_gradient
             and tc.ssh_gradient and tc.velocity_diffusion
@@ -207,12 +207,47 @@ def _apply(tab, val_list, even, pd):
 # number of base (always-present) constants; physics extensions follow
 # at fixed offsets and the split kernels append theirs after NCONST
 # (14..18 = K, rho0, drag_coeff, kappa_tracer, kappa_momentum;
-#  19 = None or the PP81 parameter tuple, see _mega_args)
-NCONST = 20
+#  19 = None or the PP81 parameter tuple; 20/21 = upwind flags for the
+#  thickness / tracer fluxes, see _mega_args)
+NCONST = 22
 
 
 def _lane(x):
     return jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+
+
+def _upwind_sel(u, a, b):
+    """The reference's upwind selection (LayerThicknessAuxVars.h /
+    TracerAuxVars.h): a where u > 0, b where u < 0, max(a, b) at rest —
+    replicated expression-for-expression (aux.thickness_aux_edge)."""
+    return jnp.where(u > 0, a, jnp.where(u < 0, b, jnp.maximum(a, b)))
+
+
+def _h_fluxes(h, u, consts, ap):
+    """(mean_h, flux_h) per edge channel for the configured
+    FluxThicknessType: center (flux == mean) or upwind."""
+    if consts[20]:
+        h0 = ap("c0", [h], 3)
+        h1 = ap("c1", [h], 3)
+        mean_h = [0.5 * (h0[i] + h1[i]) for i in range(3)]
+        flux_h = [_upwind_sel(u[i], h0[i], h1[i]) for i in range(3)]
+        return mean_h, flux_h
+    mean_h = ap("cmean", [h], 3)
+    return mean_h, mean_h
+
+
+def _htr_flux(h, tr_l, u, mean_h, consts, ap):
+    """h*tracer on edges for the configured FluxTracerType
+    (aux.tracer_aux): center -> cmean(h*tr); upwind -> the pair-product
+    selection."""
+    if consts[21]:
+        h0 = ap("c0", [h], 3)
+        h1 = ap("c1", [h], 3)
+        t0 = ap("c0", [tr_l], 3)
+        t1 = ap("c1", [tr_l], 3)
+        return [_upwind_sel(u[i], h0[i] * t0[i], h1[i] * t1[i])
+                for i in range(3)]
+    return ap("cmean", [h * tr_l], 3)
 
 
 def _wind_drag(du, u, mean_h, ke, wslab, consts, ap):
@@ -377,16 +412,16 @@ def _fb_compute(h, u, tr, even, tabs, consts, L, wslab=None):
 
     ap = lambda name, vals, pd: _apply(tabs[name], vals, even, pd)
 
-    # --- thickness
-    mean_h = ap("cmean", [h], 3)
-    flux = [mean_h[i] * u[i] for i in range(3)]
+    # --- thickness (center or upwind flux)
+    mean_h, flux_h = _h_fluxes(h, u, consts, ap)
+    flux = [flux_h[i] * u[i] for i in range(3)]
     dh = ap("div", flux, 1)[0]
     h_new = h + dt * (-dh)
 
-    # --- tracers (center flux + del2 + del4)
+    # --- tracers (center/upwind flux + del2 + del4)
     trn = []
     for l in range(L):
-        htr = ap("cmean", [h * tr[l]], 3)
+        htr = _htr_flux(h, tr[l], u, mean_h, consts, ap)
         adv = -ap("div", [htr[i] * u[i] for i in range(3)], 1)[0]
         ctr = ap("cdiff", [tr[l]], 3)
         d2tr = ap("signed_div",
@@ -416,8 +451,8 @@ def _fb_compute(h, u, tr, even, tabs, consts, L, wslab=None):
     del2_div = ap("div", del2_e, 1)[0]
     del2_rv = ap("curl", del2_e, 2)
 
-    mean_hn = ap("cmean", [h_new], 3)
-    F = [mean_hn[i] * u[i] for i in range(3)]
+    mean_hn, flux_hn = _h_fluxes(h_new, u, consts, ap)
+    F = [flux_hn[i] * u[i] for i in range(3)]
     tf = ap("tang", F, 3)
     tfq = ap("tang", [F[i] * q_e[i] for i in range(3)], 3)
     pv = [0.5 * (q_e[i] * tf[i] + tfq[i]) for i in range(3)]
@@ -456,15 +491,15 @@ def _tend_compute(h, u, tr, even, tabs, consts, L, wslab=None):
 
     ap = lambda name, vals, pd: _apply(tabs[name], vals, even, pd)
 
-    # --- thickness: dh = -div(mean_h u)
-    mean_h = ap("cmean", [h], 3)
-    F = [mean_h[i] * u[i] for i in range(3)]
+    # --- thickness: dh = -div(flux_h u)
+    mean_h, flux_h = _h_fluxes(h, u, consts, ap)
+    F = [flux_h[i] * u[i] for i in range(3)]
     dh = -ap("div", F, 1)[0]
 
-    # --- tracers (center flux + del2 + del4), all on level h
+    # --- tracers (center/upwind flux + del2 + del4), all on level h
     dtr = []
     for l in range(L):
-        htr = ap("cmean", [h * tr[l]], 3)
+        htr = _htr_flux(h, tr[l], u, mean_h, consts, ap)
         adv = -ap("div", [htr[i] * u[i] for i in range(3)], 1)[0]
         ctr = ap("cdiff", [tr[l]], 3)
         d2tr = ap("signed_div",
@@ -1068,9 +1103,11 @@ def _mega_args(mesh, cfg, dt):
               tc.bottom_drag_coeff if tc.bottom_drag else 0.0,
               vm.kappa_tracer if vmix else None,
               vm.kappa_momentum if vmix else None,
-              pp81)
+              pp81,
+              cfg.flux_thickness_type == "upwind",
+              cfg.flux_tracer_type == "upwind")
     names = ("div", "ke", "curl", "kite", "tang", "cdiff", "cmean",
-             "vdiff", "vmean", "signed_div")
+             "vdiff", "vmean", "signed_div", "c0", "c1")
     tabs = tuple((n, _table(mesh, n)) for n in names)
     return tabs, consts
 
@@ -1242,6 +1279,9 @@ def split_supported(mesh, cfg) -> bool:
     tc = cfg.tendencies
     return (cfg.ssh_formulation == "column"
             and supported(mesh, cfg_stacked, parity=False)
+            # the split kernels are center-flux only
+            and cfg.flux_thickness_type == "center"
+            and cfg.flux_tracer_type == "center" 
             # the split kernels predate the fused physics: wind/drag/
             # vmix configs run the composed split stepper
             and not cfg.vert_mix.enabled

@@ -164,12 +164,13 @@ def test_megastep_matches_composed_fb_step():
                       tendencies=TendencyConfig(visc_del2=1e3,
                                                 visc_del4=1e9))
     assert supported(mesh, cfg)
-    # unsupported configs must be detected (falls back to composed)
-    cfg_up = ModelConfig(nvertlayers=3, ntracers=2,
-                         flux_thickness_type="upwind",
-                         tendencies=TendencyConfig(visc_del2=1e3,
-                                                   visc_del4=1e9))
-    assert not supported(mesh, cfg_up)
+    # unsupported configs must be detected (falls back to composed);
+    # upwind is fused since round 4, FCT stays composed
+    cfg_fct = ModelConfig(nvertlayers=3, ntracers=2,
+                          flux_tracer_type="fct",
+                          tendencies=TendencyConfig(visc_del2=1e3,
+                                                    visc_del4=1e9))
+    assert not supported(mesh, cfg_fct)
 
     rng = np.random.default_rng(0)
     kx = 2 * np.pi / mesh.x_period
@@ -295,6 +296,47 @@ def test_megastep_parity_split(monkeypatch, scheme):
             "rk4": megastep.rk4_megastep}[scheme]
     comp = {"fb": forward_backward_step, "rk2": rk2_step,
             "rk4": rk4_step}[scheme]
+    ref, out = st, st
+    for _ in range(2):
+        ref = comp(mesh, cfg, ref, 0.0, 30.0)
+        out = mega(mesh, cfg, out, 0.0, 30.0, interpret=True)
+    for n in ("h", "u", "tracers"):
+        np.testing.assert_allclose(np.asarray(getattr(out, n)),
+                                   np.asarray(getattr(ref, n)),
+                                   rtol=1e-10, atol=1e-10, err_msg=n)
+
+
+@pytest.mark.parametrize("scheme", ["fb", "rk2"])
+def test_megastep_upwind_fluxes_match_composed(scheme):
+    """Upwind thickness AND tracer fluxes fused in-kernel (the
+    reference's FluxThicknessType/FluxTracerType 'Upwind' options,
+    LayerThicknessAuxVars.h / TracerAuxVars.h pair-selection): exact vs
+    the composed steppers."""
+    from omega_tpu.core import ModelConfig, ModelState, TendencyConfig
+    from omega_tpu.ops import megastep
+    from omega_tpu.stepping import forward_backward_step, rk2_step
+
+    mesh = planar_hex_mesh(32, 16, dc=5000.0, f0=1e-4, bottom_depth=1000.0)
+    K = 3
+    cfg = ModelConfig(nvertlayers=K, ntracers=2,
+                      flux_thickness_type="upwind",
+                      flux_tracer_type="upwind",
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e9))
+    assert megastep.supported(mesh, cfg,
+                              kind="rk2" if scheme == "rk2" else "fb")
+
+    rng = np.random.default_rng(37)
+    kx = 2 * np.pi / mesh.x_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / K) * jnp.ones((1, K))
+    st = ModelState(
+        h=h, u=jnp.asarray(0.1 * rng.standard_normal((mesh.nedges, K))),
+        tracers=jnp.asarray(10.0 + rng.standard_normal((2, mesh.ncells,
+                                                        K))))
+    mega = {"fb": megastep.fb_megastep,
+            "rk2": megastep.rk2_megastep}[scheme]
+    comp = {"fb": forward_backward_step, "rk2": rk2_step}[scheme]
     ref, out = st, st
     for _ in range(2):
         ref = comp(mesh, cfg, ref, 0.0, 30.0)
