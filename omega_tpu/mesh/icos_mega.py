@@ -336,6 +336,10 @@ def _table_specs(mesh):
         ("kite", a("cells_on_vertex"), "vertex", "cell", a("w_kite_frac")),
         ("tang", a("edges_on_edge"), "edge", "edge", a("weights_on_edge")),
         ("cmean", coe, "edge", "cell", np.full((E, 2), 0.5)),
+        # upwind pair slots (same source availability as cmean, so the
+        # center-chain validity masks cover the upwind variants exactly)
+        ("c0", coe[:, :1], "edge", "cell", np.ones((E, 1))),
+        ("c1", coe[:, 1:2], "edge", "cell", np.ones((E, 1))),
         ("cdiff", coe, "edge", "cell", diff),
         ("cgrad", coe, "edge", "cell", diff / dc[:, None]),
         ("vgrad", voe, "edge", "vertex", diff / dv[:, None]),
@@ -388,10 +392,18 @@ def _const_planes(mesh, content):
 # (flagship config: center fluxes, stacked ssh, all standard terms, no
 # wind/drag/vmix).
 
-def _pre_ops():
-    return [
-        ("mean_h", "st", "cmean", "h"),
-        ("flux", "ew", "mul", "mean_h", "u"),
+def _pre_ops(uw_h=False, uw_tr=False):
+    if uw_h or uw_tr:
+        ops = [("h0", "st", "c0", "h"), ("h1", "st", "c1", "h"),
+               ("mean_h", "ew", "mean2", "h0", "h1")]
+    else:
+        ops = [("mean_h", "st", "cmean", "h")]
+    if uw_h:
+        ops += [("flux_h", "ew", "upwind", "u", "h0", "h1")]
+    else:
+        ops += [("flux_h", "ew", "copy", "mean_h")]
+    return ops + [
+        ("flux", "ew", "mul", "flux_h", "u"),
         ("dh", "st", "div", "flux"),
         # masked velocity for the tracer advective flux (tendencies.py
         # `h_tracers_edge * (mask * u)`); on land-free meshes the mask
@@ -400,11 +412,21 @@ def _pre_ops():
     ]
 
 
-def _tracer_tend_ops(l: int):
+def _tracer_tend_ops(l: int, uw_tr=False):
     t = f"tr{l}"
-    return [
-        (f"htr{l}", "ew", "mul", "h", t),
-        (f"htre{l}", "st", "cmean", f"htr{l}"),
+    if uw_tr:
+        adv_ops = [
+            (f"t0{l}", "st", "c0", t),
+            (f"t1{l}", "st", "c1", t),
+            (f"htre{l}", "ew", "upwind_prod", "u", "h0", f"t0{l}",
+             "h1", f"t1{l}"),
+        ]
+    else:
+        adv_ops = [
+            (f"htr{l}", "ew", "mul", "h", t),
+            (f"htre{l}", "st", "cmean", f"htr{l}"),
+        ]
+    return adv_ops + [
         (f"hflux{l}", "ew", "mul", f"htre{l}", "u_m"),
         (f"adv{l}", "st", "div", f"hflux{l}"),
         (f"ctr{l}", "st", "cdiff", t),
@@ -418,15 +440,24 @@ def _tracer_tend_ops(l: int):
     ]
 
 
-def _vel_tend_ops(hv: str, ssh: str = "stacked"):
+def _vel_tend_ops(hv: str, ssh: str = "stacked", uw_h=False):
     # velocity section ordered to MINIMIZE the peak VMEM live set: du
     # accumulates term by term and every operand dies right after its
     # contribution (the kernel frees dead chain values by liveness).
     # `hv` is the thickness feeding the momentum terms: "h_new" for the
     # forward-backward stepper, "h" for RK stages (where mean_hn is a
     # free alias of the already-computed mean_h)
-    mean_hn = (("mean_hn", "st", "cmean", hv) if hv != "h"
-               else ("mean_hn", "ew", "copy", "mean_h"))
+    if hv == "h":
+        # flux_h / mean_h already computed by _pre_ops
+        pre_hn = [("mean_hn", "ew", "copy", "mean_h"),
+                  ("flux_hn", "ew", "copy", "flux_h")]
+    elif uw_h:
+        pre_hn = [("hn0", "st", "c0", hv), ("hn1", "st", "c1", hv),
+                  ("mean_hn", "ew", "mean2", "hn0", "hn1"),
+                  ("flux_hn", "ew", "upwind", "u", "hn0", "hn1")]
+    else:
+        pre_hn = [("mean_hn", "st", "cmean", hv),
+                  ("flux_hn", "ew", "copy", "mean_hn")]
     if ssh == "column":
         # true shared free surface (cfg.ssh_formulation='column'): the
         # pressure gradient reads ssh = sum_k h - depth, one lane-sum
@@ -442,8 +473,8 @@ def _vel_tend_ops(hv: str, ssh: str = "stacked"):
         ("rvort", "st", "curl", "u"),
         ("qv", "ew", "q_vertex", "rvort", "$f_vertex", "h_v"),
         ("q_e", "st", "vmean", "qv"),
-        mean_hn,
-        ("F", "ew", "mul", "mean_hn", "u"),
+        *pre_hn,
+        ("F", "ew", "mul", "flux_hn", "u"),
         ("Fq", "ew", "mul", "F", "q_e"),
         ("tf", "st", "tang", "F"),
         ("tfq", "st", "tang", "Fq"),
@@ -495,17 +526,19 @@ def _vmix_ops(L: int):
     return ops
 
 
-def fb_chain(L: int, wind=False, drag=False, vmix=False):
-    pre = _pre_ops()
-    ops = pre[:3] + [
+def fb_chain(L: int, wind=False, drag=False, vmix=False,
+             uw_h=False, uw_tr=False):
+    pre = _pre_ops(uw_h, uw_tr)
+    nsplit = len(pre) - 1                 # ops through "dh" (u_m after)
+    ops = pre[:nsplit] + [
         ("h_new", "ew", "axpy", "h", -1.0, "dh"),     # h - dt*dh (dt folded)
-    ] + pre[3:]
+    ] + pre[nsplit:]
     for l in range(L):
-        ops += _tracer_tend_ops(l) + [
+        ops += _tracer_tend_ops(l, uw_tr) + [
             (f"trn{l}", "ew", "tracer_update", f"tr{l}", "h", f"dtr{l}",
              "h_new"),
         ]
-    ops += _vel_tend_ops("h_new") + _phys_ops(wind, drag) + [
+    ops += _vel_tend_ops("h_new", uw_h=uw_h) + _phys_ops(wind, drag) + [
         # every momentum term carries the edge mask in the composed
         # chain (tendencies.py velocity_tendency); with mask in {0, 1}
         # gating the accumulated du once is bit-identical (and covers
@@ -546,7 +579,7 @@ def split_post_chain(L: int):
 
 
 def rk2_stage_chain(L: int, base: str, coef: float, wind=False,
-                    drag=False, vmix=False):
+                    drag=False, vmix=False, uw_h=False, uw_tr=False):
     """One RK2 stage (stepping.steppers.rk2_step): ALL tendencies at the
     in-kernel state (h, u, tr*) — unlike the forward-backward chain the
     momentum terms read the SAME h — then the state update from the
@@ -561,10 +594,10 @@ def rk2_stage_chain(L: int, base: str, coef: float, wind=False,
     unchanged (both stages have radius <= the FB chain's, so the FB
     masks are a conservative-correct exactness bound)."""
     b = base
-    ops = list(_pre_ops())
+    ops = list(_pre_ops(uw_h, uw_tr))
     for l in range(L):
-        ops += _tracer_tend_ops(l)
-    ops += _vel_tend_ops("h") + _phys_ops(wind, drag)
+        ops += _tracer_tend_ops(l, uw_tr)
+    ops += _vel_tend_ops("h", uw_h=uw_h) + _phys_ops(wind, drag)
     ops += [("h_new", "ew", "axpy", f"h{b}", -coef, "dh")]
     for l in range(L):
         ops += [(f"trn{l}", "ew", "tracer_updc", f"tr{b}{l}" if b
@@ -580,7 +613,7 @@ _RKB = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 
 
 def rk4_stage_chain(L: int, stage: int, wind=False, drag=False,
-                    vmix=False):
+                    vmix=False, uw_h=False, uw_tr=False):
     """One classic-RK4 stage (stepping.steppers.rk4_step): k_s = ALL
     tendencies at the in-kernel state (h, u, tr*) — stage 1's in-kernel
     state IS the original; stages 2-4 read the refreshed provisional,
@@ -589,10 +622,10 @@ def rk4_stage_chain(L: int, stage: int, wind=False, drag=False,
     (named h_new/u_new/trn{l} so the FB exactness masks and refresh maps
     apply) plus the updated accumulator (h_acc/u_acc/tracc{l},
     thickness-weighted tracers); stage 4 emits the final state."""
-    ops = list(_pre_ops())
+    ops = list(_pre_ops(uw_h, uw_tr))
     for l in range(L):
-        ops += _tracer_tend_ops(l)
-    ops += _vel_tend_ops("h") + _phys_ops(wind, drag)
+        ops += _tracer_tend_ops(l, uw_tr)
+    ops += _vel_tend_ops("h", uw_h=uw_h) + _phys_ops(wind, drag)
     b = "" if stage == 1 else "0"
     rb = _RKB[stage - 1]
     if stage < 4:
@@ -643,14 +676,16 @@ CLASS_OF = {"h": "cell", "u": "edge", "u_m": "edge",
             "tfq": "edge", "gke": "edge", "gh": "edge", "cd4": "edge",
             "vd4": "edge", "du": "edge", "u_new": "edge",
             "kee": "edge", "he_new": "edge",
-            "sshc": "cell", "du_out": "edge"}
+            "sshc": "cell", "du_out": "edge",
+            "h0": "edge", "h1": "edge", "hn0": "edge", "hn1": "edge",
+            "flux_h": "edge", "flux_hn": "edge"}
 
 
 def chain_class(name: str) -> str:
     if name in CLASS_OF:
         return CLASS_OF[name]
     for pre, cls in (("tr", "cell"), ("tra", "cell"), ("tracc", "cell"),
-                     ("tr0", "cell"),
+                     ("tr0", "cell"), ("t0", "edge"), ("t1", "edge"),
                      ("htre", "edge"), ("hflux", "edge"),
                      ("htr", "cell"), ("adv", "cell"), ("ctr", "edge"),
                      ("mc", "edge"), ("d2aux", "cell"), ("diff2", "cell"),

@@ -83,8 +83,8 @@ def supported(mesh, cfg) -> bool:
         return False        # PP81 (planar-fused only) / Thomas composed
     if _vmix_on(cfg) and MH < 7:
         return False        # radius-7 vmix chain needs the full margin
-    return (cfg.flux_thickness_type == "center"
-            and cfg.flux_tracer_type == "center"
+    return (cfg.flux_thickness_type in ("center", "upwind")
+            and cfg.flux_tracer_type in ("center", "upwind")
             and cfg.ssh_formulation == "stacked"
             and tc.thickness_flux_div and tc.pv_advection and tc.ke_gradient
             and tc.ssh_gradient and tc.velocity_diffusion
@@ -639,6 +639,17 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
                     for acc, dtr, hn in zip(v(a[0]), v(a[1]), v(a[2]))]
         if fn == "copy":            # free alias
             return list(v(a[0]))
+        if fn == "mean2":           # 0.5 * (a + b)
+            return [0.5 * (x + y) for x, y in zip(v(a[0]), v(a[1]))]
+        if fn == "upwind":          # sel(u, a, b) (aux upwind flux)
+            from omega_tpu.ops.megastep import _upwind_sel
+            return [_upwind_sel(u_, x, y)
+                    for u_, x, y in zip(v(a[0]), v(a[1]), v(a[2]))]
+        if fn == "upwind_prod":     # sel(u, a*b, c*d) (tracer upwind)
+            from omega_tpu.ops.megastep import _upwind_sel
+            return [_upwind_sel(u_, x * y, z * w_)
+                    for u_, x, y, z, w_ in zip(v(a[0]), v(a[1]), v(a[2]),
+                                               v(a[3]), v(a[4]))]
         if fn == "q_vertex":        # (rvort + f) / h_v
             fv = cval(a[1][1:], 2)
             return [_safe_div(rv + f, hv)
@@ -733,20 +744,24 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
     YY, XX = byy + 2 * R, byx + 2 * R
     NP = f_hbm.shape[1]     # 10 on one device; a subset under sharding
     B = 4 + L
-    wind, drag, vmix = phys
+    phys = tuple(phys) + (False,) * (5 - len(phys))
+    wind, drag, vmix, uw_h, uw_tr = phys
     outputs, in_blocks = None, ("",)
     out_map = dict({"h_new": 0, "u_new": 1},
                    **{f"trn{l}": 4 + l for l in range(L)})
     if chain_kind in ("rk2a", "rk2b"):
         from omega_tpu.mesh.icos_mega import rk2_stage_chain
-        chain_ops = (rk2_stage_chain(L, "", 0.5, wind, drag, vmix)
+        chain_ops = (rk2_stage_chain(L, "", 0.5, wind, drag, vmix,
+                                     uw_h, uw_tr)
                      if chain_kind == "rk2a"
-                     else rk2_stage_chain(L, "0", 1.0, wind, drag, vmix))
+                     else rk2_stage_chain(L, "0", 1.0, wind, drag, vmix,
+                                          uw_h, uw_tr))
         in_blocks = ("",) if chain_kind == "rk2a" else ("", "0")
     elif chain_kind.startswith("rk4s"):
         from omega_tpu.mesh.icos_mega import rk4_stage_chain
         stage = int(chain_kind[4:])
-        chain_ops = rk4_stage_chain(L, stage, wind, drag, vmix)
+        chain_ops = rk4_stage_chain(L, stage, wind, drag, vmix,
+                                    uw_h, uw_tr)
         in_blocks = ("",) if stage == 1 else ("", "0", "_a")
         if stage < 4:
             outputs = (list(out_map) + ["h_acc", "u_acc"]
@@ -766,7 +781,7 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
                                         for l in range(L)})
         outputs = list(out_map)
     else:
-        chain_ops = fb_chain(L, wind, drag, vmix)
+        chain_ops = fb_chain(L, wind, drag, vmix, uw_h, uw_tr)
     # outputs that a LATER chain op reads must stay in vals after
     # sinking (fb: the tracer updates read h_new; vmix re-reads all)
     keep = set()
@@ -1023,8 +1038,10 @@ def _run_kernel(p, cfg, frames, dt, L, interpret, chain_kind="fb",
               tc.bottom_drag_coeff if tc.bottom_drag else 0.0,
               vm.kappa_tracer if vmix else None,
               vm.kappa_momentum if vmix else None)
-    phys = (wind is not None, bool(tc.bottom_drag and
-                                   tc.bottom_drag_coeff != 0.0), vmix)
+    phys = (wind is not None,
+            bool(tc.bottom_drag and tc.bottom_drag_coeff != 0.0), vmix,
+            cfg.flux_thickness_type == "upwind",
+            cfg.flux_tracer_type == "upwind")
     trim = os.environ.get("OMEGA_PATCH_LANETRIM", "0") == "1"
     return _call(frames, p.planes if wind is None else wind[0],
                  p.block_class,
@@ -1392,6 +1409,9 @@ def split_patch_supported(mesh, cfg) -> bool:
     return (cfg.ssh_formulation == "column"
             and supported(mesh, dataclasses.replace(
                 cfg, ssh_formulation="stacked"))
+            # center fluxes only (the flat phase + splitpost chain)
+            and cfg.flux_thickness_type == "center"
+            and cfg.flux_tracer_type == "center"
             and not cfg.vert_mix.enabled
             and not tc.wind_forcing and not tc.bottom_drag)
 

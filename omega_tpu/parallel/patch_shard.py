@@ -228,7 +228,9 @@ def make_patch_sharded_run(mesh, cfg: ModelConfig, nshards: int,
                   vm.kappa_momentum if vmix else None)
         phys = (wb is not None,
                 bool(tc.bottom_drag and tc.bottom_drag_coeff != 0.0),
-                vmix)
+                vmix,
+                cfg.flux_thickness_type == "upwind",
+                cfg.flux_tracer_type == "upwind")
 
         gc, ge = plan.groups["cell"], plan.groups["edge"]
         in_specs = (P(None, "dev"),) + (P("dev"),) * 6 + (P(),)

@@ -389,3 +389,41 @@ def test_patch_megastep_framed_carry(pmesh, monkeypatch):
         b = np.asarray(getattr(st, fld))
         scale = np.max(np.abs(b)) + 1e-300
         assert np.max(np.abs(a - b)) / scale < 1e-13, fld
+
+
+def test_patch_megastep_upwind_matches_composed(pmesh, monkeypatch):
+    """Upwind thickness/tracer fluxes fused on the SPHERE chain: the
+    c0/c1 pair tables have the same source availability as cmean, so
+    the center validity masks cover them exactly; result matches the
+    composed upwind stepper to rounding, poles included."""
+    from omega_tpu.ops import patch_megastep
+    from omega_tpu.stepping.steppers import forward_backward_step
+
+    K, L = 3, 1
+    cfg = ModelConfig(nvertlayers=K, ntracers=L,
+                      flux_thickness_type="upwind",
+                      flux_tracer_type="upwind",
+                      tendencies=TendencyConfig(visc_del2=1.0e3,
+                                                visc_del4=1.0e9))
+    assert patch_megastep.supported(pmesh, cfg)
+    state = _initial_state(pmesh, K, L)
+    rng = np.random.default_rng(53)
+    u0 = 0.1 * rng.standard_normal((pmesh.nedges, K))
+    u0 *= np.asarray(pmesh.edge_mask)[:, None]
+    state = ModelState(h=state.h, u=jnp.asarray(u0),
+                       tracers=state.tracers)
+
+    monkeypatch.setenv("OMEGA_PATCH_MEGA", "1")
+    on = state
+    for i in range(2):
+        on = patch_megastep.fb_patch_megastep(pmesh, cfg, on, i * 60.0,
+                                              60.0, interpret=True)
+    monkeypatch.setenv("OMEGA_PATCH_MEGA", "0")
+    monkeypatch.setenv("OMEGA_PATCHES", "0")
+    off = state
+    for i in range(2):
+        off = forward_backward_step(pmesh, cfg, off, i * 60.0, 60.0)
+    for fld in ("h", "u", "tracers"):
+        a, b = np.asarray(getattr(on, fld)), np.asarray(getattr(off, fld))
+        scale = np.max(np.abs(b)) + 1e-300
+        assert np.max(np.abs(a - b)) / scale < 1e-12, fld
