@@ -514,20 +514,47 @@ def _phys_ops(wind: bool, drag: bool):
     return ops
 
 
-def _vmix_ops(L: int):
+def _vmix_ops(L: int, pp81=None):
     """Operator-split implicit vertical mixing on the updated state
-    (steppers._mix, constant coefficients): a lane-axis PCR per output
+    (steppers._mix): a lane-axis PCR per output
     (base/TriDiagSolvers.h PCRDiffusionSolver).  he_new = cmean(h_new)
-    adds ONE chain radius at the end (<= MH slack)."""
-    ops = [("he_new", "st", "cmean", "h_new"),
-           ("u_new", "ew", "vmix_u", "u_new", "he_new")]
+    adds ONE chain radius at the end (<= MH slack).  pp81 = (ti, si)
+    selects the Richardson-number closure: the coefficient fields
+    (core/vmix.pp81_coefficients) are elementwise lane ops + two cmean
+    + one ke sweep over the updated state — same radius-7 budget."""
+    ops = [("he_new", "st", "cmean", "h_new")]
+    if pp81 is not None:
+        ti, si = pp81
+        ops += [
+            ("duv", "ew", "lanediff", "u_new"),
+            ("dze", "ew", "dzhalf", "h_new"),
+        ]
+        if ti >= 0 and si >= 0:
+            ops += [("n2c", "ew", "pp_n2", f"trn{ti}", f"trn{si}",
+                     "dze")]
+        else:
+            ops += [("n2c", "ew", "zero_like", "dze")]
+        ops += [
+            ("dzee", "st", "cmean", "dze"),
+            ("du2", "ew", "mul", "duv", "duv"),
+            ("keduv", "st", "ke", "du2"),
+            ("kapc", "ew", "pp_kc", "n2c", "keduv", "dze"),
+            ("n2e", "st", "cmean", "n2c"),
+            ("nue", "ew", "pp_ne", "n2e", "duv", "dzee"),
+            ("u_new", "ew", "vmix_u_arr", "u_new", "he_new", "nue"),
+        ]
+        for l in range(L):
+            ops += [(f"trn{l}", "ew", "vmix_c_arr", f"trn{l}", "h_new",
+                     "kapc")]
+        return ops
+    ops += [("u_new", "ew", "vmix_u", "u_new", "he_new")]
     for l in range(L):
         ops += [(f"trn{l}", "ew", "vmix_c", f"trn{l}", "h_new")]
     return ops
 
 
 def fb_chain(L: int, wind=False, drag=False, vmix=False,
-             uw_h=False, uw_tr=False):
+             uw_h=False, uw_tr=False, pp=None):
     pre = _pre_ops(uw_h, uw_tr)
     nsplit = len(pre) - 1                 # ops through "dh" (u_m after)
     ops = pre[:nsplit] + [
@@ -546,7 +573,7 @@ def fb_chain(L: int, wind=False, drag=False, vmix=False,
         ("u_new", "ew", "axpy_m", "u", 1.0, "du", "$edge_mask"),
     ]
     if vmix:
-        ops += _vmix_ops(L)
+        ops += _vmix_ops(L, pp)
     return ops
 
 
@@ -579,7 +606,8 @@ def split_post_chain(L: int):
 
 
 def rk2_stage_chain(L: int, base: str, coef: float, wind=False,
-                    drag=False, vmix=False, uw_h=False, uw_tr=False):
+                    drag=False, vmix=False, uw_h=False, uw_tr=False,
+                    pp=None):
     """One RK2 stage (stepping.steppers.rk2_step): ALL tendencies at the
     in-kernel state (h, u, tr*) — unlike the forward-backward chain the
     momentum terms read the SAME h — then the state update from the
@@ -604,7 +632,7 @@ def rk2_stage_chain(L: int, base: str, coef: float, wind=False,
                  else f"tr{l}", f"h{b}", f"dtr{l}", "h_new", coef)]
     ops += [("u_new", "ew", "axpy_m", f"u{b}", coef, "du", "$edge_mask")]
     if vmix and b:          # the final stage updates the full step
-        ops += _vmix_ops(L)
+        ops += _vmix_ops(L, pp)
     return ops
 
 
@@ -613,7 +641,7 @@ _RKB = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 
 
 def rk4_stage_chain(L: int, stage: int, wind=False, drag=False,
-                    vmix=False, uw_h=False, uw_tr=False):
+                    vmix=False, uw_h=False, uw_tr=False, pp=None):
     """One classic-RK4 stage (stepping.steppers.rk4_step): k_s = ALL
     tendencies at the in-kernel state (h, u, tr*) — stage 1's in-kernel
     state IS the original; stages 2-4 read the refreshed provisional,
@@ -659,7 +687,7 @@ def rk4_stage_chain(L: int, stage: int, wind=False, drag=False,
         ops += [("u_new", "ew", "axpy_m", "u_a", rb, "du",
                  "$edge_mask")]
         if vmix:
-            ops += _vmix_ops(L)
+            ops += _vmix_ops(L, pp)
     return ops
 
 
@@ -678,7 +706,10 @@ CLASS_OF = {"h": "cell", "u": "edge", "u_m": "edge",
             "kee": "edge", "he_new": "edge",
             "sshc": "cell", "du_out": "edge",
             "h0": "edge", "h1": "edge", "hn0": "edge", "hn1": "edge",
-            "flux_h": "edge", "flux_hn": "edge"}
+            "flux_h": "edge", "flux_hn": "edge",
+            "duv": "edge", "dze": "cell", "n2c": "cell", "dzee": "edge",
+            "du2": "edge", "keduv": "cell", "kapc": "cell",
+            "n2e": "edge", "nue": "edge"}
 
 
 def chain_class(name: str) -> str:
@@ -753,7 +784,8 @@ def chain_validity(tables: Dict[str, MegaTable], content, resolved,
     # copy of the same element is the identity.  MH < 7 cannot hold the
     # radius-7 vmix chain at all (no position would validate), so the
     # masks drop it and supported() routes vmix configs composed.
-    for op in fb_chain(L, wind=True, drag=True, vmix=MH >= 7):
+    for op in fb_chain(L, wind=True, drag=True, vmix=MH >= 7,
+                       pp=(0, min(1, L - 1)) if MH >= 7 else None):
         name, kind = op[0], op[1]
         if kind == "st":
             tab = tables[op[2]]

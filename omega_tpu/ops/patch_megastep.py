@@ -78,9 +78,8 @@ def supported(mesh, cfg) -> bool:
     if not patch_stencil.enabled(mesh):
         return False
     from omega_tpu.ops.megastep import _vmix_on
-    if cfg.vert_mix.enabled and (not _vmix_on(cfg)
-                                 or cfg.vert_mix.scheme != "constant"):
-        return False        # PP81 (planar-fused only) / Thomas composed
+    if cfg.vert_mix.enabled and not _vmix_on(cfg):
+        return False        # the Thomas method stays composed
     if _vmix_on(cfg) and MH < 7:
         return False        # radius-7 vmix chain needs the full margin
     return (cfg.flux_thickness_type in ("center", "upwind")
@@ -697,17 +696,60 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
         if fn == "gssh_col":        # du - g * gh (column free surface)
             return [du - grav * gh
                     for du, gh in zip(v(a[0]), v(a[1]))]
-        if fn in ("vmix_u", "vmix_c"):  # backward-Euler PCR along lanes
+        if fn in ("vmix_u", "vmix_c", "vmix_u_arr", "vmix_c_arr"):
+            # backward-Euler PCR along lanes; *_arr take the kappa field
+            # as a chain value (PP81), else constant coefficients
             K_, kt, km = consts[7], consts[10], consts[11]
-            kappa = km if fn == "vmix_u" else kt
             phis, hs = v(a[0]), v(a[1])
+            if fn.endswith("_arr"):
+                kaps = v(a[2])
+            else:
+                kaps = [km if fn == "vmix_u" else kt] * len(phis)
             outs = []
-            for phi, hh in zip(phis, hs):
+            for phi, hh, kappa in zip(phis, hs, kaps):
                 dz = 0.5 * (hh + _shift_lane(hh, +1, 1.0))
                 g = jnp.where(_lane(hh) < K_ - 1, dt * kappa / dz, 0.0)
                 hmass = jnp.where(_lane(hh) < K_, hh, 1.0)
                 b = jnp.where(_lane(hh) < K_, hh * phi, 0.0)
                 outs.extend(_pcr_diffusion(g, hmass, [b]))
+            return outs
+        # ---- PP81 coefficient ops (core/vmix.pp81_coefficients) ----
+        if fn == "lanediff":        # u_k - u_{k+1}
+            return [x - _shift_lane(x, +1, 0.0) for x in v(a[0])]
+        if fn == "dzhalf":          # 0.5 * (h_k + h_{k+1})
+            return [0.5 * (x + _shift_lane(x, +1, 1.0)) for x in v(a[0])]
+        if fn == "zero_like":
+            return [jnp.zeros_like(x) for x in v(a[0])]
+        if fn == "pp_n2":           # max(g*(aT dT - bS dS)/dz, 0), hole-safe
+            (_, _, _, a_t, b_s, _, _) = consts[12]
+            outs = []
+            for T, S_, dz in zip(v(a[0]), v(a[1]), v(a[2])):
+                db = grav * (a_t * (T - _shift_lane(T, +1, 0.0))
+                             - b_s * (S_ - _shift_lane(S_, +1, 0.0)))
+                # the safe-div guard keeps holes finite: n2 feeds a
+                # cmean stencil, and 0-weight * NaN poisons valid sums
+                outs.append(jnp.maximum(
+                    jnp.where(dz != 0, db / jnp.where(dz != 0, dz, 1.0),
+                              0.0), 0.0))
+            return outs
+        if fn == "pp_kc":           # kappa_cell from (n2, ke(du), dz)
+            (nu0, alpha, n_exp, _, _, kt0, _) = consts[12]
+            outs = []
+            for n2, ke_, dz in zip(v(a[0]), v(a[1]), v(a[2])):
+                shear2 = 2.0 * ke_ / (dz * dz)
+                ri = n2 / jnp.maximum(shear2, 1.0e-16)
+                f = 1.0 + alpha * jnp.maximum(ri, 0.0)
+                nu = nu0 / f ** n_exp
+                outs.append(nu / f + kt0)
+            return outs
+        if fn == "pp_ne":           # nu_edge from (n2_e, du, dz_e)
+            (nu0, alpha, n_exp, _, _, _, km0) = consts[12]
+            outs = []
+            for n2, du_, dz in zip(v(a[0]), v(a[1]), v(a[2])):
+                shear2 = (du_ / dz) ** 2
+                ri = n2 / jnp.maximum(shear2, 1.0e-16)
+                f = 1.0 + alpha * jnp.maximum(ri, 0.0)
+                outs.append(nu0 / f ** n_exp + km0)
             return outs
         raise ValueError(fn)
 
@@ -744,24 +786,27 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
     YY, XX = byy + 2 * R, byx + 2 * R
     NP = f_hbm.shape[1]     # 10 on one device; a subset under sharding
     B = 4 + L
-    phys = tuple(phys) + (False,) * (5 - len(phys))
-    wind, drag, vmix, uw_h, uw_tr = phys
+    phys = tuple(phys) + (False,) * (5 - len(phys)) \
+        if len(phys) < 5 else tuple(phys)
+    if len(phys) == 5:
+        phys = phys + (None,)
+    wind, drag, vmix, uw_h, uw_tr, pp = phys
     outputs, in_blocks = None, ("",)
     out_map = dict({"h_new": 0, "u_new": 1},
                    **{f"trn{l}": 4 + l for l in range(L)})
     if chain_kind in ("rk2a", "rk2b"):
         from omega_tpu.mesh.icos_mega import rk2_stage_chain
         chain_ops = (rk2_stage_chain(L, "", 0.5, wind, drag, vmix,
-                                     uw_h, uw_tr)
+                                     uw_h, uw_tr, pp)
                      if chain_kind == "rk2a"
                      else rk2_stage_chain(L, "0", 1.0, wind, drag, vmix,
-                                          uw_h, uw_tr))
+                                          uw_h, uw_tr, pp))
         in_blocks = ("",) if chain_kind == "rk2a" else ("", "0")
     elif chain_kind.startswith("rk4s"):
         from omega_tpu.mesh.icos_mega import rk4_stage_chain
         stage = int(chain_kind[4:])
         chain_ops = rk4_stage_chain(L, stage, wind, drag, vmix,
-                                    uw_h, uw_tr)
+                                    uw_h, uw_tr, pp)
         in_blocks = ("",) if stage == 1 else ("", "0", "_a")
         if stage < 4:
             outputs = (list(out_map) + ["h_acc", "u_acc"]
@@ -781,7 +826,7 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
                                         for l in range(L)})
         outputs = list(out_map)
     else:
-        chain_ops = fb_chain(L, wind, drag, vmix, uw_h, uw_tr)
+        chain_ops = fb_chain(L, wind, drag, vmix, uw_h, uw_tr, pp)
     # outputs that a LATER chain op reads must stay in vals after
     # sinking (fb: the tracer updates read h_new; vmix re-reads all)
     keep = set()
@@ -984,7 +1029,8 @@ def _call(frames, planes, block_class, *, class_lists, const_idx, consts,
         # the chain's live set + double-buffered slabs exceed the 16MB
         # default scoped budget; v5e VMEM is large enough for ~2x that
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+            vmem_limit_bytes=int(os.environ.get(
+                "OMEGA_PATCH_VMEM_MB", "127")) * 1024 * 1024),
         interpret=interpret,
     )(frames, planes, block_class)
 
@@ -1031,17 +1077,25 @@ def _run_kernel(p, cfg, frames, dt, L, interpret, chain_kind="fb",
     tc = cfg.tendencies
     vm = cfg.vert_mix
     vmix = _vmix_on(cfg)
+    pp_params = None
+    pp_idx = None
+    if vmix and vm.scheme == "pp81":
+        pp_params = (vm.nu0, vm.alpha, vm.n_exp, vm.eos_alpha_t,
+                     vm.eos_beta_s, vm.kappa_tracer, vm.kappa_momentum)
+        pp_idx = (vm.temp_index, vm.salt_index)
     consts = (float(dt), cfg.gravity, tc.visc_del2, tc.visc_del4,
               tc.div_factor, tc.eddy_diff2, tc.eddy_diff4,
-              # physics block (consts[7:12])
+              # physics block (consts[7:12]; [12] = PP81 params)
               cfg.nvertlayers, tc.density0,
               tc.bottom_drag_coeff if tc.bottom_drag else 0.0,
               vm.kappa_tracer if vmix else None,
-              vm.kappa_momentum if vmix else None)
+              vm.kappa_momentum if vmix else None,
+              pp_params)
     phys = (wind is not None,
             bool(tc.bottom_drag and tc.bottom_drag_coeff != 0.0), vmix,
             cfg.flux_thickness_type == "upwind",
-            cfg.flux_tracer_type == "upwind")
+            cfg.flux_tracer_type == "upwind",
+            pp_idx)
     trim = os.environ.get("OMEGA_PATCH_LANETRIM", "0") == "1"
     return _call(frames, p.planes if wind is None else wind[0],
                  p.block_class,

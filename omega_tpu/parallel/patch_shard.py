@@ -220,17 +220,25 @@ def make_patch_sharded_run(mesh, cfg: ModelConfig, nshards: int,
         tc = cfg.tendencies
         vm = cfg.vert_mix
         vmix = _vmix_on(cfg)
+        pp_params, pp_idx = None, None
+        if vmix and vm.scheme == "pp81":
+            pp_params = (vm.nu0, vm.alpha, vm.n_exp, vm.eos_alpha_t,
+                         vm.eos_beta_s, vm.kappa_tracer,
+                         vm.kappa_momentum)
+            pp_idx = (vm.temp_index, vm.salt_index)
         consts = (float(dt), cfg.gravity, tc.visc_del2, tc.visc_del4,
                   tc.div_factor, tc.eddy_diff2, tc.eddy_diff4,
                   cfg.nvertlayers, tc.density0,
                   tc.bottom_drag_coeff if tc.bottom_drag else 0.0,
                   vm.kappa_tracer if vmix else None,
-                  vm.kappa_momentum if vmix else None)
+                  vm.kappa_momentum if vmix else None,
+                  pp_params)
         phys = (wb is not None,
                 bool(tc.bottom_drag and tc.bottom_drag_coeff != 0.0),
                 vmix,
                 cfg.flux_thickness_type == "upwind",
-                cfg.flux_tracer_type == "upwind")
+                cfg.flux_tracer_type == "upwind",
+                pp_idx)
 
         gc, ge = plan.groups["cell"], plan.groups["edge"]
         in_specs = (P(None, "dev"),) + (P("dev"),) * 6 + (P(),)

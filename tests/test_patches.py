@@ -427,3 +427,52 @@ def test_patch_megastep_upwind_matches_composed(pmesh, monkeypatch):
         a, b = np.asarray(getattr(on, fld)), np.asarray(getattr(off, fld))
         scale = np.max(np.abs(b)) + 1e-300
         assert np.max(np.abs(a - b)) / scale < 1e-12, fld
+
+
+def test_patch_megastep_pp81_matches_composed(pmesh, monkeypatch):
+    """PP81 vertical mixing fused on the SPHERE chain: the coefficient
+    fields run as chain ops (lane diffs + two cmean + one ke sweep over
+    the updated state, radius-7 budget), feeding per-lane G arrays to
+    the lane-axis PCR — exact vs the composed stepper's _mix, poles
+    included."""
+    from omega_tpu.core import VertMixConfig
+    from omega_tpu.core.state import ModelState as MS
+    from omega_tpu.ops import patch_megastep
+    from omega_tpu.stepping.steppers import forward_backward_step
+
+    K, L = 4, 2
+    cfg = ModelConfig(
+        nvertlayers=K, ntracers=L,
+        vert_mix=VertMixConfig(enabled=True, scheme="pp81",
+                               nu0=1e-2, alpha=5.0, n_exp=2,
+                               temp_index=0, salt_index=1),
+        tendencies=TendencyConfig(visc_del2=1.0e3, visc_del4=1.0e9))
+    assert patch_megastep.supported(pmesh, cfg)
+    rng = np.random.default_rng(61)
+    d0 = float(np.asarray(pmesh.bottom_depth)[0])
+    sshp = np.sin(2 * np.asarray(pmesh.lat_cell))
+    h = jnp.asarray((d0 + 100.0 * sshp[:, None]) / K) * jnp.ones((1, K))
+    u0 = 0.1 * rng.standard_normal((pmesh.nedges, K)) \
+        * np.asarray(pmesh.edge_mask)[:, None]
+    T = 10.0 + 2.0 * np.arange(K)[::-1] / K \
+        + 0.1 * rng.standard_normal((pmesh.ncells, K))
+    S = 35.0 + 0.1 * rng.standard_normal((pmesh.ncells, K))
+    state = MS(h=h, u=jnp.asarray(u0),
+               tracers=jnp.asarray(np.stack([T, S])))
+    dt, nsteps = 60.0, 2
+
+    carry = patch_megastep.stack_frames(pmesh, cfg, state)
+    ref, t = state, 0.0
+    monkeypatch.setenv("OMEGA_PATCH_MEGA", "0")
+    monkeypatch.setenv("OMEGA_PATCHES", "1")
+    for _ in range(nsteps):
+        carry = patch_megastep.fb_patch_megastep_framed(
+            pmesh, cfg, carry, t, dt, K=K, L=L, interpret=True)
+        ref = forward_backward_step(pmesh, cfg, ref, t, dt)
+        t += dt
+    out = patch_megastep.unstack_frames(pmesh, carry, K, L, MS)
+    for fld in ("h", "u", "tracers"):
+        a, b = np.asarray(getattr(out, fld)), np.asarray(getattr(ref, fld))
+        scale = np.max(np.abs(b)) + 1e-300
+        assert np.max(np.abs(a - b)) / scale < 1e-11, fld
+        assert np.all(np.isfinite(a)), fld
