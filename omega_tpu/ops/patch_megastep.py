@@ -82,6 +82,13 @@ def supported(mesh, cfg) -> bool:
         return False        # the Thomas method stays composed
     if _vmix_on(cfg) and MH < 7:
         return False        # radius-7 vmix chain needs the full margin
+    if (_vmix_on(cfg) and cfg.vert_mix.scheme == "pp81"
+            and os.environ.get("OMEGA_PATCH_PP81", "0") != "1"):
+        # correct (tested) but the coefficient ops push the Mosaic
+        # scoped stack to ~164M > the 128M VMEM at the icos48 defaults;
+        # opt in with OMEGA_PATCH_PP81=1 (e.g. smaller tiles), else the
+        # composed stepper carries PP81 on the sphere
+        return False
     return (cfg.flux_thickness_type in ("center", "upwind")
             and cfg.flux_tracer_type in ("center", "upwind")
             and cfg.ssh_formulation == "stacked"

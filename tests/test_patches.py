@@ -447,6 +447,9 @@ def test_patch_megastep_pp81_matches_composed(pmesh, monkeypatch):
                                nu0=1e-2, alpha=5.0, n_exp=2,
                                temp_index=0, salt_index=1),
         tendencies=TendencyConfig(visc_del2=1.0e3, visc_del4=1.0e9))
+    # VMEM-gated on hardware (see supported()); correctness runs opt in
+    assert not patch_megastep.supported(pmesh, cfg)
+    monkeypatch.setenv("OMEGA_PATCH_PP81", "1")
     assert patch_megastep.supported(pmesh, cfg)
     rng = np.random.default_rng(61)
     d0 = float(np.asarray(pmesh.bottom_depth)[0])
