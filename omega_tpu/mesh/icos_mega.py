@@ -583,7 +583,10 @@ def split_pre_chain(L: int):
     emitted whole (du_out).  The depth averages, mode split, frozen slow
     forcing and barotropic subcycles run FLAT outside the kernel (they
     are 2-D lane-sums and radius-1 stencils on (·,1) fields)."""
-    return ([("mean_h", "st", "cmean", "h")]
+    return ([("mean_h", "st", "cmean", "h"),
+             # center-flux alias (split is gated center-only); the
+             # hv=="h" velocity section reads flux_h for its F
+             ("flux_h", "ew", "copy", "mean_h")]
             + _vel_tend_ops("h", ssh="column")
             + [("du_out", "ew", "copy", "du")])
 
@@ -594,9 +597,10 @@ def split_post_chain(L: int):
     into the frames' u channels (uprime + <ubar>), so this is exactly
     the FB chain's thickness/tracer section."""
     pre = _pre_ops()
-    ops = pre[:3] + [
+    nsplit = len(pre) - 1                 # ops through "dh" (u_m after)
+    ops = pre[:nsplit] + [
         ("h_new", "ew", "axpy", "h", -1.0, "dh"),
-    ] + pre[3:]
+    ] + pre[nsplit:]
     for l in range(L):
         ops += _tracer_tend_ops(l) + [
             (f"trn{l}", "ew", "tracer_update", f"tr{l}", "h", f"dtr{l}",
