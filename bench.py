@@ -66,7 +66,10 @@ def main():
         # global icos mesh — the QU240-style configuration. Default:
         # patch-structured layout (streaming per-rhombus stencils,
         # mesh/icos_patches.py); OMEGA_PATCHES=0 falls back to the
-        # SFC-renumbered gather path.
+        # SFC-renumbered gather path. The flagship bench is inviscid,
+        # so build the TIGHT radius-6 validity masks (19.90 vs 22.05 ms
+        # with the physics-capable worst-case masks at icos48)
+        os.environ.setdefault("OMEGA_PATCH_PHYS_MASKS", "0")
         from omega_tpu.mesh.reorder import reorder_mesh
         from omega_tpu.mesh.spherical import spherical_icos_mesh
         n = int(os.environ.get("OMEGA_BENCH_SUBDIV", 48))

@@ -102,7 +102,8 @@ def _mega_key(mesh):
     tile-creep validity masks), so an in-process A/B over
     OMEGA_PATCH_TILE must rebuild rather than hit a stale entry."""
     pk = getattr(mesh, "patch_key", 0)
-    return (pk, os.environ.get("OMEGA_PATCH_TILE", "16"), MH) if pk \
+    return (pk, os.environ.get("OMEGA_PATCH_TILE", "16"), MH,
+            os.environ.get("OMEGA_PATCH_PHYS_MASKS", "1")) if pk \
         else None
 
 
@@ -781,15 +782,21 @@ def chain_validity(tables: Dict[str, MegaTable], content, resolved,
                   "$depth": content["cell"] >= 0,
                   "$f_edge": content["edge"] >= 0}
     # validity uses the WORST-CASE chain (all physics on): the vmix
-    # edge-thickness cmean erodes u_new by one extra ring, so these
+    # edge-thickness cmean erodes u_new by one extra ring (and the
+    # PP81 coefficient sweeps erode the tracers likewise), so these
     # masks are conservative-correct for every chain variant — a
     # physics-off kernel is exact at strictly more positions than the
     # masks claim, and refreshing an exact position from another exact
     # copy of the same element is the identity.  MH < 7 cannot hold the
     # radius-7 vmix chain at all (no position would validate), so the
     # masks drop it and supported() routes vmix configs composed.
-    for op in fb_chain(L, wind=True, drag=True, vmix=MH >= 7,
-                       pp=(0, min(1, L - 1)) if MH >= 7 else None):
+    # OMEGA_PATCH_PHYS_MASKS=0 builds TIGHT radius-6 masks instead
+    # (smaller refresh/fix sets, measured ~10% faster FB at icos48);
+    # vmix configs are then routed composed by patch supported().
+    vm_ok = MH >= 7 and os.environ.get("OMEGA_PATCH_PHYS_MASKS",
+                                       "1") == "1"
+    for op in fb_chain(L, wind=True, drag=True, vmix=vm_ok,
+                       pp=(0, min(1, L - 1)) if vm_ok else None):
         name, kind = op[0], op[1]
         if kind == "st":
             tab = tables[op[2]]

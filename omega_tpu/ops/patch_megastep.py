@@ -80,8 +80,10 @@ def supported(mesh, cfg) -> bool:
     from omega_tpu.ops.megastep import _vmix_on
     if cfg.vert_mix.enabled and not _vmix_on(cfg):
         return False        # the Thomas method stays composed
-    if _vmix_on(cfg) and MH < 7:
-        return False        # radius-7 vmix chain needs the full margin
+    if _vmix_on(cfg) and (MH < 7 or os.environ.get(
+            "OMEGA_PATCH_PHYS_MASKS", "1") != "1"):
+        return False        # the radius-7 vmix chain needs the full
+        # margin AND worst-case validity masks (see icos_mega._build)
     if (_vmix_on(cfg) and cfg.vert_mix.scheme == "pp81"
             and os.environ.get("OMEGA_PATCH_PP81", "0") != "1"):
         # correct (tested) but the coefficient ops push the Mosaic
@@ -163,7 +165,8 @@ def _prep(mesh, dtype):
     # tracer would leak into the next jit and fail it)
     key = (mesh.patch_key, np.dtype(dtype).str,
            os.environ.get("OMEGA_PATCH_TILE", "16"),
-           os.environ.get("OMEGA_PATCH_K", "4"), MH)
+           os.environ.get("OMEGA_PATCH_K", "4"), MH,
+           os.environ.get("OMEGA_PATCH_PHYS_MASKS", "1"))
     if key in _PREP:
         return _PREP[key]
     with jax.ensure_compile_time_eval():
