@@ -66,13 +66,17 @@ def energetics(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
         "potential_enstrophy": 0.5 * global_sum(
             area_v * absv * absv / h_v),
     }
-    out["total_energy"] = out["kinetic_energy"] + out["potential_energy"]
     for l in range(state.tracers.shape[0]):
         tr = state.tracers[l]
         out[f"tracer{l}_mass"] = global_sum(area * h * tr)
         out[f"tracer{l}_min"] = float(jnp.min(tr))
         out[f"tracer{l}_max"] = float(jnp.max(tr))
-    return {k: float(v) for k, v in out.items()}
+    out = {k: float(v) for k, v in out.items()}
+    # host-side add: under jit XLA fuses a traced ke + 0.5*g*S into an FMA
+    # with different last-bit rounding, so both samplers derive the total
+    # from the hosted parts to keep the bitwise invariance contract
+    out["total_energy"] = out["kinetic_energy"] + out["potential_energy"]
+    return out
 
 
 def energetics_local(mesh_l, cfg: ModelConfig, state: ModelState,
@@ -113,7 +117,6 @@ def energetics_local(mesh_l, cfg: ModelConfig, state: ModelState,
         "potential_energy": 0.5 * cfg.gravity * gs(area * eta * eta, mc),
         "potential_enstrophy": 0.5 * gs(area_v * absv * absv / h_v, mv),
     }
-    out["total_energy"] = out["kinetic_energy"] + out["potential_energy"]
     for l in range(state.tracers.shape[0]):
         tr = state.tracers[l]
         out[f"tracer{l}_mass"] = gs(area * h * tr, mc)
@@ -149,10 +152,11 @@ def mean_ssh(mesh: HorzMesh, cfg: ModelConfig, state: ModelState) -> float:
     if cfg.ssh_formulation == "column":
         ssh = (jnp.sum(h, axis=-1, keepdims=True)
                - trisk.col(mesh, "bottom_depth"))
-        denom = float(np.asarray(mesh.area_cell).sum())
     else:
         ssh = h - trisk.col(mesh, "bottom_depth")
-        denom = float(np.asarray(mesh.area_cell).sum()) * h.shape[-1]
+    # denominator through the same order-invariant sum as mean_ssh_local
+    # so sharded and gathered paths agree bit-for-bit
+    denom = float(global_sum(jnp.broadcast_to(area, ssh.shape)))
     return float(global_sum(area * ssh)) / denom
 
 

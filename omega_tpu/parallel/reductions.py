@@ -1,13 +1,18 @@
 """Reproducible global reductions.
 
-Rewrite of base/Reductions.h: the reference guarantees bit-for-bit
-reproducible R8 global sums across partition counts by accumulating locally
-in double-double (compensated) arithmetic and reducing with a custom
-``ddSum`` MPI_Op (base/Reductions.h:23-88). Here the same contract holds on
-TPU/CPU: local partial sums use two-float (Knuth two-sum) compensated
-accumulation via an associative double-double add, and the cross-device
-combine is a psum of the (hi, lo) pair — the double-double sum is
-associative enough that any shard count yields the same double result.
+Rewrite of base/Reductions.h: the reference guarantees reproducible R8
+global sums across partition counts by accumulating locally in
+double-double arithmetic and reducing with a custom ``ddSum`` MPI_Op
+(base/Reductions.h:23-88). Here the contract is made STRICTLY order
+independent: f64 sums use binned error-free extraction (Rump/Ogita/Oishi
+ExtractVector as organized by Demmel & Nguyen's reproducible summation) —
+each element's mantissa bits are split on a fixed absolute grid derived
+only from the global max |x| and constant parameters, so every per-level
+partial sum is EXACT in f64 (no rounding ever happens until the final
+K-term combine). Exact sums are associative, so any shard count, any
+reduction-tree shape, and any summation order produce bit-identical
+doubles — the same contract the reference's fixed ddSum MPI_Op provides,
+without depending on the reduction order at all.
 
 Three entry points per reduction, mirroring the reference's scalar/array/
 with-multiplier overloads (Reductions.h:51,199-238,637,757):
@@ -18,7 +23,9 @@ with-multiplier overloads (Reductions.h:51,199-238,637,757):
 
 All functions accept an optional elementwise multiplier (the product
 variants) and an optional mask selecting owned elements so halo entries are
-not double counted.
+not double counted. Non-f64 inputs (the TPU f32 path) fall back to the
+double-double pairwise tree, which is reproducible per decomposition but
+only ~2^-106-invariant across decompositions.
 """
 
 from __future__ import annotations
@@ -76,13 +83,85 @@ def dd_sum(x, multiplier=None, mask=None):
     return hi[0], lo[0]
 
 
+# --- reproducible (order-invariant) f64 summation -----------------------
+#
+# Parameters: NBITS bounds the global element count (2^NBITS−1 summands),
+# W is the per-level bin width. Exactness of the per-level sums needs
+#   sigma_k >= 2 n max|residual_k|   and   W <= 52 − NBITS
+# (partial sums are multiples of ulp(sigma)/2 bounded by sigma, hence
+# representable). NBITS=32 covers 4e9 summands (1e7 cells × 100 layers ×
+# ~4 fields); W=18 and K=6 give 108 bits beyond the leading one — well
+# past double-double. All parameters are compile-time constants so the
+# extraction grid depends ONLY on the global max, never on the sharding.
+_REPROD_NBITS = 32
+_REPROD_W = 18
+_REPROD_K = 6
+
+
+def reprod_partials(v, sigma0, levels: int = _REPROD_K):
+    """Per-level exact bin sums of `v` on the grid anchored at sigma0.
+
+    Every returned S_k is an exact multiple of ulp(sigma_k)/2 whose
+    accumulation never rounded; adding partials from different shards
+    (psum, any order) is also exact as long as the GLOBAL summand count
+    stays under 2^NBITS. Returns a (levels,) array, high bins first.
+    """
+    flat = v.reshape(-1)
+    parts = []
+    sigma = sigma0
+    for _ in range(levels):
+        q = (sigma + flat) - sigma          # error-free extraction (Rump)
+        parts.append(jnp.sum(q))            # exact: no rounding possible
+        flat = flat - q                     # exact (Sterbenz)
+        sigma = sigma * (2.0 ** -_REPROD_W)
+    return jnp.stack(parts)
+
+
+def _reprod_sigma0(gmax):
+    """Power of two >= 2^(NBITS+1) * max|x| (a global constant; the +1
+    keeps every partial sum strictly under sigma, i.e. under 2^53 ulps,
+    so it stays exactly representable)."""
+    _, e = jnp.frexp(gmax)                  # gmax = m * 2^e, m in [0.5, 1)
+    sigma = jnp.ldexp(jnp.ones((), gmax.dtype), e + _REPROD_NBITS + 1)
+    return jnp.where(gmax > 0, sigma, jnp.ones((), gmax.dtype))
+
+
+def _reprod_combine(parts):
+    """Final rounding: add the K exact bin sums high to low (fixed order)."""
+    total = parts[0]
+    for k in range(1, parts.shape[0]):
+        total = total + parts[k]
+    return total
+
+
+def reprod_sum(x, axis_name: Optional[str] = None, multiplier=None,
+               mask=None):
+    """Order-invariant f64 sum (the strengthened ddSum contract)."""
+    v = x if multiplier is None else x * multiplier
+    if mask is not None:
+        v = jnp.where(mask, v, jnp.zeros((), v.dtype))
+    gmax = jnp.max(jnp.abs(v)) if v.size else jnp.zeros((), v.dtype)
+    if axis_name is not None:
+        gmax = jax.lax.pmax(gmax, axis_name)
+    parts = reprod_partials(v, _reprod_sigma0(gmax))
+    if axis_name is not None:
+        parts = jax.lax.psum(parts, axis_name)   # exact => order-free
+    return _reprod_combine(parts)
+
+
 def global_sum(x, axis_name: Optional[str] = None, multiplier=None,
                mask=None):
-    """Reproducible global sum: compensated local sum + psum of (hi, lo).
+    """Reproducible global sum.
 
+    f64 inputs use the order-invariant binned extraction: results are
+    bit-for-bit identical across shard counts and reduction orders,
+    matching (exceeding) the reference ddSum contract
+    (base/Reductions.h:23-88). Other dtypes (TPU f32) use the
+    double-double pairwise tree + ddSum-combine of per-shard partials.
     Inside shard_map pass `axis_name`; on a single device leave it None.
-    Result is a plain float of x.dtype (the reference returns R8).
     """
+    if jnp.result_type(x) == jnp.float64:
+        return reprod_sum(x, axis_name, multiplier, mask)
     hi, lo = dd_sum(x, multiplier, mask)
     if axis_name is not None:
         # psum the pair; ddSum over <=8 well-separated partials keeps the

@@ -339,7 +339,7 @@ def make_sharded_energetics(smesh: ShardedMesh, cfg, device_mesh: Mesh,
             # key order from a host-side dry build (ntracers-dependent)
             L = state.tracers.shape[1]
             base = ["volume", "kinetic_energy", "potential_energy",
-                    "potential_enstrophy", "total_energy"]
+                    "potential_enstrophy"]
             for l in range(L):
                 base += [f"tracer{l}_mass", f"tracer{l}_min",
                          f"tracer{l}_max"]
@@ -355,6 +355,11 @@ def make_sharded_energetics(smesh: ShardedMesh, cfg, device_mesh: Mesh,
             in_specs=(smesh_specs, state_specs, P()),
             out_specs=tuple(P() for _ in range(nout)),
             check_vma=False))(smesh, state, jnp.asarray(ssh_ref))
-        return {k: float(v) for k, v in zip(keys, vals)}, ssh_ref
+        row = {k: float(v) for k, v in zip(keys, vals)}
+        # host-side add (matches analysis.energetics — keeps the
+        # bitwise decomposition-invariance contract out of XLA's FMA)
+        row["total_energy"] = (row["kinetic_energy"]
+                               + row["potential_energy"])
+        return row, ssh_ref
 
     return sample

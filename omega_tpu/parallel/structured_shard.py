@@ -436,7 +436,7 @@ def make_sharded_energetics(ss: StructuredShards, cfg,
     def sample(state, ssh_ref=None):
         L = state.tracers.shape[1]
         base = ["volume", "kinetic_energy", "potential_energy",
-                "potential_enstrophy", "total_energy"]
+                "potential_enstrophy"]
         for l in range(L):
             base += [f"tracer{l}_mass", f"tracer{l}_min",
                      f"tracer{l}_max"]
@@ -451,6 +451,9 @@ def make_sharded_energetics(ss: StructuredShards, cfg,
             in_specs=(ovspecs, pspec, pspec, state_specs, P()),
             out_specs=tuple(P() for _ in keys), check_vma=False))(
                 ov_data, own_c, own_v, state, jnp.asarray(ssh_ref))
-        return {k: float(v) for k, v in zip(keys, vals)}, ssh_ref
+        row = {k: float(v) for k, v in zip(keys, vals)}
+        row["total_energy"] = (row["kinetic_energy"]
+                               + row["potential_energy"])
+        return row, ssh_ref
 
     return sample
