@@ -64,6 +64,7 @@ class OceanModel:
     nshards: int = 1                # Decomp: NShards
     decomp_method: str = "auto"     # Decomp: Method (auto|structured|sfc)
     sharded_io: bool = False        # Decomp: ShardedIO (region writes)
+    halo_width: int = 3             # Decomp: HaloWidth (base/Decomp.h:19-30)
     sim_start: TimeInstant = None   # original simulation start (forcing t=0);
                                     # survives restart via file metadata
     wind_stress: object = None      # optional (zonal, merid) cell fields
@@ -81,7 +82,9 @@ _CAL_KINDS = {
     "gregorian": CalendarKind.GREGORIAN,
     "no leap": CalendarKind.NO_LEAP,
     "noleap": CalendarKind.NO_LEAP,
+    "julian": CalendarKind.JULIAN,
     "julian day": CalendarKind.JULIAN_DAY,
+    "modified julian day": CalendarKind.MOD_JULIAN_DAY,
     "360 day": CalendarKind.DAY_360,
     "no calendar": CalendarKind.NO_CALENDAR,
 }
@@ -252,6 +255,7 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
     nshards = 1
     decomp_method = "auto"
     sharded_io = False
+    halo_width = 3
     if config.exists("Decomp"):
         dc_ = config.get_group("Decomp")
         nshards = dc_.get_int("NShards", 1)
@@ -260,6 +264,18 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
             raise ConfigError(f"Decomp.Method must be auto|structured|sfc|"
                               f"patch, got {decomp_method!r}")
         sharded_io = bool(dc_.get("ShardedIO", False)) and nshards > 1
+        halo_width = dc_.get_int("HaloWidth", 3)
+        if halo_width < 1:
+            raise ConfigError(f"Decomp.HaloWidth must be >= 1, got "
+                              f"{halo_width}")
+        # RK steppers evaluate del4 (stencil radius 2) twice between
+        # exchanges; warn like the reference's TODO (RK4 stepper keeps a
+        # mid-step refresh to stay within width 3)
+        if halo_width < 3:
+            get_logger().warning(
+                "Decomp.HaloWidth=%d < 3: multi-stage steppers with "
+                "biharmonic mixing may read stale fringe values",
+                halo_width)
 
     # --- IO streams
     streams_cfg = (config.get_group("IOStreams") if config.exists("IOStreams")
@@ -406,6 +422,7 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
         wind_stress=wind, wind_forcing=wind_forcing,
         timers=timers, nshards=nshards,
         decomp_method=decomp_method, sharded_io=sharded_io,
+        halo_width=halo_width,
         directory=directory, analysis=analysis)
     model._deferred_state_stream = deferred_stream
     if state is not None:
@@ -669,7 +686,9 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
         if not use_patch and model.decomp_method in ("auto", "structured"):
             from omega_tpu.parallel import structured_shard as sshard
             try:
-                ss = sshard.decompose_structured(mesh, model.nshards)
+                ss = sshard.decompose_structured(
+                    mesh, model.nshards,
+                    hw=model.halo_width + model.halo_width % 2)
                 use_structured = True
             except ValueError:
                 if model.decomp_method == "structured":
@@ -717,7 +736,7 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
         else:
             from omega_tpu.parallel import (decompose, gather_state,
                                             make_sharded_step, shard_state)
-            sm_d = decompose(mesh, model.nshards)
+            sm_d = decompose(mesh, model.nshards, halo_width=model.halo_width)
             sstep = make_sharded_step(sm_d, cfg, model.stepper, dmesh,
                                       wind_stress=model.wind_stress)
             model._gather = lambda st: gather_state(

@@ -133,6 +133,32 @@ class Config:
     def get_list(self, key: str, default=None) -> list:
         return self._typed(key, list, default)
 
+    # typed vector accessors (the reference's getVector<I4/R8/bool/string>
+    # overloads, infra/Config.h:190-240): every element must match
+    def _typed_list(self, key: str, typ, default, cast=None) -> list:
+        vals = self._typed(key, list, default)
+        name = typ.__name__ if isinstance(typ, type) else "number"
+        out = []
+        for v in vals:
+            if ((isinstance(v, bool) and typ is not bool)
+                    or not isinstance(v, typ)):
+                raise ConfigError(f"config list {key!r} element {v!r} is "
+                                  f"not {name}")
+            out.append(v if cast is None else cast(v))
+        return out
+
+    def get_int_list(self, key: str, default=None) -> list:
+        return self._typed_list(key, int, default)
+
+    def get_float_list(self, key: str, default=None) -> list:
+        return self._typed_list(key, (int, float), default, float)
+
+    def get_bool_list(self, key: str, default=None) -> list:
+        return self._typed_list(key, bool, default)
+
+    def get_str_list(self, key: str, default=None) -> list:
+        return self._typed_list(key, str, default)
+
     # ---------------- setters ----------------
     def add(self, key: str, value: Any) -> None:
         """Add a new entry; error if it already exists (reference `add`)."""

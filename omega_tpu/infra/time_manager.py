@@ -42,65 +42,135 @@ _SECONDS_PER = {
 
 
 class CalendarKind(enum.Enum):
+    """The reference's nine supported kinds minus 'Invalid'
+    (infra/TimeMgr.h:72-90)."""
     GREGORIAN = "Gregorian"
     NO_LEAP = "No Leap"
+    JULIAN = "Julian"
     JULIAN_DAY = "Julian Day"
+    MOD_JULIAN_DAY = "Modified Julian Day"
     DAY_360 = "360 Day"
     CUSTOM = "Custom"
     NO_CALENDAR = "No Calendar"
 
 
+# CF-convention names written to files (TimeMgr.h "CalendarCFName")
+CALENDAR_CF_NAMES = {
+    CalendarKind.GREGORIAN: "gregorian",
+    CalendarKind.NO_LEAP: "noleap",
+    CalendarKind.JULIAN: "julian",
+    CalendarKind.JULIAN_DAY: "julian_day",
+    CalendarKind.MOD_JULIAN_DAY: "modified_julian_day",
+    CalendarKind.DAY_360: "360_day",
+    CalendarKind.CUSTOM: "custom",
+    CalendarKind.NO_CALENDAR: "none",
+}
+
 _DAYS_PER_MONTH_NOLEAP = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
 _DAYS_PER_MONTH_360 = (30,) * 12
+
+# kinds with no year/month structure: dates carry only a day count
+_DAY_ONLY = (CalendarKind.JULIAN_DAY, CalendarKind.MOD_JULIAN_DAY,
+             CalendarKind.NO_CALENDAR)
 
 
 @dataclasses.dataclass(frozen=True)
 class Calendar:
-    """Calendar definitions (infra/TimeMgr.h:281)."""
+    """Calendar definitions (infra/TimeMgr.h:281).
+
+    Standard kinds derive their month table from the kind; the Custom
+    kind (the reference's separate custom constructor,
+    TimeMgr.cpp:1239-1262) takes an explicit days-per-month table plus
+    seconds per day/year — build one with `Calendar.custom(...)`.
+    """
     kind: CalendarKind = CalendarKind.NO_LEAP
+    days_per_month: tuple = None       # CUSTOM only; 12 entries
+    seconds_per_day: int = 86400
+    seconds_per_year: int = None       # CUSTOM only; derived otherwise
+
+    @classmethod
+    def custom(cls, days_per_month, seconds_per_day: int = 86400,
+               seconds_per_year: Optional[int] = None) -> "Calendar":
+        """User-defined fixed-length calendar (TimeMgr.cpp:1239-1262)."""
+        dpm = tuple(int(d) for d in days_per_month)
+        if len(dpm) != 12:
+            raise ValueError("custom calendar needs 12 months")
+        if seconds_per_year is None:
+            seconds_per_year = sum(dpm) * seconds_per_day
+        return cls(kind=CalendarKind.CUSTOM, days_per_month=dpm,
+                   seconds_per_day=int(seconds_per_day),
+                   seconds_per_year=int(seconds_per_year))
 
     def is_leap(self, year: int) -> bool:
+        """Calendar::isLeapYear (TimeMgr.cpp:1340-1362): Gregorian full
+        rule, Julian every 4 years, all others never."""
         if self.kind is CalendarKind.GREGORIAN:
             return year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)
+        if self.kind is CalendarKind.JULIAN:
+            return year % 4 == 0
         return False
 
     def days_in_month(self, year: int, month: int) -> int:
+        if self.kind is CalendarKind.CUSTOM:
+            return self.days_per_month[month - 1]
         if self.kind is CalendarKind.DAY_360:
             return 30
+        if self.kind in _DAY_ONLY:
+            raise ValueError(f"{self.kind.value} calendar has no months")
         days = _DAYS_PER_MONTH_NOLEAP[month - 1]
         if month == 2 and self.is_leap(year):
             days += 1
         return days
 
     def days_in_year(self, year: int) -> int:
+        if self.kind is CalendarKind.CUSTOM:
+            return sum(self.days_per_month)
         if self.kind is CalendarKind.DAY_360:
             return 360
+        if self.kind in _DAY_ONLY:
+            raise ValueError(f"{self.kind.value} calendar has no years")
         return 366 if self.is_leap(year) else 365
 
     def date_to_days(self, year: int, month: int, day: int) -> int:
-        """Whole days since 0001-01-01 of this calendar."""
+        """Whole days since 0001-01-01 of this calendar (day-only kinds:
+        since day 1)."""
+        if self.kind in _DAY_ONLY:
+            # no month/year structure (TimeMgr.cpp:1192-1196)
+            return day - 1
         if self.kind is CalendarKind.DAY_360:
             return (year - 1) * 360 + (month - 1) * 30 + (day - 1)
+        if self.kind is CalendarKind.CUSTOM:
+            return ((year - 1) * sum(self.days_per_month)
+                    + sum(self.days_per_month[:month - 1]) + (day - 1))
         if self.kind is CalendarKind.NO_LEAP:
             ydays = (year - 1) * 365
         elif self.kind is CalendarKind.GREGORIAN:
             y = year - 1
             ydays = y * 365 + y // 4 - y // 100 + y // 400
+        elif self.kind is CalendarKind.JULIAN:
+            y = year - 1
+            ydays = y * 365 + y // 4
         else:
             ydays = (year - 1) * 365
         mdays = sum(self.days_in_month(year, m) for m in range(1, month))
         return ydays + mdays + (day - 1)
 
     def days_to_date(self, days: int):
+        if self.kind in _DAY_ONLY:
+            return 1, 1, days + 1
         if self.kind is CalendarKind.DAY_360:
             year = days // 360 + 1
             rem = days % 360
             return year, rem // 30 + 1, rem % 30 + 1
-        # iterate years (fast enough: direct for no-leap, loop for Gregorian)
-        if self.kind is CalendarKind.NO_LEAP:
+        if self.kind is CalendarKind.CUSTOM:
+            dpy = sum(self.days_per_month)
+            year = days // dpy + 1
+            rem = days % dpy
+        elif self.kind is CalendarKind.NO_LEAP:
             year = days // 365 + 1
             rem = days % 365
         else:
+            # Gregorian / Julian: seed low, walk year boundaries exactly
             year = max(1, days // 366)
             while self.date_to_days(year + 1, 1, 1) <= days:
                 year += 1
@@ -110,6 +180,44 @@ class Calendar:
             rem -= self.days_in_month(year, month)
             month += 1
         return year, month, rem + 1
+
+    # ---- seconds-based conversions (Calendar::getElapsedTime /
+    # getDateTime, TimeMgr.cpp:1366-1900): custom calendars may use a
+    # non-86400-second day, so TimeInstant converts through these ----
+
+    def date_to_seconds(self, year, month, day, hour=0, minute=0,
+                        second=0) -> Fraction:
+        if self.kind is CalendarKind.CUSTOM:
+            base = ((year - 1) * self.seconds_per_year
+                    + (sum(self.days_per_month[:month - 1]) + day - 1)
+                    * self.seconds_per_day)
+            return (Fraction(base) + hour * 3600 + minute * 60
+                    + Fraction(second))
+        days = self.date_to_days(year, month, day)
+        return (Fraction(days) * self.seconds_per_day + hour * 3600
+                + minute * 60 + Fraction(second))
+
+    def seconds_to_date(self, elapsed: Fraction):
+        if self.kind is CalendarKind.CUSTOM:
+            yrs, rem = divmod(elapsed, self.seconds_per_year)
+            days, rem = divmod(rem, self.seconds_per_day)
+            dpy = sum(self.days_per_month)
+            # seconds_per_year may exceed the month table's span; clamp
+            # the overflow into the last day of the year like the
+            # reference's fixed-length inversion
+            days = min(int(days), dpy - 1)
+            month, d = 1, int(days)
+            while d >= self.days_per_month[month - 1]:
+                d -= self.days_per_month[month - 1]
+                month += 1
+            hh, rem = divmod(rem, 3600)
+            mm, ss = divmod(rem, 60)
+            return int(yrs) + 1, month, d + 1, int(hh), int(mm), ss
+        days, rem = divmod(elapsed, self.seconds_per_day)
+        y, mo, d = self.days_to_date(int(days))
+        hh, rem = divmod(rem, 3600)
+        mm, ss = divmod(rem, 60)
+        return y, mo, d, int(hh), int(mm), ss
 
 
 @dataclasses.dataclass(frozen=True, order=True)
@@ -167,8 +275,8 @@ class TimeInstant:
     @classmethod
     def from_date(cls, calendar: Calendar, year: int, month: int, day: int,
                   hour: int = 0, minute: int = 0, second=0) -> "TimeInstant":
-        days = calendar.date_to_days(year, month, day)
-        sec = Fraction(days) * 86400 + hour * 3600 + minute * 60 + Fraction(second)
+        sec = calendar.date_to_seconds(year, month, day, hour, minute,
+                                       second)
         return cls(calendar=calendar, elapsed=sec)
 
     @classmethod
@@ -182,11 +290,7 @@ class TimeInstant:
                              int(m.group(5)), Fraction(m.group(6)))
 
     def to_date(self):
-        days, rem = divmod(self.elapsed, 86400)
-        y, mo, d = self.calendar.days_to_date(int(days))
-        hh, rem = divmod(rem, 3600)
-        mm, ss = divmod(rem, 60)
-        return y, mo, d, int(hh), int(mm), ss
+        return self.calendar.seconds_to_date(self.elapsed)
 
     def __str__(self) -> str:
         y, mo, d, hh, mm, ss = self.to_date()

@@ -60,9 +60,13 @@ def exchange(x, send_idx, recv_src_shard, recv_src_slot, recv_dst,
 
 
 def _scatter(x, dst, vals):
-    """x[..., dst, :] = vals keeping leading batch dims."""
+    """x[..., dst, :] = vals keeping leading batch dims. Any rank >= 2
+    (the reference exchanges 1-5-D arrays, base/Halo.h:45; leading axes
+    here are batch dims like tracer/time-level)."""
     if x.ndim == 2:
         return x.at[dst].set(vals)
     if x.ndim == 3:
         return x.at[:, dst].set(vals)
-    raise ValueError(f"unsupported rank {x.ndim}")
+    moved = jnp.moveaxis(x, -2, 0)
+    out = moved.at[dst].set(jnp.moveaxis(vals, -2, 0))
+    return jnp.moveaxis(out, 0, -2)

@@ -196,3 +196,101 @@ def test_reference_default_yml_parses():
     for name in io_grp.keys():
         spec = StreamSpec.from_config(name, io_grp.get_group(name))
         assert spec.mode in ("read", "write")
+
+
+# ---------------- Config battery (test/infra/ConfigTest.cpp, 708 LoC) ------
+
+def _battery_config():
+    from omega_tpu.infra.config import Config
+    return Config.from_yaml("""
+Omega:
+  Scalars:
+    AnInt: 3
+    ABigInt: 123456789012345
+    AFloat: 4.5
+    ASciFloat: 1.0e3
+    ATrue: true
+    AFalse: false
+    AString: some string
+  Vectors:
+    Ints: [1, 2, 3]
+    Floats: [1.5, 2.0, 3]
+    Bools: [true, false, true]
+    Strings: [a, b, c]
+  Nested:
+    Inner:
+      Deep: 7
+""")
+
+
+def test_config_typed_getters_all_types():
+    cfg = _battery_config()
+    s = cfg.get_group("Scalars")
+    assert s.get_int("AnInt") == 3
+    assert s.get_int("ABigInt") == 123456789012345   # I8 range
+    assert s.get_float("AFloat") == 4.5
+    assert s.get_float("ASciFloat") == 1000.0        # yaml-cpp exponent
+    assert s.get_bool("ATrue") is True
+    assert s.get_bool("AFalse") is False
+    assert s.get_str("AString") == "some string"
+    v = cfg.get_group("Vectors")
+    assert v.get_int_list("Ints") == [1, 2, 3]
+    assert v.get_float_list("Floats") == [1.5, 2.0, 3.0]
+    assert v.get_bool_list("Bools") == [True, False, True]
+    assert v.get_str_list("Strings") == ["a", "b", "c"]
+    assert cfg.get_group("Nested").get_group("Inner").get_int("Deep") == 7
+
+
+def test_config_type_mismatch_errors():
+    from omega_tpu.infra.errors import ConfigError
+    cfg = _battery_config()
+    s = cfg.get_group("Scalars")
+    for call in (lambda: s.get_int("AFloat"),
+                 lambda: s.get_int("ATrue"),       # bool is not int
+                 lambda: s.get_float("AString"),
+                 lambda: s.get_str("AnInt"),
+                 lambda: s.get_bool("AnInt"),
+                 lambda: s.get_int("Missing"),
+                 lambda: cfg.get_group("Scalars").get_group("AnInt"),
+                 lambda: cfg.get_group("Vectors").get_int_list("Floats"),
+                 lambda: cfg.get_group("Vectors").get_bool_list("Ints")):
+        with pytest.raises(ConfigError):
+            call()
+
+
+def test_config_add_set_remove_roundtrip(tmp_path):
+    """add/set/remove semantics + full write/re-read round trip
+    (ConfigTest's write-back battery; infra/Config.h:361-367)."""
+    from omega_tpu.infra.config import Config
+    from omega_tpu.infra.errors import ConfigError
+    cfg = _battery_config()
+    s = cfg.get_group("Scalars")
+    with pytest.raises(ConfigError):
+        s.add("AnInt", 9)            # add refuses existing
+    with pytest.raises(ConfigError):
+        s.set("NewKey", 9)           # set refuses missing
+    s.add("NewKey", 9)
+    s.set("AnInt", 42)
+    s.remove("AString")
+    with pytest.raises(ConfigError):
+        s.remove("AString")
+    g = cfg.add_group("Added")
+    g.add("X", [1.0, 2.0])
+
+    path = str(tmp_path / "round.yml")
+    cfg.write(path)
+    back = Config.read_all(path)
+    assert back.get_group("Scalars").get_int("AnInt") == 42
+    assert back.get_group("Scalars").get_int("NewKey") == 9
+    assert not back.get_group("Scalars").exists("AString")
+    assert back.get_group("Added").get_float_list("X") == [1.0, 2.0]
+    assert back.as_dict() == cfg.as_dict()
+
+
+def test_config_iteration_and_queries():
+    cfg = _battery_config()
+    assert set(cfg.keys()) == {"Scalars", "Vectors", "Nested"}
+    assert "Scalars" in cfg
+    assert cfg.is_group("Scalars") and not cfg.get_group(
+        "Scalars").is_group("AnInt")
+    assert [k for k in cfg.get_group("Nested")] == ["Inner"]

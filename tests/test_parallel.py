@@ -253,3 +253,78 @@ def test_partition_refinement_reduces_cut():
     target = mesh.ncells / 8
     assert sizes.max() <= target * 1.03 + 1
     assert sizes.min() >= target * 0.97 - 1
+
+
+@pytest.mark.parametrize("width", [1, 2, 4])
+def test_halo_width_knob(width):
+    """Decomp.HaloWidth is configurable (base/Decomp.h:19-30): the ID
+    oracle holds at any width, and wider halos carry more fringe rows."""
+    mesh = planar_hex_mesh(16, 16, dc=1000.0)
+    smesh = decompose(mesh, 4, halo_width=width)
+    assert smesh.halo_width == width
+    state = _id_state(mesh, smesh)
+    sstate = shard_state(smesh, state)
+    corrupted = ModelState(
+        h=jnp.where(jnp.asarray(smesh.owned_cell_mask)[..., None] > 0,
+                    sstate.h, -9999.0),
+        u=sstate.u, tracers=sstate.tracers)
+
+    dmesh = default_device_mesh(4)
+    from jax.sharding import PartitionSpec as P
+    pspec = P("x")
+    smesh_specs = jax.tree.map(lambda _: pspec, smesh)
+    state_specs = ModelState(h=pspec, u=pspec, tracers=pspec)
+
+    def fix(sm_stacked, st_stacked):
+        sm = jax.tree.map(lambda a: a[0], sm_stacked)
+        st = jax.tree.map(lambda a: a[0], st_stacked)
+        out = make_halo_fn(sm)(st)
+        return jax.tree.map(lambda a: a[None], out)
+
+    fixed = jax.jit(jax.shard_map(fix, mesh=dmesh,
+                                  in_specs=(smesh_specs, state_specs),
+                                  out_specs=state_specs))(smesh, corrupted)
+    c_l2g = np.asarray(smesh.cell_local_to_global)
+    h_ref = np.asarray(state.h)
+    for s in range(4):
+        cm = c_l2g[s] >= 0
+        np.testing.assert_array_equal(np.asarray(fixed.h)[s][cm],
+                                      h_ref[c_l2g[s][cm]])
+
+
+def test_halo_rank4_array():
+    """exchangeFullArrayHalo accepts 1-5-D arrays (base/Halo.h:45): a
+    rank-4 (time-level, tracer, cell, K) array refreshes exactly."""
+    from omega_tpu.parallel.sharded import exchange_any
+    mesh = planar_hex_mesh(16, 16, dc=1000.0)
+    smesh = decompose(mesh, 4)
+    c_l2g = np.asarray(smesh.cell_local_to_global)
+    Cl = c_l2g.shape[1]
+    T, L, K = 2, 3, 2
+    ref = (np.arange(mesh.ncells)[None, None, :, None] * 10.0
+           + np.arange(T)[:, None, None, None] * 1000.0
+           + np.arange(L)[None, :, None, None] * 100.0
+           + np.arange(K)[None, None, None, :])
+    local = ref[:, :, np.maximum(c_l2g, 0), :]      # (T, L, S, Cl, K)
+    local = np.moveaxis(local, 2, 0)                # (S, T, L, Cl, K)
+    own = np.asarray(smesh.owned_cell_mask) > 0
+    corrupted = np.where(own[:, None, None, :, None], local, -1.0)
+
+    dmesh = default_device_mesh(4)
+    from jax.sharding import PartitionSpec as P
+    pspec = P("x")
+    smesh_specs = jax.tree.map(lambda _: pspec, smesh)
+
+    def fix(sm_stacked, x_stacked):
+        sm = jax.tree.map(lambda a: a[0], sm_stacked)
+        out = exchange_any(sm, x_stacked[0], "cell")
+        return out[None]
+
+    fixed = jax.jit(jax.shard_map(
+        fix, mesh=dmesh, in_specs=(smesh_specs, pspec),
+        out_specs=pspec))(smesh, jnp.asarray(corrupted))
+    fixed = np.asarray(fixed)
+    for s in range(4):
+        cm = c_l2g[s] >= 0
+        np.testing.assert_array_equal(fixed[s][:, :, cm],
+                                      ref[:, :, c_l2g[s][cm]])
