@@ -71,6 +71,173 @@ def reconstruct_cell_velocity(mesh, u):
     return avg(ve), avg(vn)
 
 
+def _cell_edge_avg_weights(mesh_l):
+    """Host-side dc*dv/4 edge-area weights of one local mesh (the
+    reconstruct_cell_velocity averaging), as (w (C, M), idx (C, M))."""
+    from omega_tpu.mesh.horz_mesh import unclamped_connectivity
+
+    eoc = np.asarray(unclamped_connectivity(mesh_l)["edges_on_cell"])
+    dc = np.asarray(mesh_l.dc_edge)
+    dv = np.asarray(mesh_l.dv_edge)
+    w = np.where(eoc >= 0, (dc * dv / 4.0)[np.maximum(eoc, 0)], 0.0)
+    return w, np.maximum(eoc, 0)
+
+
+def _local_exports(mesh_l, st, w, idx, temp_idx, salt_idx):
+    """Per-shard export fields on a (possibly traced) local mesh —
+    identical arithmetic to the gathered `OmegaComponent.exports` so
+    owned rows match bitwise."""
+    import jax.numpy as jnp
+
+    from omega_tpu.ops import trisk
+
+    h, u = st.h, st.u
+    out = {"ssh": jnp.sum(h, axis=1) - jnp.ravel(
+        jnp.broadcast_to(trisk.col(mesh_l, "bottom_depth"),
+                         (h.shape[0], 1)))}
+    if temp_idx is not None:
+        out["sst"] = st.tracers[temp_idx][:, 0]
+    if salt_idx is not None:
+        out["sss"] = st.tracers[salt_idx][:, 0]
+    ut = trisk.tangential_edge(mesh_l, u)
+    ang = jnp.asarray(mesh_l.angle_edge)[:, None]
+    ve = u * jnp.cos(ang) - ut * jnp.sin(ang)
+    vn = u * jnp.sin(ang) + ut * jnp.cos(ang)
+    wj = w[:, :, None]
+    wsum = jnp.sum(wj, axis=1)
+    out["u_zonal"] = (jnp.sum(wj * ve[idx], axis=1) / wsum)[:, 0]
+    out["v_merid"] = (jnp.sum(wj * vn[idx], axis=1) / wsum)[:, 0]
+    return out
+
+
+def make_sharded_exports(model):
+    """Shard_map'd coupler exports: each shard computes its owned surface
+    rows on its local mesh and only the assembled (C,) export fields
+    leave the devices — no global-state gather at coupling intervals
+    (the r4 analysis treatment applied to the export path). Returns
+    exports(sharded_state) -> dict of global numpy arrays, or None when
+    the decomposition keeps global state (patch path)."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    kind, dec, dmesh = model._decomp
+    if kind == "patch":
+        return None                      # state already global
+    mesh_g = model.mesh
+    temp_idx = None
+    salt_idx = None
+    try:
+        names = list(model.tracers.names)
+        temp_idx = (names.index("Temperature")
+                    if "Temperature" in names else None)
+        salt_idx = names.index("Salinity") if "Salinity" in names else None
+    except AttributeError:
+        pass
+    pspec = P("x")
+    state_specs = None
+
+    if kind == "sfc":
+        sm = dec
+        S = sm.nshards
+        c_l2g = np.asarray(sm.cell_local_to_global)
+        c_own = np.asarray(sm.owned_cell_mask) > 0
+        # host-precomputed per-shard averaging weights
+        ws, idxs = [], []
+        for s in range(S):
+            mesh_s = jax.tree.map(lambda a: np.asarray(a)[s], sm.mesh)
+            w_s, i_s = _cell_edge_avg_weights(mesh_s)
+            ws.append(w_s)
+            idxs.append(i_s)
+        w_st = jnp.asarray(np.stack(ws))
+        i_st = jnp.asarray(np.stack(idxs))
+        smesh_specs = jax.tree.map(lambda _: pspec, sm)
+
+        def local(sm_st, st_st, w_, i_):
+            sml = jax.tree.map(lambda a: a[0], sm_st)
+            st = jax.tree.map(lambda a: a[0], st_st)
+            out = _local_exports(sml.mesh, st, w_[0], i_[0],
+                                 temp_idx, salt_idx)
+            return tuple(out[k][None] for k in sorted(out))
+
+        keys = None
+
+        def exports(state):
+            nonlocal keys, state_specs
+            if state_specs is None:
+                from omega_tpu.core.state import ModelState
+                state_specs = ModelState(h=pspec, u=pspec, tracers=pspec)
+            vals = jax.jit(jax.shard_map(
+                local, mesh=dmesh,
+                in_specs=(smesh_specs, state_specs, pspec, pspec),
+                out_specs=tuple(pspec for _ in range(
+                    3 + (temp_idx is not None) + (salt_idx is not None))),
+                check_vma=False))(sm, state, w_st, i_st)
+            if keys is None:
+                keys = sorted(["ssh", "u_zonal", "v_merid"]
+                              + (["sst"] if temp_idx is not None else [])
+                              + (["sss"] if salt_idx is not None else []))
+            out = {}
+            for k, v in zip(keys, vals):
+                g = np.zeros(mesh_g.ncells, np.asarray(v).dtype)
+                v = np.asarray(v)
+                for s in range(S):
+                    m = c_own[s]
+                    g[c_l2g[s, m]] = v[s, m]
+                out[k] = g
+            return out
+
+        return exports
+
+    # structured: shared local mesh + per-shard overrides
+    from omega_tpu.parallel import structured_shard as sshard
+    ss = dec
+    S = ss.nshards
+    c_l2g, c_own = sshard.element_maps(ss, "cell")
+    w_np, i_np = _cell_edge_avg_weights(ss.local_mesh)
+    w_l = jnp.asarray(w_np)
+    i_l = jnp.asarray(i_np)
+    ov_names = tuple(a for a, _ in ss.mesh_overrides)
+    ov_data = tuple(jnp.asarray(v) for _, v in ss.mesh_overrides)
+    ovspecs = tuple(pspec for _ in ov_data)
+
+    def local_st(ov_st, st_st):
+        m = ss.local_mesh
+        if ov_names:
+            m = _dc.replace(m, **{a: v[0] for a, v in
+                                  zip(ov_names, ov_st)})
+        st = jax.tree.map(lambda a: a[0], st_st)
+        out = _local_exports(m, st, w_l, i_l, temp_idx, salt_idx)
+        return tuple(out[k][None] for k in sorted(out))
+
+    def exports(state):
+        nonlocal state_specs
+        if state_specs is None:
+            from omega_tpu.core.state import ModelState
+            state_specs = ModelState(h=pspec, u=pspec, tracers=pspec)
+        nout = 3 + (temp_idx is not None) + (salt_idx is not None)
+        vals = jax.jit(jax.shard_map(
+            local_st, mesh=dmesh, in_specs=(ovspecs, state_specs),
+            out_specs=tuple(pspec for _ in range(nout)),
+            check_vma=False))(ov_data, state)
+        keys = sorted(["ssh", "u_zonal", "v_merid"]
+                      + (["sst"] if temp_idx is not None else [])
+                      + (["sss"] if salt_idx is not None else []))
+        out = {}
+        for k, v in zip(keys, vals):
+            g = np.zeros(mesh_g.ncells, np.asarray(v).dtype)
+            v = np.asarray(v)
+            for s in range(S):
+                m = c_own[s]
+                g[c_l2g[s][m]] = v[s][m]
+            out[k] = g
+        return out
+
+    return exports
+
+
 class OmegaComponent:
     """Omega as a drivable component with import/export states.
 
@@ -87,6 +254,11 @@ class OmegaComponent:
                               directory=directory)
         self._temp_idx = self._tracer_index("Temperature")
         self._salt_idx = self._tracer_index("Salinity")
+        if self.model.nshards > 1:
+            # hold the state sharded across coupling intervals; exports
+            # are computed shard_map'd from owned rows (no global gather)
+            self.model._keep_sharded = True
+        self._sharded_exports = None
 
     def _tracer_index(self, name: str) -> Optional[int]:
         try:
@@ -142,6 +314,13 @@ class OmegaComponent:
     def exports(self) -> Dict[str, np.ndarray]:
         model = self.model
         mesh = model.mesh
+        if getattr(model, "_state_is_sharded", False):
+            if self._sharded_exports is None:
+                self._sharded_exports = make_sharded_exports(model)
+            if self._sharded_exports is not None:
+                return self._sharded_exports(model.state)
+            # patch path keeps global state; fall through
+
         h = np.asarray(model.state.h)
         depth = np.asarray(mesh.bottom_depth)
         out = {"ssh": h.sum(axis=1) - depth}

@@ -654,7 +654,8 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
     # compiled segment instead of re-tracing it every call
     if getattr(model, "_run_ctx", None) is not None:
         segment = model._run_ctx["segment"]
-        if sharded and model._run_ctx["scatter"] is not None:
+        if (sharded and model._run_ctx["scatter"] is not None
+                and not getattr(model, "_state_is_sharded", False)):
             model.state = model._run_ctx["scatter"](model.state)
         return _run_loop(model, segment, sharded, progress_every)
     if sharded:
@@ -702,6 +703,7 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
             from omega_tpu.parallel.patch_shard import \
                 make_patch_sharded_run
             run_p = make_patch_sharded_run(mesh, cfg, model.nshards)
+            model._decomp = ("patch", None, dmesh)
             model._gather = lambda st: st      # state stays global
             if model.sharded_io:
                 get_logger().info("ShardedIO: not needed on the patch "
@@ -711,6 +713,7 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
             sstep = sshard.make_sharded_step(
                 ss, cfg, model.stepper, dmesh,
                 wind_stress=model.wind_stress)
+            model._decomp = ("structured", ss, dmesh)
             model._gather = lambda st: sshard.gather_state(ss, st)
             scatter = lambda st: sshard.shard_state(ss, st)
             if model.analysis is not None:
@@ -737,6 +740,7 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
             from omega_tpu.parallel import (decompose, gather_state,
                                             make_sharded_step, shard_state)
             sm_d = decompose(mesh, model.nshards, halo_width=model.halo_width)
+            model._decomp = ("sfc", sm_d, dmesh)
             sstep = make_sharded_step(sm_d, cfg, model.stepper, dmesh,
                                       wind_stress=model.wind_stress)
             model._gather = lambda st: gather_state(
@@ -876,7 +880,14 @@ def _run_loop(model: OceanModel, segment, sharded: bool,
             log.info("step %d complete, clock %s", model.step_count,
                      model.clock.get_current_time())
     if sharded:
-        model.state = model._gather(jax.block_until_ready(model.state))
+        model.state = jax.block_until_ready(model.state)
+        if getattr(model, "_keep_sharded", False):
+            # coupled mode: exports are computed shard_map'd from the
+            # sharded state (omega_tpu.coupling), no gather here
+            model._state_is_sharded = True
+        else:
+            model.state = model._gather(model.state)
+            model._state_is_sharded = False
     return model
 
 
@@ -884,6 +895,9 @@ def ocn_finalize(model: OceanModel) -> ModelState:
     """Flush shutdown streams and return final state (ocnFinalize)."""
     import jax
     model.state = jax.block_until_ready(model.state)
+    if getattr(model, "_state_is_sharded", False):
+        model.state = model._gather(model.state)
+        model._state_is_sharded = False
     _attach_state(model)
     model.streams.finalize()
     get_logger().info("ocn_finalize: %d steps, final time %s",

@@ -131,3 +131,43 @@ def test_component_import_validation(tmp_path):
         comp.run(600.0, {"sea_ice_fraction": 0.5})
     comp.run(600.0)          # no imports: plain advance works
     assert comp.clock_time.startswith("0001-01-01_00:10:00")
+
+
+@pytest.mark.parametrize("method", ["sfc", "structured"])
+def test_component_sharded_exports_no_gather(tmp_path, method):
+    """NShards=8 coupled run: the state stays SHARDED across coupling
+    intervals (no global gather in the export path) and the shard_map'd
+    owned-row exports match a single-shard run's exports."""
+    tmp = str(tmp_path)
+    doc = _coupled_config(tmp, stop_minutes=20)
+    doc["Omega"]["Decomp"] = {"NShards": 8, "Method": method}
+    p = os.path.join(tmp, "omega8.yml")
+    with open(p, "w") as f:
+        yaml.safe_dump(doc, f)
+    comp = OmegaComponent(config_file=p, directory=tmp)
+    imports = {"zonal_wind_stress": 0.05, "merid_wind_stress": 0.01}
+    ex8 = comp.run(600.0, imports)
+    # the state was never gathered: still stacked (S, Cl, K)
+    assert getattr(comp.model, "_state_is_sharded", False)
+    assert comp.model.state.h.ndim == 3
+    assert comp.model.state.h.shape[0] == 8
+    ex8b = comp.run(600.0, imports)
+    assert getattr(comp.model, "_state_is_sharded", False)
+    comp.finalize()
+
+    # reference: the same run on one shard (global exports path)
+    doc1 = _coupled_config(tmp, stop_minutes=20)
+    p1 = os.path.join(tmp, "omega1.yml")
+    with open(p1, "w") as f:
+        yaml.safe_dump(doc1, f)
+    comp1 = OmegaComponent(config_file=p1, directory=tmp)
+    ex1 = comp1.run(600.0, imports)
+    ex1b = comp1.run(600.0, imports)
+    comp1.finalize()
+
+    assert set(ex8) == set(ex1)
+    for k in ex1:
+        np.testing.assert_allclose(ex8[k], ex1[k], rtol=0, atol=1e-12,
+                                   err_msg=k)
+        np.testing.assert_allclose(ex8b[k], ex1b[k], rtol=0, atol=1e-12,
+                                   err_msg=k)
