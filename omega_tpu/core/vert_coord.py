@@ -185,6 +185,67 @@ def compute_target_thickness(p_int, ref_thickness, movement_weights,
     return target * active_mask
 
 
+def remap_piecewise_constant(h_old, h_new, q):
+    """Conservative donor-cell vertical remap of a layer-mean quantity.
+
+    q (..., K) are layer means on thicknesses h_old; returns layer means
+    on h_new (same column totals). The cumulative content function
+    F(z) = integral of q dz' is piecewise linear for piecewise-constant
+    q, so new-layer contents are exact interval integrals:
+    F interpolated at the new interfaces, differenced, divided by h_new.
+    This is the vertical-remap building block of the p-star
+    redistribution (VertCoord.cpp:785-840 computes the targets; the
+    remap itself is roadmap in the reference)."""
+    zero = jnp.zeros_like(h_old[..., :1])
+    zo = jnp.concatenate([zero, jnp.cumsum(h_old, axis=-1)], axis=-1)
+    zn = jnp.concatenate([zero, jnp.cumsum(h_new, axis=-1)], axis=-1)
+    F = jnp.concatenate([zero, jnp.cumsum(q * h_old, axis=-1)], axis=-1)
+
+    def col(znc, zoc, Fc):
+        return jnp.interp(znc, zoc, Fc)
+
+    for _ in range(q.ndim - 1):
+        col = jax.vmap(col)
+    Fn = col(zn, zo, F)
+    dF = Fn[..., 1:] - Fn[..., :-1]
+    return jnp.where(h_new > 0, dF / jnp.where(h_new > 0, h_new, 1.0),
+                     q)
+
+
+def make_pstar_phase(mesh, ref_thickness, weights, active_mask=None,
+                     rho0: float = constants.RHO0_SEAWATER):
+    """Per-step p-star redistribution phase (config VertCoord.PStarEnable).
+
+    Returns state -> state: recompute interface pressure from the
+    current thickness, redistribute the column mass onto the target
+    layers (computeTargetThickness, VertCoord.cpp:785-840), and
+    conservatively remap tracers (cell columns) and normal velocity
+    (edge columns, with 2-cell-mean edge thickness) onto the new
+    layers. Volume and tracer content per column are conserved exactly
+    (the remap is an exact interval integral)."""
+    from omega_tpu.ops import trisk
+
+    ref = jnp.asarray(ref_thickness)
+    w = jnp.asarray(weights)
+    mask = (jnp.ones_like(ref) if active_mask is None
+            else jnp.asarray(active_mask))
+    coe = jnp.asarray(mesh.cells_on_edge)
+
+    def phase(state):
+        h = state.h
+        p_int, _ = compute_pressure(h, jnp.zeros(h.shape[0], h.dtype),
+                                    rho0, mask)
+        target = compute_target_thickness(p_int, ref, w, mask, rho0)
+        tr_new = jax.vmap(lambda q: remap_piecewise_constant(h, target, q)
+                          )(state.tracers)
+        he_old = 0.5 * (h[coe[:, 0]] + h[coe[:, 1]])
+        he_new = 0.5 * (target[coe[:, 0]] + target[coe[:, 1]])
+        u_new = remap_piecewise_constant(he_old, he_new, state.u)
+        return type(state)(h=target, u=u_new, tracers=tr_new)
+
+    return phase
+
+
 def movement_weights(cfg: VertCoordConfig) -> np.ndarray:
     """VertCoordMovementWeights from config (initMovementWeights,
     VertCoord.cpp:620-646): 'uniform' weights every layer equally; 'fixed'

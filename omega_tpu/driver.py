@@ -76,6 +76,8 @@ class OceanModel:
     step_count: int = 0
     # online analysis (omega_tpu.analysis): (EnergeticsMonitor, Alarm)
     analysis: object = None
+    # active-layer bounds from the InitialVertCoord stream (LayerBounds)
+    layer_bounds: object = None
 
 
 _CAL_KINDS = {
@@ -159,6 +161,22 @@ def _register_fields(fields: FieldRegistry, dims: DimensionRegistry,
     register_tracer_fields(fields, tracers)
     fields.add_to_group("Restart", "LayerThickness", "NormalVelocity",
                         *tracers.names)
+    if not fields.exists("MinLayerCell"):
+        # InitVertCoord group: vert-coord state read from file through
+        # the InitialVertCoord stream (VertCoord.cpp:149-206,380-417);
+        # 1-based in MPAS files, converted after read
+        fields.create("MinLayerCell",
+                      description="Index of shallowest active layer",
+                      units="1", dim_names=("NCells",))
+        fields.create("MaxLayerCell",
+                      description="Index of deepest active layer",
+                      units="1", dim_names=("NCells",))
+        fields.create("BottomDepth",
+                      description="Depth of the sea floor", units="m",
+                      dim_names=("NCells",))
+        fields.create_group("InitVertCoord")
+        fields.add_to_group("InitVertCoord", "MinLayerCell",
+                            "MaxLayerCell", "BottomDepth")
     if not fields.exists("PressureMid"):
         fields.create("PressureMid", description="Pressure at layer midpoint",
                       units="Pa", dim_names=("NCells", "NVertLayers"),
@@ -355,6 +373,35 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
                 calendar, str(meta["RestartRead"]["StartTime"]))
             fields.update_meta("simulation", StartTime=str(sim_start))
 
+    # --- InitialVertCoord stream results (VertCoord.cpp:149-206): layer
+    # bounds (1-based in the file) and bottom depth override the mesh
+    layer_bounds_m = None
+    if (fields.get("MinLayerCell").data is not None
+            and fields.get("MaxLayerCell").data is not None):
+        from omega_tpu.core import vert_coord as _vc
+        min_c = np.asarray(fields.get("MinLayerCell").data,
+                           np.int32) - 1
+        max_c = np.asarray(fields.get("MaxLayerCell").data,
+                           np.int32) - 1
+        if fields.get("BottomDepth").data is not None:
+            bd = np.asarray(fields.get("BottomDepth").data, np.float64)
+            mesh = dataclasses.replace(mesh, bottom_depth=jnp.asarray(bd))
+            # refresh the default (rest) thickness if no state stream
+            # replaced it
+            if fields.get("LayerThickness").data is h0:
+                h0 = np.broadcast_to(bd[:, None] / K,
+                                     (mesh.ncells, K)).copy()
+                fields.attach("LayerThickness", h0)
+        layer_bounds_m = _vc.layer_bounds(mesh, jnp.asarray(min_c),
+                                          jnp.asarray(max_c), K)
+        # zero inactive layers in the default thickness
+        if fields.get("LayerThickness").data is h0:
+            amask = np.asarray(layer_bounds_m.cell_mask(K))
+            fields.attach("LayerThickness", h0 * amask)
+        get_logger().info("InitialVertCoord: layer bounds read "
+                          "(%d cells with partial columns)",
+                          int((max_c < K - 1).sum() + (min_c > 0).sum()))
+
     if deferred_stream is not None:
         state = None        # built sharded, by region reads, in ocn_run
     else:
@@ -376,6 +423,36 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
             bt_drag=ti.get_float("BarotropicLinearDrag", 0.0))
     else:
         stepper = make_stepper(stepper_name)
+
+    # --- optional p-star redistribution phase (VertCoord.PStarEnable):
+    # after each step, redistribute column mass onto the target layers
+    # and conservatively remap tracers/velocity (computeTargetThickness,
+    # VertCoord.cpp:785-840; the remap is roadmap in the reference)
+    if (config.exists("VertCoord")
+            and config.get_group("VertCoord").get_bool("PStarEnable",
+                                                       False)):
+        if nshards > 1:
+            raise ConfigError("VertCoord.PStarEnable is single-shard "
+                              "for now (ref thickness is global)")
+        if model_cfg.ssh_formulation != "column":
+            raise ConfigError(
+                "VertCoord.PStarEnable needs SshFormulation: column "
+                "(p-star redistributes true column mass)")
+        if state is None:
+            raise ConfigError("PStarEnable needs a host-read state")
+        from omega_tpu.core import vert_coord as _vc2
+        _vcfg = _vc2.VertCoordConfig.from_yaml(config, nvert)
+        _wts = _vc2.movement_weights(_vcfg)
+        _amask = (np.asarray(layer_bounds_m.cell_mask(nvert))
+                  if layer_bounds_m is not None else None)
+        _phase = _vc2.make_pstar_phase(mesh, state.h, _wts, _amask)
+        _base_step = stepper
+
+        def stepper(mesh_, cfg_, st, t, dt, halo, wind_stress=None,
+                    **kw):
+            out = _base_step(mesh_, cfg_, st, t, dt, halo,
+                             wind_stress=wind_stress, **kw)
+            return _phase(out)
 
     # wind-stress forcing: constant from config (WindStress group), or
     # time-varying frames from a read stream carrying the stress fields
@@ -422,7 +499,7 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
         wind_stress=wind, wind_forcing=wind_forcing,
         timers=timers, nshards=nshards,
         decomp_method=decomp_method, sharded_io=sharded_io,
-        halo_width=halo_width,
+        halo_width=halo_width, layer_bounds=layer_bounds_m,
         directory=directory, analysis=analysis)
     model._deferred_state_stream = deferred_stream
     if state is not None:

@@ -92,6 +92,14 @@ class ShardedFieldData:
         return out
 
 
+# reference field name -> MPAS mesh-file variable names
+_MPAS_ALIASES = {
+    "MinLayerCell": ("minLevelCell",),
+    "MaxLayerCell": ("maxLevelCell",),
+    "BottomDepth": ("bottomDepth",),
+}
+
+
 @dataclasses.dataclass
 class StreamSpec:
     """Parsed per-stream config (the IOStreams: YAML schema)."""
@@ -292,10 +300,19 @@ class StreamManager:
             raise IOError_(f"stream {name!r}: file {path} not found")
         nc = read_netcdf(path)
         for fname in self.fields.resolve_contents(s.spec.contents):
-            if nc.has(fname):
-                data = np.asarray(nc.get(fname))
+            # MPAS-file variable-name aliases (the InitialVertCoord
+            # stream reads minLevelCell etc. straight from the mesh
+            # file, VertCoord.cpp:149-206)
+            src_name = fname
+            if not nc.has(src_name):
+                for alt in _MPAS_ALIASES.get(fname, ()):
+                    if nc.has(alt):
+                        src_name = alt
+                        break
+            if nc.has(src_name):
+                data = np.asarray(nc.get(src_name))
                 # drop a leading time frame if present (read latest)
-                vdims = nc.var_dims.get(fname, ())
+                vdims = nc.var_dims.get(src_name, ())
                 if vdims and vdims[0] == "Time":
                     data = data[-1]
                 self.fields.attach(fname, data)

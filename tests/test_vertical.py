@@ -397,3 +397,199 @@ def test_diffusion_solver_conserves():
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(col_mean)[:, None] *
                                np.ones((1, K)), rtol=1e-3)
+
+
+# --------------- p-star remap + redistribution phase (r5) ---------------
+
+def test_remap_piecewise_constant_analytic():
+    """Column-analytic oracle: exact interval integrals of a piecewise-
+    constant profile."""
+    h_old = jnp.asarray([[2.0, 1.0, 1.0]])
+    q = jnp.asarray([[1.0, 2.0, 3.0]])
+    h_new = jnp.asarray([[1.0, 1.0, 2.0]])
+    out = np.asarray(vert_coord.remap_piecewise_constant(h_old, h_new, q))
+    # layers: [0,1) -> q=1; [1,2) -> q=1; [2,4) -> (1*2 + 1*3)/2 = 2.5
+    np.testing.assert_allclose(out, [[1.0, 1.0, 2.5]], atol=1e-14)
+    # identity remap
+    same = np.asarray(vert_coord.remap_piecewise_constant(h_old, h_old, q))
+    np.testing.assert_allclose(same, np.asarray(q), atol=1e-14)
+
+
+def test_remap_conserves_content():
+    rng = np.random.default_rng(7)
+    C, K = 40, 8
+    h_old = jnp.asarray(rng.uniform(0.5, 2.0, (C, K)))
+    q = jnp.asarray(rng.standard_normal((C, K)))
+    # new thicknesses with the same column totals
+    w = rng.uniform(0.5, 2.0, (C, K))
+    h_new = jnp.asarray(w / w.sum(1, keepdims=True)
+                        * np.asarray(h_old).sum(1, keepdims=True))
+    out = vert_coord.remap_piecewise_constant(h_old, h_new, q)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(out * h_new, axis=1)),
+        np.asarray(jnp.sum(q * h_old, axis=1)), rtol=1e-12)
+    # layer means stay within the old range (donor remap is monotone)
+    assert float(jnp.max(out)) <= float(jnp.max(q)) + 1e-12
+    assert float(jnp.min(out)) >= float(jnp.min(q)) - 1e-12
+
+
+def test_pstar_phase_fixed_point_and_conservation():
+    """make_pstar_phase: the reference profile is a fixed point; a
+    perturbed column redistributes onto the targets while conserving
+    volume and tracer content exactly."""
+    from omega_tpu.core.state import ModelState
+    mesh = planar_hex_mesh(8, 8, dc=1000.0, bottom_depth=100.0)
+    K, C, E = 5, mesh.ncells, mesh.nedges
+    ref = np.full((C, K), 100.0 / K)
+    wts = np.ones(K)
+    phase = vert_coord.make_pstar_phase(mesh, ref, wts)
+
+    rng = np.random.default_rng(3)
+    tr = jnp.asarray(rng.standard_normal((2, C, K)) + 10.0)
+    u = jnp.asarray(0.1 * rng.standard_normal((E, K)))
+
+    # fixed point: h == ref stays put, tracers/velocity untouched
+    st0 = ModelState(h=jnp.asarray(ref), u=u, tracers=tr)
+    out0 = phase(st0)
+    np.testing.assert_allclose(np.asarray(out0.h), ref, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out0.tracers), np.asarray(tr),
+                               atol=1e-10)
+
+    # perturbed columns: total mass per column preserved, target
+    # distributes the perturbation uniformly (uniform weights)
+    ssh = rng.standard_normal(C)
+    h_p = jnp.asarray(ref * (1.0 + ssh[:, None] / 100.0))
+    st1 = ModelState(h=h_p, u=u, tracers=tr)
+    out1 = phase(st1)
+    np.testing.assert_allclose(np.asarray(out1.h).sum(1),
+                               np.asarray(h_p).sum(1), rtol=1e-13)
+    # uniform ref + uniform weights: every layer gets an equal share
+    np.testing.assert_allclose(
+        np.asarray(out1.h),
+        np.broadcast_to(np.asarray(h_p).sum(1)[:, None] / K,
+                        (C, K)), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(out1.tracers * out1.h[None], axis=-1)),
+        np.asarray(jnp.sum(tr * h_p[None], axis=-1)), rtol=1e-12)
+
+
+def test_driver_pstar_run_conserves(tmp_path):
+    """Driver-level p-star phase: a column-formulation run with
+    PStarEnable conserves volume and tracer mass and stays finite."""
+    import yaml
+
+    from omega_tpu.driver import ocn_finalize, ocn_init, ocn_run
+    tmp = str(tmp_path)
+    doc = {"Omega": {
+        "TimeIntegration": {
+            "CalendarType": "No Leap", "TimeStepper": "Forward-Backward",
+            "TimeStep": "0000_00:00:30",
+            "StartTime": "0001-01-01_00:00:00",
+            "StopTime": "0001-01-01_00:10:00", "RunDuration": "none"},
+        "Mesh": {"Generate": {"Kind": "planar", "Nx": 12, "Ny": 12,
+                              "Dc": 5000.0, "F0": 1.0e-4,
+                              "BottomDepth": 1000.0}},
+        "VertCoord": {"NVertLayers": 4, "PStarEnable": True,
+                      "MovementWeightType": "Uniform"},
+        "SshFormulation": "Column",
+        "Tracers": {"Base": ["Temperature", "Salinity"]},
+        "Tendencies": {"ViscDel2": 1.0e3,
+                       "VelHyperDiffTendencyEnable": False,
+                       "TracerDiffTendencyEnable": False,
+                       "TracerHyperDiffTendencyEnable": False},
+        "IOStreams": {}}}
+    p = f"{tmp}/omega.yml"
+    with open(p, "w") as f:
+        yaml.safe_dump(doc, f)
+    m = ocn_init(config_file=p, directory=tmp)
+    # kick the state so the phase has something to redistribute
+    x = np.asarray(m.mesh.x_cell)
+    bump = 0.5 * np.exp(-((x - x.mean()) / 20e3) ** 2)
+    h = np.asarray(m.state.h) + bump[:, None] / 4
+    m.state = dataclasses_replace_state(m.state, h=jnp.asarray(h))
+    area = np.asarray(m.mesh.area_cell)
+    vol0 = float((area[:, None] * h).sum())
+    tmass0 = (area[None, :, None] * np.asarray(m.state.tracers)
+              * h[None]).sum(axis=(1, 2))
+    m = ocn_run(m)
+    st = ocn_finalize(m)
+    h1 = np.asarray(st.h)
+    assert np.isfinite(h1).all() and np.isfinite(np.asarray(st.u)).all()
+    vol1 = float((area[:, None] * h1).sum())
+    assert abs(vol1 - vol0) < 1e-9 * vol0
+    tmass1 = (area[None, :, None] * np.asarray(st.tracers)
+              * h1[None]).sum(axis=(1, 2))
+    np.testing.assert_allclose(tmass1, tmass0, rtol=1e-11)
+
+
+def dataclasses_replace_state(st, **kw):
+    import dataclasses as _dc
+    try:
+        return _dc.replace(st, **kw)
+    except TypeError:
+        d = {"h": st.h, "u": st.u, "tracers": st.tracers}
+        d.update(kw)
+        return type(st)(**d)
+
+
+def test_initial_vert_coord_stream(tmp_path):
+    """InitialVertCoord read stream (configs/Default.yml:64-72,
+    VertCoord.cpp:149-206): 1-based min/max layer indices and bottom
+    depth come from the file (MPAS variable-name aliases), drive the
+    layer bounds and the default rest state."""
+    import yaml
+
+    from omega_tpu.driver import ocn_init
+    from omega_tpu.io.netcdf import write_netcdf
+    tmp = str(tmp_path)
+    C = 12 * 12
+    K = 4
+    rng = np.random.default_rng(0)
+    min_c = np.ones(C, np.int32)
+    max_c = np.full(C, K, np.int32)
+    max_c[:10] = 2                       # 10 shallow columns
+    min_c[5:8] = 2                       # a few ice-shelf-like columns
+    depth = np.full(C, 800.0)
+    depth[:10] = 400.0
+    write_netcdf(f"{tmp}/vcoord.nc",
+                 dims={"nCells": C},
+                 variables={"minLevelCell": min_c,
+                            "maxLevelCell": max_c,
+                            "bottomDepth": depth},
+                 var_dims={"minLevelCell": ("nCells",),
+                           "maxLevelCell": ("nCells",),
+                           "bottomDepth": ("nCells",)})
+    doc = {"Omega": {
+        "TimeIntegration": {
+            "CalendarType": "No Leap", "TimeStepper": "Forward-Backward",
+            "TimeStep": "0000_00:00:30",
+            "StartTime": "0001-01-01_00:00:00",
+            "StopTime": "0001-01-01_00:01:00", "RunDuration": "none"},
+        "Mesh": {"Generate": {"Kind": "planar", "Nx": 12, "Ny": 12,
+                              "Dc": 5000.0, "BottomDepth": 1000.0}},
+        "VertCoord": {"NVertLayers": K},
+        "Tracers": {"Base": ["Temperature", "Salinity"]},
+        "Tendencies": {"ViscDel2": 0.0,
+                       "VelHyperDiffTendencyEnable": False,
+                       "TracerDiffTendencyEnable": False,
+                       "TracerHyperDiffTendencyEnable": False},
+        "IOStreams": {"InitialVertCoord": {
+            "UsePointerFile": False, "Filename": "vcoord.nc",
+            "Mode": "read", "Freq": 1, "FreqUnits": "OnStartup",
+            "Contents": ["InitVertCoord"]}}}}
+    p = f"{tmp}/omega.yml"
+    with open(p, "w") as f:
+        yaml.safe_dump(doc, f)
+    m = ocn_init(config_file=p, directory=tmp)
+    lb = m.layer_bounds
+    assert lb is not None
+    np.testing.assert_array_equal(np.asarray(lb.min_cell), min_c - 1)
+    np.testing.assert_array_equal(np.asarray(lb.max_cell), max_c - 1)
+    # bottom depth overridden from the file
+    np.testing.assert_allclose(np.asarray(m.mesh.bottom_depth), depth)
+    # default rest state: depth/K on active layers, 0 on inactive
+    h = np.asarray(m.state.h)
+    np.testing.assert_allclose(h[20], 800.0 / K)   # full column
+    np.testing.assert_allclose(h[0, 3], 0.0)       # below maxLevel=2
+    np.testing.assert_allclose(h[0, 0], 400.0 / K)
+    np.testing.assert_allclose(h[6, 0], 0.0)       # above minLevel=2
