@@ -145,8 +145,18 @@ def supported(mesh, cfg, kind="fb", parity=None) -> bool:
              "vdiff", "vmean", "signed_div")
     if any(_table(mesh, n) is None for n in names):
         return False
+    # FCT (Zalesak) tracer fluxes fuse on the FB kernel only: the
+    # limiter needs the thickness-first update order (core/tendencies
+    # raises for RK paths too) and the relu'd div + cell-neighbor tables
+    tracer_types = ("center", "upwind") + (("fct",) if kind == "fb"
+                                           else ())
+    if cfg.flux_tracer_type == "fct":
+        fct_names = ("div_pos", "div_neg", "c0", "c1") + tuple(
+            f"coc{j}" for j in range(6))
+        if any(_table(mesh, n) is None for n in fct_names):
+            return False
     return (cfg.flux_thickness_type in ("center", "upwind")
-            and cfg.flux_tracer_type in ("center", "upwind")
+            and cfg.flux_tracer_type in tracer_types
             and cfg.ssh_formulation == "stacked"
             and tc.thickness_flux_div and tc.pv_advection and tc.ke_gradient
             and tc.ssh_gradient and tc.velocity_diffusion
@@ -208,8 +218,8 @@ def _apply(tab, val_list, even, pd):
 # at fixed offsets and the split kernels append theirs after NCONST
 # (14..18 = K, rho0, drag_coeff, kappa_tracer, kappa_momentum;
 #  19 = None or the PP81 parameter tuple; 20/21 = upwind flags for the
-#  thickness / tracer fluxes, see _mega_args)
-NCONST = 22
+#  thickness / tracer fluxes; 22 = FCT tracer flag, see _mega_args)
+NCONST = 23
 
 
 def _lane(x):
@@ -248,6 +258,61 @@ def _htr_flux(h, tr_l, u, mean_h, consts, ap):
         return [_upwind_sel(u[i], h0[i] * t0[i], h1[i] * t1[i])
                 for i in range(3)]
     return ap("cmean", [h * tr_l], 3)
+
+
+def _fct_adv(h, h_new, trl, u, mass_flux, consts, ap):
+    """Fused Zalesak FCT advective tendency — core/fct.
+    fct_tracer_tendency replicated expression-for-expression on kernel
+    slabs (edge_mask is uniformly 1 on the fused planar path, so the
+    mask factors drop). mass_flux = flux_h * u per edge channel (the
+    thickness equation's own flux, the FCT compatibility requirement)."""
+    dt = consts[0]
+    eps = 1e-30
+    tr0 = ap("c0", [trl], 3)
+    tr1 = ap("c1", [trl], 3)
+    f_hi = [0.5 * (tr0[i] + tr1[i]) * mass_flux[i] for i in range(3)]
+    f_lo = [jnp.where(u[i] > 0, tr0[i],
+                      jnp.where(u[i] < 0, tr1[i],
+                                0.5 * (tr0[i] + tr1[i]))) * mass_flux[i]
+            for i in range(3)]
+    div_lo = ap("div", f_lo, 1)[0]
+    tr_td = (trl * h - dt * div_lo) / h_new
+
+    # admissible bounds: extrema of the old and transported fields over
+    # the cell + its 6 lattice neighbors (Zalesak eq. 17-18)
+    tr_max, tr_min = trl, trl
+    td_max, td_min = tr_td, tr_td
+    for j in range(6):
+        nb_o = ap(f"coc{j}", [trl], 1)[0]
+        nb_t = ap(f"coc{j}", [tr_td], 1)[0]
+        tr_max = jnp.maximum(tr_max, nb_o)
+        tr_min = jnp.minimum(tr_min, nb_o)
+        td_max = jnp.maximum(td_max, nb_t)
+        td_min = jnp.minimum(td_min, nb_t)
+    tr_max = jnp.maximum(tr_max, td_max)
+    tr_min = jnp.minimum(tr_min, td_min)
+
+    # antidiffusive fluxes, split so the relu'd budgets use the fixed
+    # nonnegative div_pos/div_neg stencils (Zalesak eq. 7-10)
+    a = [f_hi[i] - f_lo[i] for i in range(3)]
+    b_pos = [jnp.maximum(a[i], 0.0) for i in range(3)]
+    b_neg = [jnp.maximum(-a[i], 0.0) for i in range(3)]
+    p_in = dt * (ap("div_neg", b_pos, 1)[0] + ap("div_pos", b_neg, 1)[0])
+    p_out = dt * (ap("div_pos", b_pos, 1)[0] + ap("div_neg", b_neg, 1)[0])
+    q_in = (tr_max - tr_td) * h_new
+    q_out = (tr_td - tr_min) * h_new
+    r_in = jnp.clip(q_in / jnp.maximum(p_in, eps), 0.0, 1.0)
+    r_out = jnp.clip(q_out / jnp.maximum(p_out, eps), 0.0, 1.0)
+
+    r_in0 = ap("c0", [r_in], 3)
+    r_in1 = ap("c1", [r_in], 3)
+    r_out0 = ap("c0", [r_out], 3)
+    r_out1 = ap("c1", [r_out], 3)
+    f_corr = [f_lo[i] + jnp.where(a[i] >= 0,
+                                  jnp.minimum(r_in1[i], r_out0[i]),
+                                  jnp.minimum(r_in0[i], r_out1[i]))
+              * a[i] for i in range(3)]
+    return -ap("div", f_corr, 1)[0]
 
 
 def _wind_drag(du, u, mean_h, ke, wslab, consts, ap):
@@ -418,11 +483,15 @@ def _fb_compute(h, u, tr, even, tabs, consts, L, wslab=None):
     dh = ap("div", flux, 1)[0]
     h_new = h + dt * (-dh)
 
-    # --- tracers (center/upwind flux + del2 + del4)
+    # --- tracers (center/upwind flux + del2 + del4; FCT replaces the
+    # advective term with the fused Zalesak limiter)
     trn = []
     for l in range(L):
-        htr = _htr_flux(h, tr[l], u, mean_h, consts, ap)
-        adv = -ap("div", [htr[i] * u[i] for i in range(3)], 1)[0]
+        if len(consts) > 22 and consts[22]:
+            adv = _fct_adv(h, h_new, tr[l], u, flux, consts, ap)
+        else:
+            htr = _htr_flux(h, tr[l], u, mean_h, consts, ap)
+            adv = -ap("div", [htr[i] * u[i] for i in range(3)], 1)[0]
         ctr = ap("cdiff", [tr[l]], 3)
         d2tr = ap("signed_div",
                   [geo * mean_h[i] * ctr[i] for i in range(3)],
@@ -1105,9 +1174,13 @@ def _mega_args(mesh, cfg, dt):
               vm.kappa_momentum if vmix else None,
               pp81,
               cfg.flux_thickness_type == "upwind",
-              cfg.flux_tracer_type == "upwind")
+              cfg.flux_tracer_type == "upwind",
+              cfg.flux_tracer_type == "fct")
     names = ("div", "ke", "curl", "kite", "tang", "cdiff", "cmean",
              "vdiff", "vmean", "signed_div", "c0", "c1")
+    if cfg.flux_tracer_type == "fct":
+        names = names + ("div_pos", "div_neg") + tuple(
+            f"coc{j}" for j in range(6))
     tabs = tuple((n, _table(mesh, n)) for n in names)
     return tabs, consts
 

@@ -29,6 +29,13 @@ Halo = Callable[[ModelState], ModelState]
 _identity: Halo = lambda s: s
 
 
+def _halo_overlap_enabled() -> bool:
+    """OMEGA_HALO_OVERLAP=0 restores the trailing full-state exchange
+    (A/B knob; overlap is bit-identical and the default)."""
+    import os
+    return os.environ.get("OMEGA_HALO_OVERLAP", "1") != "0"
+
+
 def _mix(mesh, cfg, state, dt):
     """Operator-split backward-Euler vertical mixing applied after the
     horizontal update (the implicit stage the reference's tridiagonal
@@ -82,10 +89,31 @@ def forward_backward_step(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
         flux_h_edge=thick_aux.flux_h_edge)
     tr_new = (tr * h[None] + dt * dtr) / h_new[None]
 
+    # Compute/comm overlap (the TPU analogue of the reference's
+    # MPI_Test poll-and-unpack loop, base/Halo.h:849-881): once h and
+    # the tracers are updated, their owned boundary rows are final, so
+    # the cell-space ppermute rounds are ISSUED here and their results
+    # consumed only after the velocity stage — XLA's latency-hiding
+    # scheduler runs the collective behind the computeMomAux sweep (the
+    # step's largest block). The velocity tendency reads the LOCAL
+    # pre-exchange h_new (identical values on the rings it touches:
+    # width-3 halos keep rings 1-2 of h_new exact after a radius-1
+    # update), so results are bit-identical to the trailing exchange.
+    # Implicit vertical mixing modifies u/tracers after this point, so
+    # with vmix enabled the step keeps the single trailing exchange.
+    cell_ex = getattr(halo, "cell", None)
+    overlap = (cell_ex is not None and _halo_overlap_enabled()
+               and not (cfg.vert_mix.enabled and cfg.nvertlayers >= 2))
+    if overlap:
+        bundle = cell_ex(jnp.concatenate([h_new[None], tr_new], axis=0))
+
     du, _ = tend_mod.compute_velocity_tendency(
         mesh, cfg, h_new, u, t + dt, wind_stress)
     u_new = u + dt * du
 
+    if overlap:
+        return ModelState(h=bundle[0], u=halo.edge(u_new),
+                          tracers=bundle[1:])
     out = _mix(mesh, cfg, ModelState(h=h_new, u=u_new, tracers=tr_new), dt)
     return halo(out)
 

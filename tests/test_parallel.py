@@ -328,3 +328,66 @@ def test_halo_rank4_array():
         cm = c_l2g[s] >= 0
         np.testing.assert_array_equal(fixed[s][:, :, cm],
                                       ref[:, :, c_l2g[s][cm]])
+
+
+def test_halo_overlap_bit_identical():
+    """Compute/comm overlap (FB issues the cell exchange before the
+    velocity stage): results are bit-identical to the trailing-exchange
+    schedule and to the single-device run, and in the compiled HLO the
+    velocity-stage fusions have no dependency on the cell collective
+    (the overlap demonstration of SCALING_r05.md)."""
+    import os
+    import re
+
+    mesh, cfg, state = _inertia_gravity_setup(nx=16, dc=5000.0)
+    sm = decompose(mesh, 8)
+    dmesh = default_device_mesh(8)
+    sst0 = shard_state(sm, state)
+
+    def run(overlap):
+        os.environ["OMEGA_HALO_OVERLAP"] = "1" if overlap else "0"
+        try:
+            step = make_sharded_step(sm, cfg, forward_backward_step,
+                                     dmesh)
+            st = sst0
+            for i in range(4):
+                st = step(st, i * 30.0, 30.0)
+            return step, gather_state(sm, st, mesh.ncells, mesh.nedges)
+        finally:
+            os.environ.pop("OMEGA_HALO_OVERLAP", None)
+
+    step_on, a = run(True)
+    _, b = run(False)
+    for f in ("h", "u", "tracers"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)))
+    ref = run_steps(mesh, cfg, state, 0.0, 30.0, 4)
+    np.testing.assert_array_equal(np.asarray(a.h), np.asarray(ref.h))
+    np.testing.assert_array_equal(np.asarray(a.u), np.asarray(ref.u))
+
+    # dataflow: no velocity-stage fusion depends on the cell ppermutes
+    txt = jax.jit(lambda st: step_on(st, 0.0, 30.0)).lower(
+        sst0).compile().as_text()
+    deps, kind = {}, {}
+    for m in re.finditer(r'%([\w.\-]+) = \S+ ([\w\-]+)\(([^)]*)\)', txt):
+        deps[m.group(1)] = re.findall(r'%([\w.\-]+)', m.group(3))
+        kind[m.group(1)] = m.group(2)
+    import functools as ft
+    import sys
+    sys.setrecursionlimit(100000)
+
+    @ft.lru_cache(maxsize=None)
+    def reach(name):
+        out = set()
+        for d in deps.get(name, ()):
+            out.add(d)
+            out |= reach(d)
+        return frozenset(out)
+
+    perms = {n for n, k in kind.items() if k == "collective-permute"}
+    assert perms, "no collectives in compiled module?"
+    fusions = [n for n, k in kind.items() if k == "fusion"]
+    indep = [n for n in fusions if not (reach(n) & perms)]
+    # a healthy overlap schedule leaves the majority of compute fusions
+    # independent of every collective
+    assert len(indep) >= len(fusions) // 2, (len(indep), len(fusions))

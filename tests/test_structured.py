@@ -570,3 +570,50 @@ def test_megastep_run_steps_stacked_carry(monkeypatch):
         np.testing.assert_allclose(np.asarray(getattr(out, n)),
                                    np.asarray(getattr(ref, n)),
                                    rtol=1e-10, atol=1e-10, err_msg=n)
+
+
+def test_megastep_fct_matches_composed():
+    """Zalesak FCT tracer fluxes fused in the planar FB kernel
+    (ops/megastep._fct_adv) equal the composed core/fct.py path to
+    rounding, and the monotonicity contract holds: advecting a 0/1
+    step-function tracer creates no new extrema."""
+    from omega_tpu.core import ModelConfig, ModelState, TendencyConfig
+    from omega_tpu.ops import megastep
+    from omega_tpu.stepping import forward_backward_step
+
+    mesh = planar_hex_mesh(32, 16, dc=5000.0, f0=1e-4,
+                           bottom_depth=1000.0)
+    K = 3
+    cfg = ModelConfig(nvertlayers=K, ntracers=2,
+                      flux_tracer_type="fct",
+                      tendencies=TendencyConfig(visc_del2=1e3,
+                                                visc_del4=1e9,
+                                                eddy_diff2=0.0,
+                                                eddy_diff4=0.0))
+    assert megastep.supported(mesh, cfg)
+    assert not megastep.supported(mesh, cfg, kind="rk2")
+
+    rng = np.random.default_rng(11)
+    kx = 2 * np.pi / mesh.x_period
+    ssh = np.sin(kx * np.asarray(mesh.x_cell))
+    h = jnp.asarray((1000.0 + ssh[:, None]) / K) * jnp.ones((1, K))
+    step_tr = (np.asarray(mesh.x_cell) > mesh.x_period / 2).astype(float)
+    tr = np.stack([np.broadcast_to(step_tr[:, None], (mesh.ncells, K)),
+                   10.0 + rng.standard_normal((mesh.ncells, K))])
+    st = ModelState(
+        h=h, u=jnp.asarray(0.5 * rng.standard_normal((mesh.nedges, K))),
+        tracers=jnp.asarray(tr))
+
+    ref, out = st, st
+    for _ in range(2):
+        ref = forward_backward_step(mesh, cfg, ref, 0.0, 30.0)
+        out = megastep.fb_megastep(mesh, cfg, out, 0.0, 30.0,
+                                   interpret=True)
+    for n in ("h", "u", "tracers"):
+        np.testing.assert_allclose(np.asarray(getattr(out, n)),
+                                   np.asarray(getattr(ref, n)),
+                                   rtol=1e-10, atol=1e-10, err_msg=n)
+    # monotone: the step tracer stays in [0, 1] through both paths
+    for sol in (out, ref):
+        t0 = np.asarray(sol.tracers)[0]
+        assert t0.min() >= -1e-12 and t0.max() <= 1.0 + 1e-12
