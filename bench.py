@@ -62,6 +62,12 @@ def main():
     nsteps = int(os.environ.get("OMEGA_BENCH_NSTEPS", 20))
     mesh_kind = os.environ.get("OMEGA_BENCH_MESH", "planar")
 
+    if mesh_kind == "qu240":
+        # the mesh scale BASELINE actually names (QU240, ~7k cells;
+        # doc/design/OmegaV0ShallowWater.md:681-692): icos24 is the
+        # in-repo analogue (5,762 cells). Same sphere path below.
+        os.environ.setdefault("OMEGA_BENCH_SUBDIV", "24")
+        mesh_kind = "sphere"
     if mesh_kind == "sphere":
         # global icos mesh — the QU240-style configuration. Default:
         # patch-structured layout (streaming per-rhombus stencils,
@@ -162,6 +168,29 @@ def main():
           f"roofline_est={sol*1e3:.3f} ms "
           f"xla_bytes_per_step={xla_bytes} device={jax.devices()[0]}",
           file=sys.stderr)
+
+    # the 1000-step conservation gate at the bench scale
+    # (OmegaV0ShallowWater.md:65-67): volume and tracer content to
+    # machine precision over a long run
+    ngate = int(os.environ.get("OMEGA_BENCH_CONSERVE", "0"))
+    if ngate:
+        area = jnp.asarray(mesh.area_cell, dtype)[:, None]
+        vol0 = float(jnp.sum(area * state.h, dtype=jnp.float64))
+        tm0 = float(jnp.sum(area[None] * state.tracers * state.h[None],
+                            dtype=jnp.float64))
+        st = state
+        done = 0
+        while done < ngate:
+            st = jax.block_until_ready(stepn(st))
+            done += nsteps
+        vol1 = float(jnp.sum(area * st.h, dtype=jnp.float64))
+        tm1 = float(jnp.sum(area[None] * st.tracers * st.h[None],
+                            dtype=jnp.float64))
+        print(f"# conserve[{done} steps]: vol_drift="
+              f"{(vol1 - vol0) / vol0:.3e} tracer_drift="
+              f"{(tm1 - tm0) / tm0:.3e} "
+              f"finite={bool(jnp.isfinite(st.h).all())}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

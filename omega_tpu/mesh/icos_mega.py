@@ -1035,7 +1035,16 @@ def _build(mesh, info: ip.PatchInfo) -> MegaInfo:
         ty_, tx_ = (int(v) for v in spec.split("x"))
     else:
         ty_ = tx_ = int(spec)
-    pick = lambda t: max(b for b in range(1, max(t, 1) + 1) if S % b == 0)
+    # Mosaic DMA constraint (BENCH_SPHERE_r04 mosaic_constraints_mapped):
+    # second-minor (X) offsets/extents must be 0 mod 8, so the tile must
+    # keep by + 2R a multiple of 8 — with R = MH = 8 that means by % 8
+    # == 0. Prefer the largest 8-multiple divisor of S (e.g. S = 40 at
+    # icos24 picks 8, not 10); fall back to any divisor only when none
+    # exists (CPU interpret runs don't hit the constraint).
+    def pick(t):
+        cand = [b for b in range(1, max(t, 1) + 1) if S % b == 0]
+        oct_ = [b for b in cand if b % 8 == 0]
+        return max(oct_) if oct_ else max(cand)
     by = (pick(ty_), pick(tx_))
     masks = kernel_validity(tables, content, resolved, n, by, MH)
 

@@ -447,6 +447,69 @@ def yshrink_enabled() -> bool:
     return os.environ.get("OMEGA_PATCH_YSHRINK", "1") in ("1", "true")
 
 
+def pool_enabled() -> bool:
+    """OMEGA_PATCH_POOL=1: explicit cross-op VMEM buffer reuse.
+
+    Chain values are stored into a fixed pool of (YY, XX, K) scratch
+    slabs with host-side linear-scan slot allocation (freed slots reuse
+    immediately), instead of living as anonymous Mosaic stack values.
+    This bounds the kernel's scoped-VMEM footprint by the chain's true
+    max-live slab count — independent of op count — which is what
+    blocked 32x64 tiles and the fused PP81/upwind-K4 chains (round-4
+    mosaic_constraints_mapped). Slabs are stored at full Y extent, so
+    the Y-shrink evaluation narrowing is disabled in this mode (it
+    measured time-neutral in rounds 3-4)."""
+    return os.environ.get("OMEGA_PATCH_POOL", "0") == "1"
+
+
+class _Pooled:
+    """A chain value slab parked in the scratch pool (or, during
+    host-side planning, carried inline with its slot accounting)."""
+    __slots__ = ("slot", "val")
+
+    def __init__(self, slot, val=None):
+        self.slot = slot
+        self.val = val
+
+
+class _InSlab:
+    """Lazy reader of an input-state slab (lives in in_s, never pooled)."""
+    __slots__ = ("fn",)
+
+    def __init__(self, fn):
+        self.fn = fn
+
+
+class _PoolAlloc:
+    """Deterministic slot allocator (stack discipline) shared between
+    the planning pass and the kernel trace: identical op sequences give
+    identical slot assignments, so the planned capacity is exact."""
+
+    def __init__(self, capacity=None):
+        self.capacity = capacity
+        self.free = list(range(capacity)) if capacity is not None else []
+        self.nmade = capacity if capacity is not None else 0
+        self.inuse = 0
+        self.peak = 0
+
+    def alloc(self):
+        if not self.free:
+            if self.capacity is not None:
+                raise RuntimeError(
+                    f"VMEM pool exhausted (capacity {self.capacity})")
+            self.free.append(self.nmade)
+            self.nmade += 1
+        s = self.free.pop()
+        self.inuse += 1
+        self.peak = max(self.peak, self.inuse)
+        return s
+
+    def release(self, slots):
+        for s in slots:
+            self.free.append(s)
+            self.inuse -= 1
+
+
 def _chain_extents(ops, outputs, entry_lists, R, by, YY):
     """Per-op-instance required output Y-extent [lo, hi) (slab rows).
 
@@ -508,7 +571,7 @@ def _yslice(slab, start, stop):
 
 
 def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
-                ops=None, outputs=None, R_by=None):
+                ops=None, outputs=None, R_by=None, pool=None, alloc=None):
     """Evaluate a chain (default fb_chain) on per-channel slab lists.
 
     vals: dict name -> [ (Y, X, K) ] * T.  pget(i) -> (Y, X) plane slab.
@@ -530,8 +593,19 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
     if outputs is None:
         outputs = ["h_new", "u_new"] + [f"trn{l}" for l in range(L)]
 
-    YY = next(iter(vals.values()))[0].shape[0]
-    if R_by is not None and yshrink_enabled():
+    pooled = alloc is not None
+
+    def _deref(x):
+        if isinstance(x, _Pooled):
+            return x.val if x.val is not None else pool[x.slot]
+        if isinstance(x, _InSlab):
+            return x.fn()
+        return x
+
+    probe = _deref(next(iter(vals.values()))[0])
+    YY = probe.shape[0]
+    KL = probe.shape[-1]
+    if R_by is not None and yshrink_enabled() and not pooled:
         exts = _chain_extents(ops, outputs, entry_lists, R_by[0], R_by[1],
                               YY)
     else:
@@ -540,7 +614,7 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
     cur_ext = (0, YY)                       # extent of the op being run
 
     def ap(tname, sname):
-        src = vals[sname]
+        src = [_deref(s) for s in vals[sname]]
         slo = vext[sname][0]
         lo, hi = cur_ext
         Td, Ts, lst = entry_lists[tname]
@@ -592,8 +666,8 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
         def v(nm):
             vlo, vhi = vext[nm]
             if (vlo, vhi) == (lo, hi):
-                return vals[nm]
-            return [s[lo - vlo:hi - vlo] for s in vals[nm]]
+                return [_deref(s) for s in vals[nm]]
+            return [_deref(s)[lo - vlo:hi - vlo] for s in vals[nm]]
 
         if fn == "mul":
             return [x * y for x, y in zip(v(a[0]), v(a[1]))]
@@ -763,6 +837,27 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
             return outs
         raise ValueError(fn)
 
+    def _release_value(slabs):
+        if alloc is not None:
+            alloc.release([s.slot for s in slabs
+                           if isinstance(s, _Pooled)])
+
+    def _store(res):
+        """Park full-lane-width result slabs in the pool (slim K=1
+        columns and the planning pass keep the value inline)."""
+        out = []
+        for r in res:
+            if r.shape[-1] == KL:
+                slot = alloc.alloc()
+                if pool is not None:
+                    pool[slot] = r
+                    out.append(_Pooled(slot))
+                else:
+                    out.append(_Pooled(slot, r))
+            else:
+                out.append(r)
+        return out
+
     last = _last_use(ops, outputs)
     for i, op in enumerate(ops):
         name = op[0]
@@ -770,15 +865,23 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
             continue
         cur_ext = exts[i]
         res = run(op)
+        # free dead inputs BEFORE parking the result: the result's store
+        # happens after its reads in program order, so reusing a dead
+        # input's slot is safe and minimizes the pool peak
         dead = [nm for nm in _op_inputs(op)
                 if last.get(nm, -1) == i and nm != name and nm in vals]
         for nm in dead:
+            _release_value(vals[nm])
             del vals[nm]
             del vext[nm]
+        if name in vals:             # reassignment: old value is dead
+            _release_value(vals[name])
         if name in outputs and sink is not None \
                 and sink(name, res, cur_ext[0]):
+            vals.pop(name, None)
+            vext.pop(name, None)
             continue
-        vals[name] = res
+        vals[name] = _store(res) if pooled else res
         vext[name] = cur_ext
     return vals
 
@@ -786,21 +889,19 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
 # ----------------------------------------------------------------------
 # the kernel
 
-def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
-            L, S, SS, by, nt, K, npl, chain_kind="fb", wslice=False,
-            class_lanes=None, phys=(False, False, False)):
-    CH = f_hbm.shape[0]
-    CHO = o_hbm.shape[0]    # rk2b reads 2 state blocks, writes one
-    (byy, byx) = (by, by) if isinstance(by, int) else by
-    (nty, ntx) = (nt, nt) if isinstance(nt, int) else nt
-    YY, XX = byy + 2 * R, byx + 2 * R
-    NP = f_hbm.shape[1]     # 10 on one device; a subset under sharding
-    B = 4 + L
+def _norm_phys(phys):
     phys = tuple(phys) + (False,) * (5 - len(phys)) \
         if len(phys) < 5 else tuple(phys)
     if len(phys) == 5:
         phys = phys + (None,)
-    wind, drag, vmix, uw_h, uw_tr, pp = phys
+    return phys
+
+
+def _chain_setup(chain_kind, L, phys):
+    """(chain_ops, outputs, out_map, in_blocks, keep) for a chain kind —
+    shared by the kernel trace and the pool planner."""
+    wind, drag, vmix, uw_h, uw_tr, pp = _norm_phys(phys)
+    B = 4 + L
     outputs, in_blocks = None, ("",)
     out_map = dict({"h_new": 0, "u_new": 1},
                    **{f"trn{l}": 4 + l for l in range(L)})
@@ -840,9 +941,8 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
     # outputs that a LATER chain op reads must stay in vals after
     # sinking (fb: the tracer updates read h_new; vmix re-reads all)
     keep = set()
-    _ops = chain_ops
     prod = {}
-    for i, op in enumerate(_ops):
+    for i, op in enumerate(chain_ops):
         # a read of an ALREADY-produced output name keeps it in vals
         # (incremental prod: a reassigning op — vmix_u reading u_new —
         # reads the value of the earlier assignment)
@@ -850,8 +950,80 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
             if nm in out_map and nm in prod:
                 keep.add(nm)
         prod[op[0]] = i
+    return chain_ops, outputs, out_map, in_blocks, keep
 
-    def body(in_s, pl_s, out_s, sem):
+
+_POOL_PLANS: Dict[tuple, int] = {}
+
+
+def _pool_plan(chain_kind, L, phys, const_idx, consts, entry_lists):
+    """Pool capacity (max live full-width slabs) for a chain.
+
+    Runs the chain once on tiny dummy slabs with the same allocator
+    discipline as the kernel trace — identical op sequence, identical
+    slot pattern — so the returned capacity is exact, not a bound."""
+    phys = _norm_phys(phys)
+    key = (chain_kind, L, phys, _hashable(const_idx))
+    if key in _POOL_PLANS:
+        return _POOL_PLANS[key]
+    chain_ops, outputs, out_map, in_blocks, keep = _chain_setup(
+        chain_kind, L, phys)
+    if outputs is None:
+        outputs = ["h_new", "u_new"] + [f"trn{l}" for l in range(L)]
+    Yp, Xp = 4, 8
+    cdict = dict(const_idx)
+    with jax.ensure_compile_time_eval():
+        zero2 = jnp.zeros((Yp, Xp), jnp.float32)
+        slab = lambda: jnp.zeros((Yp, Xp, 128), jnp.float32)
+        vals = {}
+        B = 4 + L
+        for bi, sfx in enumerate(in_blocks):
+            tr_nm = ("tr{}" if sfx == "" else
+                     "tr0{}" if sfx == "0" else "tra{}")
+            vals[f"h{sfx}"] = [slab()]
+            vals[f"u{sfx}"] = [slab() for _ in range(3)]
+            for l in range(L):
+                vals[tr_nm.format(l)] = [slab()]
+        pget = lambda i: zero2
+
+        def cget(cname):
+            c = cdict[cname]
+            if isinstance(c, float):
+                return c
+            return [zero2 for _ in range(c[1])]
+
+        # entry lists only contribute Td/Ts (slab counts) to the slot
+        # pattern; one representative entry per table keeps planning
+        # cheap and slot-identical to any class's filtered list
+        elists = {name: (Td, Ts, tuple(lst[:1]))
+                  for name, (Td, Ts, lst) in entry_lists.items()}
+        alloc = _PoolAlloc()
+        _eval_chain(vals, elists, pget, cget, consts, L,
+                    sink=lambda name, res, ylo: name not in keep,
+                    ops=chain_ops, outputs=outputs, alloc=alloc)
+    _POOL_PLANS[key] = alloc.peak
+    return alloc.peak
+
+
+def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
+            L, S, SS, by, nt, K, npl, chain_kind="fb", wslice=False,
+            class_lanes=None, phys=(False, False, False), pool_nbuf=0):
+    CH = f_hbm.shape[0]
+    CHO = o_hbm.shape[0]    # rk2b reads 2 state blocks, writes one
+    (byy, byx) = (by, by) if isinstance(by, int) else by
+    (nty, ntx) = (nt, nt) if isinstance(nt, int) else nt
+    YY, XX = byy + 2 * R, byx + 2 * R
+    NP = f_hbm.shape[1]     # 10 on one device; a subset under sharding
+    B = 4 + L
+    phys = tuple(phys) + (False,) * (5 - len(phys)) \
+        if len(phys) < 5 else tuple(phys)
+    if len(phys) == 5:
+        phys = phys + (None,)
+    wind, drag, vmix, uw_h, uw_tr, pp = phys
+    (chain_ops, outputs, out_map, in_blocks, keep) = _chain_setup(
+        chain_kind, L, phys)
+
+    def body(in_s, pl_s, out_s, sem, pool_s=None):
         nblocks = NP * nty * ntx
         cp = pltpu.make_async_copy
 
@@ -956,18 +1128,24 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
                 # the original state, "_a" = the RK4 accumulator (named
                 # h_a / u_a / tra{l} in the chain)
                 vals = {}
+                if pool_s is not None:
+                    rd = lambda ch: _InSlab(
+                        lambda ch=ch: in_s[cur, ch])
+                else:
+                    rd = lambda ch: in_s[cur, ch]
                 for bi, sfx in enumerate(in_blocks):
                     o = bi * B
                     tr_nm = ("tr{}" if sfx == "" else
                              "tr0{}" if sfx == "0" else "tra{}")
-                    vals[f"h{sfx}"] = [in_s[cur, o]]
-                    vals[f"u{sfx}"] = [in_s[cur, o + 1 + i]
-                                       for i in range(3)]
+                    vals[f"h{sfx}"] = [rd(o)]
+                    vals[f"u{sfx}"] = [rd(o + 1 + i) for i in range(3)]
                     for l in range(L):
-                        vals[tr_nm.format(l)] = [in_s[cur, o + 4 + l]]
+                        vals[tr_nm.format(l)] = [rd(o + 4 + l)]
                 _eval_chain(vals, entry_lists, pget, cget, consts, L,
                             sink=sink, ops=chain_ops, outputs=outputs,
-                            R_by=(R, byy))
+                            R_by=(R, byy), pool=pool_s,
+                            alloc=(_PoolAlloc(pool_nbuf)
+                                   if pool_s is not None else None))
 
             if os.environ.get("OMEGA_PATCH_NOP") == "1":
                 # diagnostic: the kernel's pure-DMA floor (state +
@@ -998,29 +1176,32 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
         for d in out_dmas((nblocks - 1) % 2, nblocks - 1):
             d.wait()
 
-    pl.run_scoped(
-        body,
+    scratch = dict(
         in_s=pltpu.VMEM((2, f_hbm.shape[0], YY, XX, K), f_hbm.dtype),
         pl_s=pltpu.VMEM((2, YY, XX, npl), p_hbm.dtype),
         out_s=pltpu.VMEM((2, o_hbm.shape[0], byy, byx, K), f_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA((6,)),
     )
+    if pool_nbuf:
+        scratch["pool_s"] = pltpu.VMEM((pool_nbuf, YY, XX, K),
+                                       f_hbm.dtype)
+    pl.run_scoped(body, **scratch)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "class_lists", "const_idx", "consts", "L", "S", "SS", "by", "nt",
     "chain_kind", "wslice", "class_lanes", "phys",
-    "interpret"))
+    "interpret", "pool_nbuf"))
 def _call(frames, planes, block_class, *, class_lists, const_idx, consts,
           L, S, SS, by, nt, interpret, chain_kind="fb", wslice=False,
-          class_lanes=None, phys=(False, False, False)):
+          class_lanes=None, phys=(False, False, False), pool_nbuf=0):
     K = frames.shape[-1]
     kern = functools.partial(
         _kernel, class_lists=tuple(dict(cl) for cl in class_lists),
         const_idx=dict(const_idx),
         consts=consts, L=L, S=S, SS=SS, by=by, nt=nt, K=K,
         npl=planes.shape[-1], chain_kind=chain_kind, wslice=wslice,
-        class_lanes=class_lanes, phys=phys)
+        class_lanes=class_lanes, phys=phys, pool_nbuf=pool_nbuf)
     if chain_kind.startswith("rk4s") and chain_kind != "rk4s4":
         cho = 2 * (4 + L)
     elif chain_kind == "splitpre":
@@ -1107,6 +1288,11 @@ def _run_kernel(p, cfg, frames, dt, L, interpret, chain_kind="fb",
             cfg.flux_tracer_type == "upwind",
             pp_idx)
     trim = os.environ.get("OMEGA_PATCH_LANETRIM", "0") == "1"
+    pool_nbuf = 0
+    if pool_enabled():
+        pool_nbuf = _pool_plan(chain_kind, L, phys,
+                               _hashable(p.const_idx), consts,
+                               p.entry_lists)
     return _call(frames, p.planes if wind is None else wind[0],
                  p.block_class,
                  class_lists=_hashable(p.class_lists),
@@ -1114,7 +1300,8 @@ def _run_kernel(p, cfg, frames, dt, L, interpret, chain_kind="fb",
                  consts=consts, L=L, S=p.S, SS=p.SS, by=p.by, nt=p.nt,
                  interpret=interpret, chain_kind=chain_kind, phys=phys,
                  wslice=os.environ.get("OMEGA_PATCH_WSLICE", "0") == "1",
-                 class_lanes=p.class_lanes if trim else None)
+                 class_lanes=p.class_lanes if trim else None,
+                 pool_nbuf=pool_nbuf)
 
 
 def make_wind(mesh, cfg, wind_stress, dtype):

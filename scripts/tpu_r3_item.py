@@ -192,5 +192,44 @@ elif item.startswith("sphere-phys"):
     print(f"[timing] {item}: {el / NSTEPS * 1e3:.2f} ms/step "
           f"(compile {comp:.0f}s, finite={bool(jnp.isfinite(cur.h).all())})",
           flush=True)
+elif item.startswith("sphere-pp81"):
+    # Richardson-number vmix (PP81) — fused when OMEGA_PATCH_PP81=1
+    from omega_tpu.core import VertMixConfig
+    mesh, _, st = sphere_init()
+    cfg = ModelConfig(
+        nvertlayers=100, ntracers=2,
+        vert_mix=VertMixConfig(enabled=True, scheme="pp81",
+                               temp_index=0, salt_index=1),
+        tendencies=TendencyConfig(visc_del2=1.0e3, visc_del4=1.0e9,
+                                  wind_forcing=True, bottom_drag=True,
+                                  bottom_drag_coeff=3.0e-3))
+    from omega_tpu.ops import patch_megastep as _pm
+    print(f"[info] {item}: fused={_pm.supported(mesh, cfg)}", flush=True)
+    wind = (jnp.asarray(0.1 * np.cos(np.asarray(mesh.lat_cell)), dtype),
+            jnp.asarray(0.02 * np.ones(mesh.ncells), dtype))
+    stepn = jax.jit(lambda s: run_steps(mesh, cfg, s, 0.0, 30.0, NSTEPS,
+                                        stepper=forward_backward_step,
+                                        wind_stress=wind))
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(stepn(st))
+    comp = time.perf_counter() - t0
+    el, cur = float("inf"), out
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        cur = jax.block_until_ready(stepn(cur))
+        rep = time.perf_counter() - t0
+        if rep * 1e3 / NSTEPS > 0.05:
+            el = min(el, rep)
+    print(f"[timing] {item}: {el / NSTEPS * 1e3:.2f} ms/step "
+          f"(compile {comp:.0f}s, finite={bool(jnp.isfinite(cur.h).all())})",
+          flush=True)
+elif item.startswith("sphere-upwind"):
+    mesh, _, st = sphere_init()
+    cfg = ModelConfig(nvertlayers=100, ntracers=2,
+                      flux_thickness_type="upwind",
+                      flux_tracer_type="upwind",
+                      tendencies=TendencyConfig(visc_del2=1.0e3,
+                                                visc_del4=1.0e9))
+    time_run(item, mesh, cfg, st, forward_backward_step)
 else:
     raise SystemExit(f"unknown item {item}")

@@ -479,3 +479,44 @@ def test_patch_megastep_pp81_matches_composed(pmesh, monkeypatch):
         scale = np.max(np.abs(b)) + 1e-300
         assert np.max(np.abs(a - b)) / scale < 1e-11, fld
         assert np.all(np.isfinite(a)), fld
+
+
+def test_patch_megastep_pool_mode_exact(pmesh, monkeypatch):
+    """OMEGA_PATCH_POOL=1 (explicit cross-op VMEM buffer reuse) is
+    bit-identical to the default path at equal evaluation extents
+    (yshrink off), and matches the composed stepper to rounding."""
+    from omega_tpu.ops import patch_megastep
+    from omega_tpu.stepping.steppers import forward_backward_step
+
+    K = 3
+    cfg = ModelConfig(nvertlayers=K, ntracers=1,
+                      tendencies=TendencyConfig(visc_del2=1.0e3,
+                                                visc_del4=1.0e9))
+    state = _initial_state(pmesh, K, 1)
+    rng = np.random.default_rng(9)
+    u0 = 0.1 * rng.standard_normal((pmesh.nedges, K))
+    u0 *= np.asarray(pmesh.edge_mask)[:, None]
+    state = ModelState(h=state.h, u=jnp.asarray(u0),
+                       tracers=state.tracers)
+
+    monkeypatch.setenv("OMEGA_PATCH_YSHRINK", "0")
+    monkeypatch.setenv("OMEGA_PATCH_POOL", "1")
+    on = patch_megastep.fb_patch_megastep(pmesh, cfg, state, 0.0, 60.0,
+                                          interpret=True)
+    monkeypatch.setenv("OMEGA_PATCH_POOL", "0")
+    off = patch_megastep.fb_patch_megastep(pmesh, cfg, state, 0.0, 60.0,
+                                           interpret=True)
+    # parking values in the pool blocks FMA contraction across the
+    # store boundary, so agreement is to rounding (1 ulp), not bitwise
+    for fld in ("h", "u", "tracers"):
+        a = np.asarray(getattr(on, fld))
+        b = np.asarray(getattr(off, fld))
+        scale = np.max(np.abs(b)) + 1e-300
+        assert np.max(np.abs(a - b)) / scale < 1e-14, fld
+
+    ref = forward_backward_step(pmesh, cfg, state, 0.0, 60.0)
+    for fld in ("h", "u", "tracers"):
+        a = np.asarray(getattr(on, fld))
+        b = np.asarray(getattr(ref, fld))
+        scale = np.max(np.abs(b)) + 1e-300
+        assert np.max(np.abs(a - b)) / scale < 1e-12, fld
