@@ -149,19 +149,110 @@ def reprod_sum(x, axis_name: Optional[str] = None, multiplier=None,
     return _reprod_combine(parts)
 
 
+# f32 (TPU) variant: integer-bin extraction into int32 DIGITS. The f64
+# scheme's per-level float capacity (W <= 52 - log2 n) collapses at
+# 24-bit mantissas, and int64 is unavailable without jax_enable_x64, so
+# each error-free extract becomes exact int32 arithmetic: with
+# sigma_k = 2^(e_k) >= 2^12 * 2 max|residual|, q = fl(sigma + x) - sigma
+# is a multiple of the grid g = 2^(e_k - 24) with |q/g| <= 2^12, so
+# q * 2^(24 - e_k) is an exactly representable 12-bit integer. Chunked
+# int32 sums (chunk 2^18: partials <= 2^30, no overflow to n <= 2^34)
+# are exact, hence associative; each level total travels as three
+# base-2^15 int32 digits that psum exactly and are CANONICALIZED
+# (carries propagated) before the final f32 combine, so any sharding's
+# digit decomposition of the same value reconstructs to the same bits.
+# Six 12-bit levels recover 72 bits below the leading one.
+_REPROD32_LEVELS = 6
+_R32_W = 12
+
+
+def _digits_of(part):
+    """(sum d0, sum d1, sum d2) base-2^15 digit sums of int32 values
+    (arithmetic >> gives floored quotients, & gives nonneg remainders,
+    so value = d0 + d1*2^15 + d2*2^30 exactly, sign carried by d2)."""
+    d0 = part & 0x7fff
+    r = part >> 15
+    d1 = r & 0x7fff
+    d2 = r >> 15
+    return jnp.stack([jnp.sum(d0), jnp.sum(d1), jnp.sum(d2)])
+
+
+def _reprod32_partials(v, e1, levels: int = _REPROD32_LEVELS):
+    """(levels, 3) exact digit sums of f32 `v`; e1 = exponent of
+    sigma0 (sigma0 = 2^e1 >= 2^12 * 2 max|x|)."""
+    flat = v.reshape(-1)
+    n = flat.shape[0]
+    c = 1 << 18
+    parts = []
+    for k in range(levels):
+        ek = e1 - _R32_W * k
+        sigma = jnp.ldexp(jnp.ones((), v.dtype), ek)
+        q = (sigma + flat) - sigma
+        inv = jnp.ldexp(jnp.ones((), v.dtype), 24 - ek)
+        qi = (q * inv).astype(jnp.int32)        # |qi| <= 2^12, exact
+        if n > c:
+            pad = (-n) % c
+            qp = jnp.concatenate([qi, jnp.zeros(pad, jnp.int32)])
+            part = jnp.sum(qp.reshape(-1, c), axis=1)   # <= 2^30 each
+        else:
+            part = jnp.sum(qi)[None]
+        parts.append(_digits_of(part))
+        flat = flat - q
+    return jnp.stack(parts)
+
+
+def _reprod32_combine(parts, e1, dtype):
+    """Canonicalize digits (value-determined form) and combine in f32
+    high level to low — deterministic given the level values alone."""
+    total = jnp.zeros((), dtype)
+    for k in range(parts.shape[0]):
+        d0, d1, d2 = parts[k, 0], parts[k, 1], parts[k, 2]
+        c0 = d0 & 0x7fff
+        t1 = d1 + (d0 >> 15)
+        c1 = t1 & 0x7fff
+        c2 = d2 + (t1 >> 15)
+        lvl = ((c2.astype(dtype) * 32768.0 + c1.astype(dtype)) * 32768.0
+               + c0.astype(dtype))
+        g = jnp.ldexp(jnp.ones((), dtype), e1 - _R32_W * k - 24)
+        total = total + lvl * g
+    return total
+
+
+def reprod_sum_f32(x, axis_name: Optional[str] = None, multiplier=None,
+                   mask=None):
+    """Order-invariant f32 sum (int32 digit bins; see above)."""
+    v = x if multiplier is None else x * multiplier
+    if mask is not None:
+        v = jnp.where(mask, v, jnp.zeros((), v.dtype))
+    gmax = jnp.max(jnp.abs(v)) if v.size else jnp.zeros((), v.dtype)
+    if axis_name is not None:
+        gmax = jax.lax.pmax(gmax, axis_name)
+    _, e = jnp.frexp(gmax)                  # gmax = m * 2^e, m in [.5,1)
+    # sigma0 = 2^(e + 13) >= 2^12 * 2 * gmax (12-bit extraction window)
+    e1 = jnp.where(gmax > 0, e + 13, 13)
+    parts = _reprod32_partials(v, e1)
+    if axis_name is not None:
+        parts = jax.lax.psum(parts, axis_name)   # exact ints => free
+    return _reprod32_combine(parts, e1, v.dtype)
+
+
 def global_sum(x, axis_name: Optional[str] = None, multiplier=None,
                mask=None):
     """Reproducible global sum.
 
-    f64 inputs use the order-invariant binned extraction: results are
-    bit-for-bit identical across shard counts and reduction orders,
-    matching (exceeding) the reference ddSum contract
-    (base/Reductions.h:23-88). Other dtypes (TPU f32) use the
-    double-double pairwise tree + ddSum-combine of per-shard partials.
-    Inside shard_map pass `axis_name`; on a single device leave it None.
+    f64 inputs use the order-invariant binned extraction, f32 the
+    order-invariant int64-bin extraction: results are bit-for-bit
+    identical across shard counts, reduction orders, and element
+    permutations, matching (exceeding) the reference ddSum contract
+    (base/Reductions.h:23-88). Other dtypes use the double-double
+    pairwise tree + ddSum-combine of per-shard partials. Inside
+    shard_map pass `axis_name`; on a single device leave it None.
     """
-    if jnp.result_type(x) == jnp.float64:
+    dt = jnp.result_type(x)
+    if dt == jnp.float64:
         return reprod_sum(x, axis_name, multiplier, mask)
+    if dt == jnp.float32:
+        return reprod_sum_f32(x, axis_name, multiplier, mask)
     hi, lo = dd_sum(x, multiplier, mask)
     if axis_name is not None:
         # psum the pair; ddSum over <=8 well-separated partials keeps the

@@ -129,3 +129,34 @@ def test_energetics_bitwise_invariant_across_shard_counts(which):
     assert ssh1 == ref_ssh
     for k in ref:
         assert r1[k] == ref[k], (which, k, r1[k], ref[k])
+
+
+def test_reprod32_invariance_and_accuracy():
+    """The f32 (TPU) path: int64-bin extraction is bit-identical across
+    element permutations and shard counts, and accurate to ~1 ulp of
+    the true sum (72 bins bits before the final f32 rounding)."""
+    rng = np.random.default_rng(9)
+    x = np.float32(rng.standard_normal(8192)
+                   * 10.0 ** rng.integers(-6, 6, 8192))
+    xj = jnp.asarray(x, jnp.float32)
+    assert xj.dtype == jnp.float32
+    base = float(reductions.global_sum(xj))
+    exact = math.fsum(np.float64(x))
+    assert abs(base - exact) <= 4 * abs(exact) * 2.0 ** -23 + 1e-30
+
+    for seed in range(3):
+        p = np.random.default_rng(seed).permutation(len(x))
+        assert float(reductions.global_sum(jnp.asarray(x[p]))) == base
+
+    for S in (2, 4, 8):
+        mesh = Mesh(np.array(jax.devices()[:S]), ("x",))
+        sharded = jax.jit(jax.shard_map(
+            lambda xs: reductions.global_sum(xs, axis_name="x"),
+            mesh=mesh, in_specs=P("x"), out_specs=P(), check_vma=False))
+        assert float(sharded(xj)) == base, S
+
+    # masked padding (dummy rows) changes nothing
+    xp = np.concatenate([x, np.full(100, 3.25, np.float32)])
+    mask = np.concatenate([np.ones(8192, bool), np.zeros(100, bool)])
+    assert float(reductions.global_sum(
+        jnp.asarray(xp), mask=jnp.asarray(mask))) == base
