@@ -43,20 +43,25 @@ def _edge_fluxes(mesh, mass_flux, u, tracers):
     return f_lo, f_hi
 
 
-def fct_tracer_tendency(mesh: HorzMesh, h_old, h_new, u, tracers, dt,
-                        flux_h_edge):
-    """Monotone advective tendency d(h tr)/dt (L, C, K) via Zalesak FCT.
+def fct_provisional(mesh: HorzMesh, h_old, h_new, u, tracers, dt,
+                    flux_h_edge):
+    """The low-order (monotone) provisional transported-diffused field
+    tr_td (steps 1-3 of fct_tracer_tendency) — split out so the fused
+    two-stage sphere kernel's fix submesh can advance stage by stage
+    (ops/patch_megastep.fct_patch_megastep_framed)."""
+    mass_flux = trisk.col(mesh, "edge_mask") * flux_h_edge * u
+    f_lo, _ = _edge_fluxes(mesh, mass_flux, u, tracers)
+    div_lo = trisk.div_cell(mesh, f_lo)                  # (L, C, K)
+    return (tracers * h_old[None] - dt * div_lo) / h_new[None]
 
-    flux_h_edge: the FluxLayerThickEdge used in the thickness update, so
-    that div(mass_flux) reproduces (h_old - h_new)/dt exactly."""
-    eps = jnp.asarray(1e-30, h_old.dtype)
+
+def fct_limited_tendency(mesh: HorzMesh, h_new, u, tracers, tr_td, dt,
+                         flux_h_edge):
+    """The Zalesak limiter (steps 4-5) given the provisional field:
+    returns the monotone advective tendency -div(f_corr)."""
+    eps = jnp.asarray(1e-30, h_new.dtype)
     mass_flux = trisk.col(mesh, "edge_mask") * flux_h_edge * u
     f_lo, f_hi = _edge_fluxes(mesh, mass_flux, u, tracers)
-
-    # low-order (monotone) provisional solution
-    div_lo = trisk.div_cell(mesh, f_lo)                  # (L, C, K)
-    htr_td = tracers * h_old[None] - dt * div_lo
-    tr_td = htr_td / h_new[None]
 
     # admissible bounds: extrema of old and transported fields over the
     # cell and its neighbors (Zalesak eq. 17-18)
@@ -97,3 +102,15 @@ def fct_tracer_tendency(mesh: HorzMesh, h_old, h_new, u, tracers, dt,
                     jnp.minimum(r_in0, r_out1))
     f_corr = f_lo + c_e * a
     return -trisk.div_cell(mesh, f_corr)
+
+
+def fct_tracer_tendency(mesh: HorzMesh, h_old, h_new, u, tracers, dt,
+                        flux_h_edge):
+    """Monotone advective tendency d(h tr)/dt (L, C, K) via Zalesak FCT.
+
+    flux_h_edge: the FluxLayerThickEdge used in the thickness update, so
+    that div(mass_flux) reproduces (h_old - h_new)/dt exactly."""
+    tr_td = fct_provisional(mesh, h_old, h_new, u, tracers, dt,
+                            flux_h_edge)
+    return fct_limited_tendency(mesh, h_new, u, tracers, tr_td, dt,
+                                flux_h_edge)

@@ -428,12 +428,10 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
     # after each step, redistribute column mass onto the target layers
     # and conservatively remap tracers/velocity (computeTargetThickness,
     # VertCoord.cpp:785-840; the remap is roadmap in the reference)
+    pstar_info = None
     if (config.exists("VertCoord")
             and config.get_group("VertCoord").get_bool("PStarEnable",
                                                        False)):
-        if nshards > 1:
-            raise ConfigError("VertCoord.PStarEnable is single-shard "
-                              "for now (ref thickness is global)")
         if model_cfg.ssh_formulation != "column":
             raise ConfigError(
                 "VertCoord.PStarEnable needs SshFormulation: column "
@@ -445,14 +443,22 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
         _wts = _vc2.movement_weights(_vcfg)
         _amask = (np.asarray(layer_bounds_m.cell_mask(nvert))
                   if layer_bounds_m is not None else None)
-        _phase = _vc2.make_pstar_phase(mesh, state.h, _wts, _amask)
-        _base_step = stepper
+        if nshards > 1:
+            # sharded: the phase runs per shard inside shard_map with
+            # scattered local-row ref/mask (make_sharded_step
+            # post_phase); its edge radius of 1 consumes one halo ring,
+            # so the exchange keeps one extra
+            pstar_info = (np.asarray(state.h), _wts, _amask)
+            halo_width = max(halo_width, 4)
+        else:
+            _phase = _vc2.make_pstar_phase(mesh, state.h, _wts, _amask)
+            _base_step = stepper
 
-        def stepper(mesh_, cfg_, st, t, dt, halo, wind_stress=None,
-                    **kw):
-            out = _base_step(mesh_, cfg_, st, t, dt, halo,
-                             wind_stress=wind_stress, **kw)
-            return _phase(out)
+            def stepper(mesh_, cfg_, st, t, dt, halo, wind_stress=None,
+                        **kw):
+                out = _base_step(mesh_, cfg_, st, t, dt, halo,
+                                 wind_stress=wind_stress, **kw)
+                return _phase(out)
 
     # wind-stress forcing: constant from config (WindStress group), or
     # time-varying frames from a read stream carrying the stress fields
@@ -502,6 +508,7 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
         halo_width=halo_width, layer_bounds=layer_bounds_m,
         directory=directory, analysis=analysis)
     model._deferred_state_stream = deferred_stream
+    model._pstar = pstar_info
     if state is not None:
         _attach_state(model)
     return model
@@ -739,8 +746,14 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
         from omega_tpu.parallel.sharded import default_device_mesh
         dmesh = default_device_mesh(model.nshards)
 
+        # the p-star post-phase is implemented on the general SFC
+        # decomposition; under 'auto' just route there, and only an
+        # EXPLICIT patch/structured request errors (below)
+        pstar_on = getattr(model, "_pstar", None) is not None
+
         use_patch = False
-        if (model.decomp_method == "patch"
+        if not (pstar_on and model.decomp_method == "auto") and (
+                model.decomp_method == "patch"
                 or (model.decomp_method == "auto"
                     and jax.default_backend() == "tpu")):
             # patch-sphere fast path: whole rhombi per device, the fused
@@ -761,7 +774,9 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                     "and the flagship tendency configuration")
 
         use_structured = False
-        if not use_patch and model.decomp_method in ("auto", "structured"):
+        if not use_patch and not (pstar_on
+                                  and model.decomp_method == "auto") \
+                and model.decomp_method in ("auto", "structured"):
             from omega_tpu.parallel import structured_shard as sshard
             try:
                 ss = sshard.decompose_structured(
@@ -774,6 +789,11 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                 get_logger().info(
                     "Decomp: mesh not structured-shardable, using the "
                     "general SFC decomposition")
+
+        if pstar_on and (use_patch or use_structured):
+            raise ConfigError(
+                "VertCoord.PStarEnable under sharding uses the general "
+                "SFC decomposition (set Decomp.Method: sfc)")
 
         scatter = None
         if use_patch:
@@ -818,8 +838,32 @@ def ocn_run(model: OceanModel, progress_every: int = 0) -> OceanModel:
                                             make_sharded_step, shard_state)
             sm_d = decompose(mesh, model.nshards, halo_width=model.halo_width)
             model._decomp = ("sfc", sm_d, dmesh)
+            post_phase = None
+            if getattr(model, "_pstar", None) is not None:
+                # p-star per shard: scatter ref thickness + active mask
+                # to local rows; the phase fn rebuilds itself on the
+                # local mesh inside shard_map (pure jnp, no host state)
+                import jax.numpy as _jnp2
+                from omega_tpu.core import vert_coord as _vc2
+                ref_g, wts_p, amask_g = model._pstar
+                c_l2g = np.maximum(
+                    np.asarray(sm_d.cell_local_to_global), 0)
+                aux = {"ref": _jnp2.asarray(ref_g[c_l2g])}
+                if amask_g is not None:
+                    aux["mask"] = _jnp2.asarray(
+                        np.asarray(amask_g)[c_l2g])
+                wts_j = _jnp2.asarray(wts_p)
+
+                def pstar_fn(local_mesh, st, aux_l):
+                    ph = _vc2.make_pstar_phase(
+                        local_mesh, aux_l["ref"], wts_j,
+                        aux_l.get("mask"))
+                    return ph(st)
+
+                post_phase = (pstar_fn, aux)
             sstep = make_sharded_step(sm_d, cfg, model.stepper, dmesh,
-                                      wind_stress=model.wind_stress)
+                                      wind_stress=model.wind_stress,
+                                      post_phase=post_phase)
             model._gather = lambda st: gather_state(
                 sm_d, st, mesh.ncells, mesh.nedges)
             scatter = lambda st: shard_state(sm_d, st)

@@ -56,6 +56,11 @@ MH = int(os.environ.get("OMEGA_PATCH_MH", "8"))
 OH = 2        # output rim written around each owned patch region
 SUB_GROW = 10  # BFS closure width of the fix submesh (chain + halo)
 
+# Tables only the FCT chains read; ops/patch_megastep._prep_build skips
+# their weight planes unless the prep is built for an FCT config, so
+# non-FCT kernels keep today's plane stack bit-for-bit.
+FCT_TABLES = ("div_pos", "div_neg") + tuple(f"coc{j}" for j in range(6))
+
 
 @dataclasses.dataclass
 class MegaTable:
@@ -88,6 +93,9 @@ class MegaInfo:
     fix_cells_global: np.ndarray
     fix_edges_local: np.ndarray
     fix_edges_global: np.ndarray
+    # per-table resolution masks, kept so the lazy FCT build (ensure_fct)
+    # can re-run validity without rebuilding the tables
+    resolved: Dict[str, np.ndarray] = None
 
     @property
     def S(self) -> int:
@@ -121,6 +129,44 @@ def ensure_mega(mesh) -> MegaInfo:
     if key not in _MEGA:
         _MEGA[key] = _build(mesh, info)
     return _MEGA[key]
+
+
+_FCT: Dict[tuple, dict] = {}
+
+
+def ensure_fct(mesh) -> dict:
+    """Lazy FCT-chain validity + fix closure (built only when a config
+    actually selects FluxTracerType 'fct', so the standard mega build
+    pays nothing).  Returns a dict with the stage masks, the combined
+    conservative cell/edge keeps for the mid and final in-frame
+    refreshes, and an FCT-specific fix submesh (the limiter chain's
+    creep differs structurally from the FB chain's, so its fix set is
+    derived from its own masks, not reused)."""
+    key = _mega_key(mesh)
+    if key in _FCT:
+        return _FCT[key]
+    mg = ensure_mega(mesh)
+    n, by = mg.n, mg.by
+    masks_a = kernel_validity(
+        mg.tables, mg.content, mg.resolved, n, by, MH,
+        ops=fct_stage_a_chain(1, wind=True, drag=True),
+        out_keys=("h_new", "u_new", "trtd0", "facc0"))
+    masks_b = kernel_validity(
+        mg.tables, mg.content, mg.resolved, n, by, MH,
+        ops=fct_stage_b_chain(1),
+        out_keys=("trn0",),
+        extra_inputs=(("h_new", "cell"), ("trtd0", "cell"),
+                      ("facc0", "cell")))
+    cell_keep = (masks_a["h_new"] & masks_a["trtd0"] & masks_a["facc0"]
+                 & masks_b["trn0"])
+    edge_keep = masks_a["u_new"]
+    outputs, fix = _fix_closure(mesh, mg.content, n, (
+        ("c", cell_keep, "cell", mesh.ncells),
+        ("u", edge_keep, "edge", mesh.nedges)))
+    _FCT[key] = dict(masks_a=masks_a, masks_b=masks_b,
+                     cell_keep=cell_keep, edge_keep=edge_keep,
+                     outputs=outputs, **fix)
+    return _FCT[key]
 
 
 # ----------------------------------------------------------------------
@@ -324,7 +370,22 @@ def _table_specs(mesh):
 
     diff = np.tile([-1.0, 1.0], (E, 1))
     inv_dvf = 1.0 / np.maximum(dv, 0.25 * dc)     # del2 dv-floor (aux.del2_aux)
-    return [
+    # FCT (Zalesak) tables — the relu'd divergence split of
+    # trisk.div_cell_pos/_neg and the cell-neighbor picks behind
+    # trisk.cell_neighbor_extrema.  Pentagon cells (5 neighbors) point
+    # the padded slot at the cell ITSELF: a self-pick is the neutral
+    # element of the max/min folds the chain builds from these picks.
+    w_div = np.asarray(a("w_div_cell"), np.float64)
+    coc_u = np.asarray(unclamped_connectivity(mesh)["cells_on_cell"],
+                       np.int64)
+    self_c = np.arange(coc_u.shape[0], dtype=np.int64)[:, None]
+    coc_s = np.where(coc_u >= 0, coc_u, self_c)
+    fct = [("div_pos", eoc, "cell", "edge", np.maximum(w_div, 0.0)),
+           ("div_neg", eoc, "cell", "edge", np.maximum(-w_div, 0.0))]
+    for j in range(coc_s.shape[1]):
+        fct.append((f"coc{j}", coc_s[:, j:j + 1], "cell", "cell",
+                    np.ones((coc_s.shape[0], 1))))
+    return fct + [
         ("div", eoc, "cell", "edge", a("w_div_cell")),
         ("ke", eoc, "cell", "edge", a("w_ke_cell")),
         # tracer laplacians: geo / geo*scal2 / geo*scal4 on the source edge
@@ -610,6 +671,114 @@ def split_post_chain(L: int):
     return ops
 
 
+def fct_stage_a_chain(L: int, wind=False, drag=False, uw_h=False):
+    """FCT stage A (of two; see ops/patch_megastep.fct_patch_megastep_
+    framed): the full FB thickness + velocity sections, plus per tracer
+    the low-order (upwind) provisional transported-diffused field
+    trtd{l} (core/fct.fct_tracer_tendency steps 1-3, radius 4) and the
+    diffusion-only accumulated numerator facc{l} = tr h + dt (ed2 diff2
+    - ed4 hyp) (radius 8).  The Zalesak limiter itself (radius 10 from
+    the original state — one pick + one divergence MORE than the MH=8
+    margins hold) runs in stage B from these refreshed mid fields."""
+    pre = _pre_ops(uw_h, False)
+    nsplit = len(pre) - 1                 # ops through "dh" (u_m unused)
+    ops = pre[:nsplit] + [
+        ("h_new", "ew", "axpy", "h", -1.0, "dh"),
+        # the FCT mass flux: the thickness equation's OWN edge flux,
+        # masked (core/fct.py:53 — the compatibility requirement)
+        ("mflux", "ew", "mulc", "flux", "$edge_mask"),
+    ]
+    for l in range(L):
+        t = f"tr{l}"
+        ops += [
+            (f"t0{l}", "st", "c0", t),
+            (f"t1{l}", "st", "c1", t),
+            (f"flo{l}", "ew", "upwind_mean", "u", f"t0{l}", f"t1{l}"),
+            (f"flo{l}", "ew", "mul", f"flo{l}", "mflux"),
+            (f"dlo{l}", "st", "div", f"flo{l}"),
+            (f"trtd{l}", "ew", "tracer_updc", t, "h", f"dlo{l}",
+             "h_new", -1.0),
+            # diffusion terms exactly as _tracer_tend_ops
+            (f"ctr{l}", "st", "cdiff", t),
+            (f"mc{l}", "ew", "mul", "mean_h", f"ctr{l}"),
+            (f"d2aux{l}", "st", "sdiv_geo", f"mc{l}"),
+            (f"diff2{l}", "st", "sdiv_geo2", f"mc{l}"),
+            (f"cd2{l}", "st", "cdiff", f"d2aux{l}"),
+            (f"hyp{l}", "st", "sdiv_geo4", f"cd2{l}"),
+            (f"dtrd{l}", "ew", "diff_rhs", f"diff2{l}", f"hyp{l}"),
+            (f"facc{l}", "ew", "tracer_acc0", t, "h", f"dtrd{l}", 1.0),
+        ]
+    ops += _vel_tend_ops("h_new", uw_h=uw_h) + _phys_ops(wind, drag) + [
+        ("u_new", "ew", "axpy_m", "u", 1.0, "du", "$edge_mask"),
+    ]
+    return ops
+
+
+def fct_stage_b_chain(L: int, uw_h=False):
+    """FCT stage B: the Zalesak limiter (core/fct.py steps 4-5) from the
+    REFRESHED stage-A fields (h_new / trtd{l} / facc{l} ride extra input
+    channels; the original state rides the standard block).  Deepest
+    path: flux picks (2) -> budget divergences (4) -> limiter factors
+    (4) -> edge picks of R (6) -> corrected-flux divergence (8) == the
+    MH=8 margin exactly."""
+    if uw_h:
+        ops = [("h0", "st", "c0", "h"), ("h1", "st", "c1", "h"),
+               ("flux_h", "ew", "upwind", "u", "h0", "h1")]
+    else:
+        ops = [("mean_h", "st", "cmean", "h"),
+               ("flux_h", "ew", "copy", "mean_h")]
+    ops += [("flux", "ew", "mul", "flux_h", "u"),
+            ("mflux", "ew", "mulc", "flux", "$edge_mask")]
+    for l in range(L):
+        t = f"tr{l}"
+        ops += [
+            (f"t0{l}", "st", "c0", t),
+            (f"t1{l}", "st", "c1", t),
+            (f"fhi{l}", "ew", "mean2", f"t0{l}", f"t1{l}"),
+            (f"fhi{l}", "ew", "mul", f"fhi{l}", "mflux"),
+            (f"flo{l}", "ew", "upwind_mean", "u", f"t0{l}", f"t1{l}"),
+            (f"flo{l}", "ew", "mul", f"flo{l}", "mflux"),
+            (f"fa{l}", "ew", "sub", f"fhi{l}", f"flo{l}"),
+            (f"fbp{l}", "ew", "relu", f"fa{l}"),
+            (f"fbn{l}", "ew", "relu_neg", f"fa{l}"),
+            (f"pi1{l}", "st", "div_neg", f"fbp{l}"),
+            (f"pi2{l}", "st", "div_pos", f"fbn{l}"),
+            (f"pin{l}", "ew", "fct_p", f"pi1{l}", f"pi2{l}"),
+            (f"po1{l}", "st", "div_pos", f"fbp{l}"),
+            (f"po2{l}", "st", "div_neg", f"fbn{l}"),
+            (f"pout{l}", "ew", "fct_p", f"po1{l}", f"po2{l}"),
+            # bounds: extrema over cell + 6 neighbor picks of the old
+            # and transported fields (max/min fold order is exact)
+            (f"tmax{l}", "ew", "max2", t, f"trtd{l}"),
+            (f"tmin{l}", "ew", "min2", t, f"trtd{l}"),
+        ]
+        for j in range(6):
+            ops += [
+                (f"nb{l}", "st", f"coc{j}", t),
+                (f"tmax{l}", "ew", "max2", f"tmax{l}", f"nb{l}"),
+                (f"tmin{l}", "ew", "min2", f"tmin{l}", f"nb{l}"),
+                (f"nb{l}", "st", f"coc{j}", f"trtd{l}"),
+                (f"tmax{l}", "ew", "max2", f"tmax{l}", f"nb{l}"),
+                (f"tmin{l}", "ew", "min2", f"tmin{l}", f"nb{l}"),
+            ]
+        ops += [
+            (f"qin{l}", "ew", "fct_q", f"tmax{l}", f"trtd{l}", "h_new"),
+            (f"rin{l}", "ew", "fct_r", f"qin{l}", f"pin{l}"),
+            (f"qout{l}", "ew", "fct_q", f"trtd{l}", f"tmin{l}", "h_new"),
+            (f"rout{l}", "ew", "fct_r", f"qout{l}", f"pout{l}"),
+            (f"ri0{l}", "st", "c0", f"rin{l}"),
+            (f"ri1{l}", "st", "c1", f"rin{l}"),
+            (f"ro0{l}", "st", "c0", f"rout{l}"),
+            (f"ro1{l}", "st", "c1", f"rout{l}"),
+            (f"fc{l}", "ew", "fct_corr", f"fa{l}", f"flo{l}",
+             f"ri0{l}", f"ri1{l}", f"ro0{l}", f"ro1{l}"),
+            (f"adv{l}", "st", "div", f"fc{l}"),
+            (f"trn{l}", "ew", "tracer_fin", f"facc{l}", f"adv{l}",
+             "h_new", -1.0),
+        ]
+    return ops
+
+
 def rk2_stage_chain(L: int, base: str, coef: float, wind=False,
                     drag=False, vmix=False, uw_h=False, uw_tr=False,
                     pp=None):
@@ -714,7 +883,19 @@ CLASS_OF = {"h": "cell", "u": "edge", "u_m": "edge",
             "flux_h": "edge", "flux_hn": "edge",
             "duv": "edge", "dze": "cell", "n2c": "cell", "dzee": "edge",
             "du2": "edge", "keduv": "cell", "kapc": "cell",
-            "n2e": "edge", "nue": "edge"}
+            "n2e": "edge", "nue": "edge", "mflux": "edge"}
+
+# per-tracer FCT value prefixes (fct_stage_{a,b}_chain); order matters
+# where one prefix starts another ("facc" before "fa")
+_FCT_PREFIXES = (("trtd", "cell"), ("facc", "cell"), ("dtrd", "cell"),
+                 ("flo", "edge"), ("fhi", "edge"), ("fbp", "edge"),
+                 ("fbn", "edge"), ("fa", "edge"), ("fc", "edge"),
+                 ("dlo", "cell"), ("pi1", "cell"), ("pi2", "cell"),
+                 ("po1", "cell"), ("po2", "cell"), ("pin", "cell"),
+                 ("pout", "cell"), ("tmax", "cell"), ("tmin", "cell"),
+                 ("nb", "cell"), ("qin", "cell"), ("qout", "cell"),
+                 ("rin", "cell"), ("rout", "cell"), ("ri0", "edge"),
+                 ("ri1", "edge"), ("ro0", "edge"), ("ro1", "edge"))
 
 
 def chain_class(name: str) -> str:
@@ -726,7 +907,7 @@ def chain_class(name: str) -> str:
                      ("htr", "cell"), ("adv", "cell"), ("ctr", "edge"),
                      ("mc", "edge"), ("d2aux", "cell"), ("diff2", "cell"),
                      ("cd2", "edge"), ("hyp", "cell"), ("dtr", "cell"),
-                     ("trn", "cell")):
+                     ("trn", "cell")) + _FCT_PREFIXES:
         if name.startswith(pre) and name[len(pre):].isdigit():
             return cls
     raise KeyError(name)
@@ -757,13 +938,17 @@ def table_max_offset(tab: MegaTable) -> int:
 
 
 def chain_validity(tables: Dict[str, MegaTable], content, resolved,
-                   L: int, state_masks=None) -> Dict[str, np.ndarray]:
-    """Propagate exactness masks through fb_chain.
+                   L: int, state_masks=None, ops=None,
+                   extra_inputs=()) -> Dict[str, np.ndarray]:
+    """Propagate exactness masks through a chain (fb_chain by default).
 
     `resolved[name]` is the per-dst-position bool mask of positions whose
     stencil fully resolved.  State values are exact wherever content
     exists (override with `state_masks` (cell, edge) to emulate a tile
-    slab boundary).  Returns the mask of every chain value."""
+    slab boundary).  `extra_inputs` lists (name, class) pairs of
+    additional chain inputs (the FCT stage-B mid fields), exact at the
+    same positions as the state of their class.  Returns the mask of
+    every chain value."""
     if state_masks is None:
         state_masks = {"cell": content["cell"] >= 0,
                        "edge": content["edge"] >= 0}
@@ -773,6 +958,8 @@ def chain_validity(tables: Dict[str, MegaTable], content, resolved,
     }
     for l in range(L):
         masks[f"tr{l}"] = masks["h"]
+    for nm, cls in extra_inputs:
+        masks[nm] = state_masks[cls]
     plane_mask = {"$f_vertex": content["vertex"] >= 0,
                   "$gdepth": content["edge"] >= 0,
                   "$scal2": content["edge"] >= 0,
@@ -795,8 +982,10 @@ def chain_validity(tables: Dict[str, MegaTable], content, resolved,
     # vmix configs are then routed composed by patch supported().
     vm_ok = MH >= 7 and os.environ.get("OMEGA_PATCH_PHYS_MASKS",
                                        "1") == "1"
-    for op in fb_chain(L, wind=True, drag=True, vmix=vm_ok,
-                       pp=(0, min(1, L - 1)) if vm_ok else None):
+    if ops is None:
+        ops = fb_chain(L, wind=True, drag=True, vmix=vm_ok,
+                       pp=(0, min(1, L - 1)) if vm_ok else None)
+    for op in ops:
         name, kind = op[0], op[1]
         if kind == "st":
             tab = tables[op[2]]
@@ -827,7 +1016,9 @@ def chain_validity(tables: Dict[str, MegaTable], content, resolved,
     return masks
 
 
-def kernel_validity(tables, content, resolved, n, by, R):
+def kernel_validity(tables, content, resolved, n, by, R, ops=None,
+                    out_keys=("h_new", "u_new", "trn0"),
+                    extra_inputs=()):
     """Exactness of the TILED kernel's outputs at every frame position.
 
     The kernel partitions the S x S frame into (byy, byx) tiles, each
@@ -841,16 +1032,17 @@ def kernel_validity(tables, content, resolved, n, by, R):
     byy, byx = (by, by) if isinstance(by, int) else by
     assert S % byy == 0 and S % byx == 0, (S, by)
     base = {"cell": content["cell"] >= 0, "edge": content["edge"] >= 0}
-    outs = {k: np.zeros_like(v)
-            for k, v in (("h_new", base["cell"]), ("u_new", base["edge"]),
-                         ("trn0", base["cell"]))}
+    cls_of = {k: chain_class(k) for k in out_keys}
+    outs = {k: np.zeros_like(base[cls_of[k]]) for k in out_keys}
     for ty in range(S // byy):
         for tx in range(S // byx):
             box = np.zeros((1, 1, S, S), bool)
             box[:, :, max(0, ty * byy - R):ty * byy + byy + R,
                 max(0, tx * byx - R):tx * byx + byx + R] = True
             sm = {k: v & box for k, v in base.items()}
-            m = chain_validity(tables, content, resolved, 1, state_masks=sm)
+            m = chain_validity(tables, content, resolved, 1,
+                               state_masks=sm, ops=ops,
+                               extra_inputs=extra_inputs)
             ys = slice(ty * byy, ty * byy + byy)
             xs = slice(tx * byx, tx * byx + byx)
             for k in outs:
@@ -1048,20 +1240,38 @@ def _build(mesh, info: ip.PatchInfo) -> MegaInfo:
     by = (pick(ty_), pick(tx_))
     masks = kernel_validity(tables, content, resolved, n, by, MH)
 
+    outputs, fix = _fix_closure(mesh, content, n, (
+        ("h", masks["h_new"], "cell", mesh.ncells),
+        ("u", masks["u_new"], "edge", mesh.nedges),
+        ("tr", masks["trn0"], "cell", mesh.ncells)))
+
+    return MegaInfo(
+        n=n, by=by, content=content, fills=fills, tables=tables,
+        const_planes=_const_planes(mesh, content),
+        outputs=outputs, masks=masks, resolved=resolved, **fix)
+
+
+def _fix_closure(mesh, content, n, outspec):
+    """Paste maps + fix sets + fix submesh for a set of kernel outputs.
+
+    outspec: (out_name, validity_mask, class, flat_count) per output.
+    Returns (outputs dict, dict of MegaInfo fix/submesh fields)."""
     outputs = {}
-    for out_name, mask, cls, N in (
-            ("h", masks["h_new"], "cell", mesh.ncells),
-            ("u", masks["u_new"], "edge", mesh.nedges),
-            ("tr", masks["trn0"], "cell", mesh.ncells)):
+    for out_name, mask, cls, N in outspec:
         outputs[out_name] = _pasteback_one(content[cls], mask, n, N)
 
-    # fix set -> cells to recompute on the submesh: fix cells (h and
-    # tracer rows) + both cells of every fix edge (u rows)
+    # fix set -> cells to recompute on the submesh: fix cells (cell-
+    # class output rows) + both cells of every fix edge
     coe = np.asarray(unclamped_connectivity(mesh)["cells_on_edge"], np.int64)
-    fix_c = set(int(c) for c in outputs["h"][3]) | \
-        set(int(c) for c in outputs["tr"][3])
-    fix_edges_global = np.asarray(
-        sorted(int(e) for e in outputs["u"][3]), np.int64)
+    fix_c = set()
+    fix_e = set()
+    for out_name, mask, cls, N in outspec:
+        rows = outputs[out_name][3]
+        if cls == "cell":
+            fix_c.update(int(c) for c in rows)
+        else:
+            fix_e.update(int(e) for e in rows)
+    fix_edges_global = np.asarray(sorted(fix_e), np.int64)
     for e in fix_edges_global:
         for c in coe[int(e)]:
             if c >= 0:
@@ -1076,11 +1286,7 @@ def _build(mesh, info: ip.PatchInfo) -> MegaInfo:
     e_o2n[loc_e] = np.arange(len(loc_e))
     fix_edges_local = e_o2n[fix_edges_global]
     assert (fix_cells_local >= 0).all() and (fix_edges_local >= 0).all()
-
-    return MegaInfo(
-        n=n, by=by, content=content, fills=fills, tables=tables,
-        const_planes=_const_planes(mesh, content),
-        outputs=outputs, masks=masks,
+    return outputs, dict(
         sub_mesh=sub, sub_cells=sub_cells, sub_edges=loc_e,
         fix_cells_local=fix_cells_local.astype(np.int32),
         fix_cells_global=fix_cells_global.astype(np.int32),

@@ -57,7 +57,7 @@ def enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def supported(mesh, cfg) -> bool:
+def supported(mesh, cfg, kind="fb", framed=False) -> bool:
     """Flagship sphere configuration (mirrors megastep.supported).
 
     Round 4: wind forcing, quadratic bottom drag and constant-
@@ -91,8 +91,14 @@ def supported(mesh, cfg) -> bool:
         # opt in with OMEGA_PATCH_PP81=1 (e.g. smaller tiles), else the
         # composed stepper carries PP81 on the sphere
         return False
+    # FCT (Zalesak) tracer fluxes: the limiter chain's radius (10) needs
+    # the two-stage fct_patch_megastep_framed driver (persistent frames
+    # only), the FB thickness-first update order, and no fused vmix
+    tracer_types = ("center", "upwind")
+    if kind == "fb" and framed and not cfg.vert_mix.enabled:
+        tracer_types = tracer_types + ("fct",)
     return (cfg.flux_thickness_type in ("center", "upwind")
-            and cfg.flux_tracer_type in ("center", "upwind")
+            and cfg.flux_tracer_type in tracer_types
             and cfg.ssh_formulation == "stacked"
             and tc.thickness_flux_div and tc.pv_advection and tc.ke_gradient
             and tc.ssh_gradient and tc.velocity_diffusion
@@ -158,25 +164,80 @@ def _block_classes(p, pstack_sup):
     return jnp.asarray(block_class), tuple(class_lists)
 
 
-def _prep(mesh, dtype):
+def _prep(mesh, dtype, fct=False):
     # env knobs are part of the key so an in-process A/B rebuilds; the
     # compile-time-eval scope keeps every cached jnp array CONCRETE
     # even when the first call happens under a jit trace (a cached
-    # tracer would leak into the next jit and fail it)
+    # tracer would leak into the next jit and fail it).  `fct` adds the
+    # Zalesak tables' weight planes to the stack (and their chains'
+    # refresh maps); non-FCT preps keep today's layout bit-for-bit.
     key = (mesh.patch_key, np.dtype(dtype).str,
            os.environ.get("OMEGA_PATCH_TILE", "16"),
            os.environ.get("OMEGA_PATCH_K", "4"), MH,
-           os.environ.get("OMEGA_PATCH_PHYS_MASKS", "1"))
+           os.environ.get("OMEGA_PATCH_PHYS_MASKS", "1"), bool(fct))
     if key in _PREP:
         return _PREP[key]
     with jax.ensure_compile_time_eval():
-        return _prep_build(mesh, dtype, key)
+        return _prep_build(mesh, dtype, key, fct=fct)
 
 
-def _prep_build(mesh, dtype, key):
+def _persist_map(p, mesh, mg, grp, keep, fixg):
+    """In-frame refresh map for one element class given a validity keep
+    mask (T, 10, S, S) and a fix set: (persist dict, src_of).  Shared by
+    the standard prep and the FCT extension (whose keeps come from the
+    FCT chains' own masks)."""
+    n, S = p.n, mg.S
+    NG = 10 * n * n
+    cont = mg.content[grp]
+    T = cont.shape[0]
+    ids = cont.reshape(-1)
+    keep_f = keep.reshape(-1)
+    t_, rem = np.divmod(np.arange(ids.size), 10 * S * S)
+    r_, rem = np.divmod(rem, S * S)
+    y_, x_ = np.divmod(rem, S)
+    ssf = (((t_ * 10 + r_) * p.SS + y_ + FR) * p.SS + x_ + FR)
+    natural_id = np.full(cont.shape, -1, np.int64)
+    natural_id[:, :, MH:MH + n, MH:MH + n] = \
+        np.arange(T * NG, dtype=np.int64).reshape(T, 10, n, n)
+    is_nat = ((cont == natural_id) & (natural_id >= 0)).reshape(-1)
+    Nel = mesh.ncells if grp == "cell" else mesh.nedges
+    src_of = np.full(Nel, -1, np.int64)
+    sel = np.flatnonzero(keep_f)
+    src_of[ids[sel]] = ssf[sel]          # any valid position...
+    sel2 = np.flatnonzero(keep_f & is_nat)
+    src_of[ids[sel2]] = ssf[sel2]        # ...natural one preferred
+    isfix = np.zeros(Nel, bool)
+    isfix[fixg] = True
+    refp = np.flatnonzero((ids >= 0) & ~keep_f)
+    gref = ids[refp]
+    from_fix = isfix[gref]
+    # every non-fix refreshed element must be exact SOMEWHERE in the
+    # frame — otherwise it belongs in the fix set by construction
+    assert (src_of[gref[~from_fix]] >= 0).all(), grp
+    persist = dict(
+        refill_pos=jnp.asarray(ssf[refp[~from_fix]].astype(np.int32)),
+        refill_src=jnp.asarray(
+            src_of[gref[~from_fix]].astype(np.int32)),
+        fix_pos=jnp.asarray(ssf[refp[from_fix]].astype(np.int32)),
+        fix_row=jnp.asarray(
+            np.searchsorted(fixg, gref[from_fix]).astype(np.int32)),
+        zero_pos=jnp.asarray(
+            ssf[np.flatnonzero(ids < 0)].astype(np.int32)))
+    # the same chosen positions in KERNEL-OUTPUT coordinates (the
+    # content map is S-wide, so the out-frame flat index is the content
+    # flat index itself) — used to read kernel outputs that never enter
+    # the frames (the split chain's du_out)
+    src_out = np.full(Nel, -1, np.int64)
+    src_out[ids[sel]] = sel
+    src_out[ids[sel2]] = sel2
+    return persist, src_of, src_out
+
+
+def _prep_build(mesh, dtype, key, fct=False):
     mg = imx.ensure_mega(mesh)
     p = _Prep()
     p.mg = mg
+    p.fct = fct
     n, S, by = mg.n, mg.S, mg.by
     if isinstance(by, int):
         by = (by, by)
@@ -187,6 +248,8 @@ def _prep_build(mesh, dtype, key):
     # ---- stack all entry planes (padded to SS) + const planes ----
     planes, p.entry_lists = [], {}
     for name, tab in mg.tables.items():
+        if not fct and name in imx.FCT_TABLES:
+            continue
         lst = []
         for (td, ts, da, db, wpl) in tab.entries:
             lst.append((td, ts, da, db, len(planes)))
@@ -335,56 +398,16 @@ def _prep_build(mesh, dtype, key):
     # multiplied by zero weights but must stay finite across steps).
     p.persist = {}
     src_of_np = {}
-    NG = 10 * n * n
     for grp, mask_keys in (("cell", ("h_new", "trn0")),
                            ("edge", ("u_new",))):
         cont = mg.content[grp]
-        T = cont.shape[0]
         keep = cont >= 0
         for k_ in mask_keys:
             keep = keep & mg.masks[k_]
-        ids = cont.reshape(-1)
-        keep_f = keep.reshape(-1)
-        t_, rem = np.divmod(np.arange(ids.size), 10 * S * S)
-        r_, rem = np.divmod(rem, S * S)
-        y_, x_ = np.divmod(rem, S)
-        ssf = (((t_ * 10 + r_) * p.SS + y_ + FR) * p.SS + x_ + FR)
-        natural_id = np.full(cont.shape, -1, np.int64)
-        natural_id[:, :, MH:MH + n, MH:MH + n] = \
-            np.arange(T * NG, dtype=np.int64).reshape(T, 10, n, n)
-        is_nat = ((cont == natural_id) & (natural_id >= 0)).reshape(-1)
-        Nel = mesh.ncells if grp == "cell" else mesh.nedges
-        src_of = np.full(Nel, -1, np.int64)
-        sel = np.flatnonzero(keep_f)
-        src_of[ids[sel]] = ssf[sel]          # any valid position...
-        sel2 = np.flatnonzero(keep_f & is_nat)
-        src_of[ids[sel2]] = ssf[sel2]        # ...natural one preferred
         fixg = mg.fix_cells_global if grp == "cell" else mg.fix_edges_global
-        isfix = np.zeros(Nel, bool)
-        isfix[fixg] = True
-        refp = np.flatnonzero((ids >= 0) & ~keep_f)
-        gref = ids[refp]
-        from_fix = isfix[gref]
-        # every non-fix refreshed element must be exact SOMEWHERE in the
-        # frame — otherwise it belongs in the fix set by construction
-        assert (src_of[gref[~from_fix]] >= 0).all(), grp
-        p.persist[grp] = dict(
-            refill_pos=jnp.asarray(ssf[refp[~from_fix]].astype(np.int32)),
-            refill_src=jnp.asarray(
-                src_of[gref[~from_fix]].astype(np.int32)),
-            fix_pos=jnp.asarray(ssf[refp[from_fix]].astype(np.int32)),
-            fix_row=jnp.asarray(
-                np.searchsorted(fixg, gref[from_fix]).astype(np.int32)),
-            zero_pos=jnp.asarray(
-                ssf[np.flatnonzero(ids < 0)].astype(np.int32)))
+        p.persist[grp], src_of, src_out = _persist_map(p, mesh, mg, grp,
+                                                       keep, fixg)
         src_of_np[grp] = src_of
-        # the same chosen positions in KERNEL-OUTPUT coordinates (the
-        # content map is S-wide, so the out-frame flat index is the
-        # content flat index itself) — used to read kernel outputs that
-        # never enter the frames (the split chain's du_out)
-        src_out = np.full(Nel, -1, np.int64)
-        src_out[ids[sel]] = sel
-        src_out[ids[sel2]] = sel2
         src_of_np[grp + "_out"] = src_out
     # sub-state gathers (fix rows overwritten from the carried fix_vals)
     p.sub_cell_src = jnp.asarray(
@@ -400,6 +423,37 @@ def _prep_build(mesh, dtype, key):
     p.edge_src_ok = jnp.asarray(src_of_np["edge"] >= 0)
     p.edge_src_out = jnp.asarray(
         np.maximum(src_of_np["edge_out"], 0).astype(np.int32))
+
+    # ---- FCT extension: refresh maps + fix submesh from the Zalesak
+    # chains' own validity (mesh/icos_mega.ensure_fct) ----
+    if fct:
+        fi = imx.ensure_fct(mesh)
+        p.fct_persist = {}
+        fsrc = {}
+        for grp, keep_key, fixg in (
+                ("cell", "cell_keep", fi["fix_cells_global"]),
+                ("edge", "edge_keep", fi["fix_edges_global"])):
+            keep = (mg.content[grp] >= 0) & fi[keep_key]
+            p.fct_persist[grp], fsrc[grp], _ = _persist_map(
+                p, mesh, mg, grp, keep, fixg)
+        p.fct_sub_mesh = fi["sub_mesh"].astype(dtype).device_put() \
+            if hasattr(fi["sub_mesh"], "astype") else fi["sub_mesh"]
+        p.fct_sub_cells = jnp.asarray(fi["sub_cells"].astype(np.int32))
+        p.fct_fix_cells_local = jnp.asarray(fi["fix_cells_local"])
+        p.fct_fix_cells_global = jnp.asarray(fi["fix_cells_global"])
+        p.fct_fix_edges_local = jnp.asarray(fi["fix_edges_local"])
+        p.fct_fix_edges_global = jnp.asarray(fi["fix_edges_global"])
+        p.fct_sub_cell_src = jnp.asarray(np.maximum(
+            fsrc["cell"][fi["sub_cells"]], 0).astype(np.int32))
+        p.fct_sub_edge_src = jnp.asarray(np.maximum(
+            fsrc["edge"][fi["sub_edges"]], 0).astype(np.int32))
+        # final read-out maps on the FCT validity (unstack_frames)
+        p.fct_cell_src = jnp.asarray(
+            np.maximum(fsrc["cell"], 0).astype(np.int32))
+        p.fct_cell_src_ok = jnp.asarray(fsrc["cell"] >= 0)
+        p.fct_edge_src = jnp.asarray(
+            np.maximum(fsrc["edge"], 0).astype(np.int32))
+        p.fct_edge_src_ok = jnp.asarray(fsrc["edge"] >= 0)
 
     _PREP[key] = p
     return p
@@ -450,26 +504,40 @@ def yshrink_enabled() -> bool:
 def pool_enabled() -> bool:
     """OMEGA_PATCH_POOL=1: explicit cross-op VMEM buffer reuse.
 
-    Chain values are stored into a fixed pool of (YY, XX, K) scratch
-    slabs with host-side linear-scan slot allocation (freed slots reuse
-    immediately), instead of living as anonymous Mosaic stack values.
-    This bounds the kernel's scoped-VMEM footprint by the chain's true
-    max-live slab count — independent of op count — which is what
-    blocked 32x64 tiles and the fused PP81/upwind-K4 chains (round-4
-    mosaic_constraints_mapped). Slabs are stored at full Y extent, so
-    the Y-shrink evaluation narrowing is disabled in this mode (it
-    measured time-neutral in rounds 3-4)."""
+    LONG-LIVED chain values (lifetime > OMEGA_PATCH_POOL_T ops) are
+    stored into a fixed pool of (YY, XX, K) scratch slabs with
+    host-side linear-scan slot allocation (freed slots reuse
+    immediately), instead of living as anonymous Mosaic stack values;
+    short-lived values stay inline SSA and keep the Y-extent shrink.
+    This targets the live ranges that blow up Mosaic's register
+    allocator at bigger tiles (32x16 non-pool = 205M scoped; parking
+    EVERYTHING at t16 = 232M of spill slots, the r5 queue-2 OOM), which
+    is what blocks 32x64 tiles and the fused PP81/upwind-K4 chains."""
     return os.environ.get("OMEGA_PATCH_POOL", "0") == "1"
 
 
 class _Pooled:
     """A chain value slab parked in the scratch pool (or, during
-    host-side planning, carried inline with its slot accounting)."""
-    __slots__ = ("slot", "val")
+    host-side planning, carried inline with its slot accounting).
+    `ext` is the slab-row range [lo, hi) the value occupies in its
+    full-height pool slab — reads load only those rows."""
+    __slots__ = ("slot", "val", "ext")
 
-    def __init__(self, slot, val=None):
+    def __init__(self, slot, val=None, ext=None):
         self.slot = slot
         self.val = val
+        self.ext = ext
+
+
+def pool_life() -> int:
+    """Minimum op-count lifetime for a chain value to be parked in the
+    VMEM pool (OMEGA_PATCH_POOL_T).  Short-lived values stay inline SSA
+    — Mosaic register-allocates those well (the t16 kernel fits in 27M)
+    — while long-lived ones (h_new, mean_h, the per-tracer partials
+    that cross sections) are exactly the live ranges that blow up its
+    allocator at bigger tiles (r5 measurement: parking EVERYTHING at
+    t16 produced 232M of register-allocator spill slots)."""
+    return int(os.environ.get("OMEGA_PATCH_POOL_T", "6"))
 
 
 class _InSlab:
@@ -597,7 +665,11 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
 
     def _deref(x):
         if isinstance(x, _Pooled):
-            return x.val if x.val is not None else pool[x.slot]
+            if x.val is not None:
+                return x.val
+            if x.ext is not None:
+                return pool[x.slot, x.ext[0]:x.ext[1]]
+            return pool[x.slot]
         if isinstance(x, _InSlab):
             return x.fn()
         return x
@@ -605,7 +677,7 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
     probe = _deref(next(iter(vals.values()))[0])
     YY = probe.shape[0]
     KL = probe.shape[-1]
-    if R_by is not None and yshrink_enabled() and not pooled:
+    if R_by is not None and yshrink_enabled():
         exts = _chain_extents(ops, outputs, entry_lists, R_by[0], R_by[1],
                               YY)
     else:
@@ -623,17 +695,30 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
         # sublane rotate per vreg; the Y roll is a slice/reindex of the
         # major dim) — hoist it and share across entries with the same
         # (ts, da).  Rolls/slices on different axes commute, so this is
-        # bit-identical.
+        # bit-identical.  OMEGA_PATCH_XROLL caps how many rolled slabs
+        # stay cached per stencil apply (most-reused first,
+        # deterministic): every cached roll is a slab-sized value live
+        # across the whole apply, and at big tiles these dominate
+        # Mosaic's register-allocator spill slots (r5 queue-4: 32x16
+        # single-class = 280M of spills; entries ~ hundreds).  Evicted
+        # keys recompute the roll per entry — bit-identical, pure
+        # compute-for-VMEM trade.
         nuse: Dict[tuple, int] = {}
         for (td, ts, da, db, pidx) in lst:
             nuse[(ts, da)] = nuse.get((ts, da), 0) + 1
+        cap = os.environ.get("OMEGA_PATCH_XROLL")
+        cached_keys = None
+        if cap is not None:
+            order = sorted(nuse.items(), key=lambda kv: (-kv[1], kv[0]))
+            cached_keys = set(k for k, c in order[:int(cap)] if c > 1)
         xroll = {}
         for (td, ts, da, db, pidx) in lst:
             key = (ts, da)
             base = xroll.get(key)
             if base is None:
                 base = _roll(src[ts], da, 1)
-                if nuse[key] > 1:           # cache only reused slabs
+                if nuse[key] > 1 and (cached_keys is None
+                                      or key in cached_keys):
                     xroll[key] = base       # (bounds VMEM live set)
             # NOTE: slice and newaxis must be SEPARATE indexing ops —
             # x[lo:hi, :, None] takes jnp's advanced-indexing path
@@ -733,6 +818,37 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
             return [_upwind_sel(u_, x * y, z * w_)
                     for u_, x, y, z, w_ in zip(v(a[0]), v(a[1]), v(a[2]),
                                                v(a[3]), v(a[4]))]
+        # ---- FCT (Zalesak) limiter pieces — expression-for-expression
+        # per core/fct.fct_tracer_tendency ----
+        if fn == "upwind_mean":     # core/fct._edge_fluxes tr_up (mean
+            return [jnp.where(u_ > 0, x,          # at rest, not max)
+                             jnp.where(u_ < 0, y, 0.5 * (x + y)))
+                    for u_, x, y in zip(v(a[0]), v(a[1]), v(a[2]))]
+        if fn == "max2":
+            return [jnp.maximum(x, y) for x, y in zip(v(a[0]), v(a[1]))]
+        if fn == "min2":
+            return [jnp.minimum(x, y) for x, y in zip(v(a[0]), v(a[1]))]
+        if fn == "relu":            # exclusive positive part B+
+            return [jnp.maximum(x, 0.0) for x in v(a[0])]
+        if fn == "relu_neg":        # exclusive negative part B-
+            return [jnp.maximum(-x, 0.0) for x in v(a[0])]
+        if fn == "diff_rhs":        # ed2*diff2 - ed4*hyp
+            return [ed2 * x - ed4 * y
+                    for x, y in zip(v(a[0]), v(a[1]))]
+        if fn == "fct_p":           # dt * (x + y)  (in/out flux budgets)
+            return [dt * (x + y) for x, y in zip(v(a[0]), v(a[1]))]
+        if fn == "fct_q":           # (x - y) * h_new  (room to bounds)
+            return [(x - y) * hn
+                    for x, y, hn in zip(v(a[0]), v(a[1]), v(a[2]))]
+        if fn == "fct_r":           # clip(q / max(p, eps), 0, 1)
+            return [jnp.clip(q / jnp.maximum(p_, 1e-30), 0.0, 1.0)
+                    for q, p_ in zip(v(a[0]), v(a[1]))]
+        if fn == "fct_corr":        # f_lo + C_e * a  (limited flux)
+            return [lo + jnp.where(aa >= 0, jnp.minimum(r1, s0),
+                                   jnp.minimum(r0, s1)) * aa
+                    for aa, lo, r0, r1, s0, s1
+                    in zip(v(a[0]), v(a[1]), v(a[2]), v(a[3]),
+                           v(a[4]), v(a[5]))]
         if fn == "q_vertex":        # (rvort + f) / h_v
             fv = cval(a[1][1:], 2)
             return [_safe_div(rv + f, hv)
@@ -842,23 +958,27 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
             alloc.release([s.slot for s in slabs
                            if isinstance(s, _Pooled)])
 
-    def _store(res):
+    def _store(res, ext):
         """Park full-lane-width result slabs in the pool (slim K=1
-        columns and the planning pass keep the value inline)."""
+        columns and the planning pass keep the value inline).  Slabs
+        occupy rows [lo, hi) of a full-height pool slab, so the
+        Y-extent shrink carries through parked values."""
+        lo, hi = ext
         out = []
         for r in res:
             if r.shape[-1] == KL:
                 slot = alloc.alloc()
                 if pool is not None:
-                    pool[slot] = r
-                    out.append(_Pooled(slot))
+                    pool[slot, lo:hi] = r
+                    out.append(_Pooled(slot, ext=(lo, hi)))
                 else:
-                    out.append(_Pooled(slot, r))
+                    out.append(_Pooled(slot, r, ext=(lo, hi)))
             else:
                 out.append(r)
         return out
 
     last = _last_use(ops, outputs)
+    life = pool_life() if pooled else 0
     for i, op in enumerate(ops):
         name = op[0]
         if exts[i] is None:          # result never consumed
@@ -881,7 +1001,10 @@ def _eval_chain(vals, entry_lists, pget, cget, consts, L, sink=None,
             vals.pop(name, None)
             vext.pop(name, None)
             continue
-        vals[name] = _store(res) if pooled else res
+        # selective parking: only values whose lifetime spans more than
+        # `life` ops go to the pool; short-lived values stay inline SSA
+        park = pooled and (last.get(name, i) - i) > life
+        vals[name] = _store(res, cur_ext) if park else res
         vext[name] = cur_ext
     return vals
 
@@ -897,12 +1020,30 @@ def _norm_phys(phys):
     return phys
 
 
+def _blocks_layout(in_blocks, L):
+    """Standard (h, u x3, tr x L) channel layout per input block."""
+    B = 4 + L
+    lay = []
+    for bi, sfx in enumerate(in_blocks):
+        o = bi * B
+        tr_nm = ("tr{}" if sfx == "" else
+                 "tr0{}" if sfx == "0" else "tra{}")
+        lay.append((f"h{sfx}", 1, o))
+        lay.append((f"u{sfx}", 3, o + 1))
+        for l in range(L):
+            lay.append((tr_nm.format(l), 1, o + 4 + l))
+    return lay
+
+
 def _chain_setup(chain_kind, L, phys):
-    """(chain_ops, outputs, out_map, in_blocks, keep) for a chain kind —
-    shared by the kernel trace and the pool planner."""
+    """(chain_ops, outputs, out_map, in_layout, keep) for a chain kind —
+    shared by the kernel trace and the pool planner.  in_layout is a
+    list of (value_name, slab_count, first_channel) mapping the stacked
+    input frames to chain values."""
     wind, drag, vmix, uw_h, uw_tr, pp = _norm_phys(phys)
     B = 4 + L
     outputs, in_blocks = None, ("",)
+    in_layout = None
     out_map = dict({"h_new": 0, "u_new": 1},
                    **{f"trn{l}": 4 + l for l in range(L)})
     if chain_kind in ("rk2a", "rk2b"):
@@ -936,8 +1077,29 @@ def _chain_setup(chain_kind, L, phys):
         out_map = dict({"h_new": 0}, **{f"trn{l}": 1 + l
                                         for l in range(L)})
         outputs = list(out_map)
+    elif chain_kind == "fcta":
+        from omega_tpu.mesh.icos_mega import fct_stage_a_chain
+        chain_ops = fct_stage_a_chain(L, wind, drag, uw_h)
+        out_map = dict({"h_new": 0, "u_new": 1},
+                       **{f"trtd{l}": 4 + 2 * l for l in range(L)},
+                       **{f"facc{l}": 5 + 2 * l for l in range(L)})
+        outputs = list(out_map)
+    elif chain_kind == "fctb":
+        from omega_tpu.mesh.icos_mega import fct_stage_b_chain
+        chain_ops = fct_stage_b_chain(L, uw_h)
+        out_map = {f"trn{l}": l for l in range(L)}
+        outputs = list(out_map)
+        # mid block [h_new, trtd x L, facc x L] + the original state
+        in_layout = ([("h_new", 1, 0)]
+                     + [(f"trtd{l}", 1, 1 + l) for l in range(L)]
+                     + [(f"facc{l}", 1, 1 + L + l) for l in range(L)]
+                     + [("h", 1, 1 + 2 * L), ("u", 3, 2 + 2 * L)]
+                     + [(f"tr{l}", 1, 5 + 2 * L + l)
+                        for l in range(L)])
     else:
         chain_ops = fb_chain(L, wind, drag, vmix, uw_h, uw_tr, pp)
+    if in_layout is None:
+        in_layout = _blocks_layout(in_blocks, L)
     # outputs that a LATER chain op reads must stay in vals after
     # sinking (fb: the tracer updates read h_new; vmix re-reads all)
     keep = set()
@@ -950,7 +1112,7 @@ def _chain_setup(chain_kind, L, phys):
             if nm in out_map and nm in prod:
                 keep.add(nm)
         prod[op[0]] = i
-    return chain_ops, outputs, out_map, in_blocks, keep
+    return chain_ops, outputs, out_map, in_layout, keep
 
 
 _POOL_PLANS: Dict[tuple, int] = {}
@@ -963,10 +1125,10 @@ def _pool_plan(chain_kind, L, phys, const_idx, consts, entry_lists):
     discipline as the kernel trace — identical op sequence, identical
     slot pattern — so the returned capacity is exact, not a bound."""
     phys = _norm_phys(phys)
-    key = (chain_kind, L, phys, _hashable(const_idx))
+    key = (chain_kind, L, phys, _hashable(const_idx), pool_life())
     if key in _POOL_PLANS:
         return _POOL_PLANS[key]
-    chain_ops, outputs, out_map, in_blocks, keep = _chain_setup(
+    chain_ops, outputs, out_map, in_layout, keep = _chain_setup(
         chain_kind, L, phys)
     if outputs is None:
         outputs = ["h_new", "u_new"] + [f"trn{l}" for l in range(L)]
@@ -976,14 +1138,8 @@ def _pool_plan(chain_kind, L, phys, const_idx, consts, entry_lists):
         zero2 = jnp.zeros((Yp, Xp), jnp.float32)
         slab = lambda: jnp.zeros((Yp, Xp, 128), jnp.float32)
         vals = {}
-        B = 4 + L
-        for bi, sfx in enumerate(in_blocks):
-            tr_nm = ("tr{}" if sfx == "" else
-                     "tr0{}" if sfx == "0" else "tra{}")
-            vals[f"h{sfx}"] = [slab()]
-            vals[f"u{sfx}"] = [slab() for _ in range(3)]
-            for l in range(L):
-                vals[tr_nm.format(l)] = [slab()]
+        for nm, T, ch0 in in_layout:
+            vals[nm] = [slab() for _ in range(T)]
         pget = lambda i: zero2
 
         def cget(cname):
@@ -1020,7 +1176,7 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
     if len(phys) == 5:
         phys = phys + (None,)
     wind, drag, vmix, uw_h, uw_tr, pp = phys
-    (chain_ops, outputs, out_map, in_blocks, keep) = _chain_setup(
+    (chain_ops, outputs, out_map, in_layout, keep) = _chain_setup(
         chain_kind, L, phys)
 
     def body(in_s, pl_s, out_s, sem, pool_s=None):
@@ -1124,23 +1280,17 @@ def _kernel(f_hbm, p_hbm, c_hbm, o_hbm, *, class_lists, const_idx, consts,
                 return name not in keep
 
             def eval_with(entry_lists):
-                # input channel blocks: "" = the in-kernel state, "0" =
-                # the original state, "_a" = the RK4 accumulator (named
-                # h_a / u_a / tra{l} in the chain)
+                # input channels per the chain's in_layout ("" block =
+                # the in-kernel state, "0" = the original state, "_a" =
+                # the RK4 accumulator; fctb adds mid-field channels)
                 vals = {}
                 if pool_s is not None:
                     rd = lambda ch: _InSlab(
                         lambda ch=ch: in_s[cur, ch])
                 else:
                     rd = lambda ch: in_s[cur, ch]
-                for bi, sfx in enumerate(in_blocks):
-                    o = bi * B
-                    tr_nm = ("tr{}" if sfx == "" else
-                             "tr0{}" if sfx == "0" else "tra{}")
-                    vals[f"h{sfx}"] = [rd(o)]
-                    vals[f"u{sfx}"] = [rd(o + 1 + i) for i in range(3)]
-                    for l in range(L):
-                        vals[tr_nm.format(l)] = [rd(o + 4 + l)]
+                for nm, T, ch0 in in_layout:
+                    vals[nm] = [rd(ch0 + i) for i in range(T)]
                 _eval_chain(vals, entry_lists, pget, cget, consts, L,
                             sink=sink, ops=chain_ops, outputs=outputs,
                             R_by=(R, byy), pool=pool_s,
@@ -1208,6 +1358,10 @@ def _call(frames, planes, block_class, *, class_lists, const_idx, consts,
         cho = 3
     elif chain_kind == "splitpost":
         cho = 1 + L
+    elif chain_kind == "fcta":
+        cho = 4 + 2 * L
+    elif chain_kind == "fctb":
+        cho = L
     else:
         cho = 4 + L
     return pl.pallas_call(
@@ -1276,12 +1430,15 @@ def _run_kernel(p, cfg, frames, dt, L, interpret, chain_kind="fb",
         pp_idx = (vm.temp_index, vm.salt_index)
     consts = (float(dt), cfg.gravity, tc.visc_del2, tc.visc_del4,
               tc.div_factor, tc.eddy_diff2, tc.eddy_diff4,
-              # physics block (consts[7:12]; [12] = PP81 params)
+              # physics block (consts[7:12]; [12] = PP81 params;
+              # [13] = the OMEGA_PATCH_XROLL cache cap, carried here so
+              # an in-process A/B busts the _call jit cache — the value
+              # itself is re-read from the env inside _eval_chain.ap)
               cfg.nvertlayers, tc.density0,
               tc.bottom_drag_coeff if tc.bottom_drag else 0.0,
               vm.kappa_tracer if vmix else None,
               vm.kappa_momentum if vmix else None,
-              pp_params)
+              pp_params, os.environ.get("OMEGA_PATCH_XROLL"))
     phys = (wind is not None,
             bool(tc.bottom_drag and tc.bottom_drag_coeff != 0.0), vmix,
             cfg.flux_thickness_type == "upwind",
@@ -1316,7 +1473,7 @@ def make_wind(mesh, cfg, wind_stress, dtype):
     if wind_stress is None or not cfg.tendencies.wind_forcing:
         return None
     from omega_tpu.core import aux as auxmod
-    p = _prep(mesh, dtype)
+    p = _prep(mesh, dtype, fct=cfg.flux_tracer_type == "fct")
     stress = jnp.asarray(auxmod.wind_normal_stress(
         mesh, cfg, wind_stress[0], wind_stress[1]), dtype)
     n, SS = p.n, p.SS
@@ -1407,21 +1564,27 @@ def fb_patch_megastep(mesh, cfg, state, t, dt, interpret=None,
 # scatter the handful of pole rows, re-zero lattice holes).
 
 def stack_frames(mesh, cfg, state):
-    """Flat state -> (frames, fix_vals) scan carry."""
+    """Flat state -> (frames, fix_vals) scan carry.  FCT configs carry
+    fix rows on the FCT fix sets (their limiter chain has its own
+    validity closure)."""
     h, u, tr = state
     K, L = h.shape[-1], tr.shape[0]
-    p = _prep(mesh, h.dtype)
+    fct = cfg.flux_tracer_type == "fct"
+    p = _prep(mesh, h.dtype, fct=fct)
     Kp = -(-K // 128) * 128
     frames = _assemble_frames(p, state, L, K, Kp, h.dtype)
-    fix = dict(h=h[p.fix_cells_global], u=u[p.fix_edges_global],
-               tr=tr[:, p.fix_cells_global])
+    fixc = p.fct_fix_cells_global if fct else p.fix_cells_global
+    fixe = p.fct_fix_edges_global if fct else p.fix_edges_global
+    fix = dict(h=h[fixc], u=u[fixe], tr=tr[:, fixc])
     return frames, fix
 
 
-def _refresh_frames(p, nf, nfix, K, Kp, L):
+def _refresh_frames(p, nf, nfix, K, Kp, L, persist=None):
     """In-frame halo refresh: refill invalid positions from exact ones,
     scatter the fix rows, re-zero the lattice holes."""
-    pc, pe = p.persist["cell"], p.persist["edge"]
+    if persist is None:
+        persist = p.persist
+    pc, pe = persist["cell"], persist["edge"]
 
     def pad_rows(rows):
         if Kp == K:
@@ -1555,6 +1718,127 @@ def rk2_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
 
     nf = frames.at[:, :, FR:FR + p.S, FR:FR + p.S].set(out_b)
     return _refresh_frames(p, nf, nfix, K, Kp, L), nfix
+
+
+def _fct_diffusion_tendency(sub, cfg, h, u, tr, mean_h_edge):
+    """The del2/del4 tracer terms of tendencies.compute_tracer_tendency,
+    alone — the part FCT stage A accumulates before the limiter."""
+    from omega_tpu.core import aux as auxmod
+    from omega_tpu.ops import trisk
+    tc = cfg.tendencies
+    tr_aux = auxmod.tracer_aux(sub, cfg, h, u, tr, mean_h_edge)
+    tend = tc.eddy_diff2 * auxmod._weighted_cell_laplacian(
+        sub, trisk.col(sub, "mesh_scaling_del2") * mean_h_edge, tr)
+    return tend - tc.eddy_diff4 * auxmod._weighted_cell_laplacian(
+        sub, trisk.col(sub, "mesh_scaling_del4"),
+        tr_aux.del2_tracers_cell)
+
+
+def fct_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
+                              interpret=None, wind=None):
+    """One FB step with Zalesak FCT tracer fluxes on the (frames,
+    fix_vals) carry — TWO kernel launches with an in-frame refresh
+    between (core/fct.py on kernel slabs; the limiter's radius-10 chain
+    exceeds the MH=8 margins, so it splits where the provisional field
+    tr_td is formed):
+
+      stage A (icos_mega.fct_stage_a_chain): h_new, u_new, the
+        provisional trtd{l} and the diffusion-only accumulated
+        numerator facc{l} = tr h + dt (ed2 diff2 - ed4 hyp);
+      refresh of [h_new, trtd, facc] on the FCT persist maps;
+      stage B (fct_stage_b_chain): the limiter from the refreshed mid
+        fields + the original frames, emitting trn{l}.
+
+    Pole/defect rows advance on the FCT fix submesh via the composed
+    pieces (core/fct.fct_provisional / fct_limited_tendency)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    frames, fix = carry
+    p = _prep(mesh, frames.dtype, fct=True)
+    Kp = frames.shape[-1]
+    S = p.S
+    from omega_tpu.core import fct as fctmod
+    from omega_tpu.core import tendencies as tend_mod
+
+    # ---- stage A kernel ----
+    out_a = _run_kernel(p, cfg, frames, dt, L, interpret,
+                        chain_kind="fcta", wind=wind)
+
+    # ---- composed stage A on the FCT fix submesh ----
+    sub = p.fct_sub_mesh
+    fc, fe = p.fct_fix_cells_local, p.fct_fix_edges_local
+    cflat = frames[0].reshape(-1, Kp)
+    eflat = frames[1:4].reshape(-1, Kp)
+    h0 = cflat[p.fct_sub_cell_src][..., :K].at[fc].set(fix["h"])
+    u0 = eflat[p.fct_sub_edge_src][..., :K].at[fe].set(fix["u"])
+    tr0 = jnp.stack([
+        frames[4 + l].reshape(-1, Kp)[p.fct_sub_cell_src][..., :K]
+        for l in range(L)]).at[:, fc].set(fix["tr"])
+    wsub = None if wind is None else wind[1]
+    dh, thick_aux = tend_mod.compute_thickness_tendency(sub, cfg, h0,
+                                                        u0, t)
+    h_new_s = h0 + dt * dh
+    trtd_s = fctmod.fct_provisional(sub, h0, h_new_s, u0, tr0, dt,
+                                    thick_aux.flux_h_edge)
+    dtrd_s = _fct_diffusion_tendency(sub, cfg, h0, u0, tr0,
+                                     thick_aux.mean_h_edge)
+    facc_s = tr0 * h0[None] + dt * dtrd_s
+    du, _ = tend_mod.compute_velocity_tendency(sub, cfg, h_new_s, u0,
+                                               t + dt, wsub)
+    u_new_s = u0 + dt * du
+    mid_fix = dict(h=h_new_s[fc], trtd=trtd_s[:, fc],
+                   facc=facc_s[:, fc])
+
+    # ---- mid frame stack [h_new, trtd x L, facc x L], refreshed ----
+    pcf = p.fct_persist["cell"]
+
+    def pad_rows(rows):
+        if Kp == K:
+            return rows
+        return jnp.pad(rows, ((0, 0), (0, Kp - K)))
+
+    def rfr(ch, rows):
+        fr = jnp.zeros((10, p.SS, p.SS, Kp), frames.dtype)
+        fr = fr.at[:, FR:FR + S, FR:FR + S].set(out_a[ch])
+        flat = fr.reshape(-1, Kp)
+        flat = flat.at[pcf["refill_pos"]].set(flat[pcf["refill_src"]])
+        if pcf["fix_pos"].size:
+            flat = flat.at[pcf["fix_pos"]].set(
+                pad_rows(rows)[pcf["fix_row"]])
+        if pcf["zero_pos"].size:
+            flat = flat.at[pcf["zero_pos"]].set(0.0)
+        return flat.reshape(fr.shape)
+
+    mid = jnp.stack(
+        [rfr(0, mid_fix["h"])]
+        + [rfr(4 + 2 * l, mid_fix["trtd"][l]) for l in range(L)]
+        + [rfr(5 + 2 * l, mid_fix["facc"][l]) for l in range(L)])
+
+    # ---- stage B kernel (mid block + original frames) ----
+    out_b = _run_kernel(p, cfg, jnp.concatenate([mid, frames]), dt, L,
+                        interpret, chain_kind="fctb", wind=wind)
+
+    # ---- composed stage B on the fix submesh (from the REFRESHED mid
+    # fields, like the RK2 stage boundary re-gather) ----
+    mflat = mid.reshape(1 + 2 * L, -1, Kp)
+    h_new_m = mflat[0][p.fct_sub_cell_src][..., :K].at[fc].set(
+        mid_fix["h"])
+    trtd_m = jnp.stack([
+        mflat[1 + l][p.fct_sub_cell_src][..., :K]
+        for l in range(L)]).at[:, fc].set(mid_fix["trtd"])
+    facc_m = jnp.stack([
+        mflat[1 + L + l][p.fct_sub_cell_src][..., :K]
+        for l in range(L)]).at[:, fc].set(mid_fix["facc"])
+    adv_m = fctmod.fct_limited_tendency(sub, h_new_m, u0, tr0, trtd_m,
+                                        dt, thick_aux.flux_h_edge)
+    trn_s = (facc_m + dt * adv_m) / h_new_m[None]
+    nfix = dict(h=mid_fix["h"], u=u_new_s[fe], tr=trn_s[:, fc])
+
+    # ---- final frames + refresh on the FCT maps ----
+    out_fin = jnp.concatenate([out_a[:4], out_b], axis=0)
+    nf = frames.at[:, :, FR:FR + S, FR:FR + S].set(out_fin)
+    return _refresh_frames(p, nf, nfix, K, Kp, L,
+                           persist=p.fct_persist), nfix
 
 
 
@@ -1812,24 +2096,31 @@ def split_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
     return _refresh_frames(p, nf, nfix, K, Kp, L), nfix
 
 
-def unstack_frames(mesh, carry, K, L, state_cls):
-    """(frames, fix_vals) -> flat ModelState."""
+def unstack_frames(mesh, carry, K, L, state_cls, fct=False):
+    """(frames, fix_vals) -> flat ModelState.  `fct` selects the FCT
+    fix sets (the carry's fix rows live on them for FCT segments)."""
     frames, fix = carry
-    p = _prep(mesh, frames.dtype)
+    p = _prep(mesh, frames.dtype, fct=fct)
     Kp = frames.shape[-1]
     cflat = frames[0].reshape(-1, Kp)
     eflat = frames[1:4].reshape(-1, Kp)
+    if fct:
+        fixc, fixe = p.fct_fix_cells_global, p.fct_fix_edges_global
+        csrc, cok = p.fct_cell_src, p.fct_cell_src_ok
+        esrc, eok = p.fct_edge_src, p.fct_edge_src_ok
+    else:
+        fixc, fixe = p.fix_cells_global, p.fix_edges_global
+        csrc, cok = p.cell_src, p.cell_src_ok
+        esrc, eok = p.edge_src, p.edge_src_ok
 
     def read(flat, src, ok, fixg, fix_rows):
         v = flat[src][..., :K]
         v = jnp.where(ok[:, None], v, 0.0)
         return v.at[fixg].set(fix_rows)
 
-    h = read(cflat, p.cell_src, p.cell_src_ok, p.fix_cells_global,
-             fix["h"])
-    u = read(eflat, p.edge_src, p.edge_src_ok, p.fix_edges_global,
-             fix["u"])
+    h = read(cflat, csrc, cok, fixc, fix["h"])
+    u = read(eflat, esrc, eok, fixe, fix["u"])
     tr = jnp.stack([
-        read(frames[4 + l].reshape(-1, Kp), p.cell_src, p.cell_src_ok,
-             p.fix_cells_global, fix["tr"][l]) for l in range(L)])
+        read(frames[4 + l].reshape(-1, Kp), csrc, cok,
+             fixc, fix["tr"][l]) for l in range(L)])
     return state_cls(h=h, u=u, tracers=tr)

@@ -176,16 +176,28 @@ def make_halo_fn(sm: ShardedMesh, axis_name: str = "x",
 
 def make_sharded_step(smesh: ShardedMesh, cfg: ModelConfig, stepper,
                       device_mesh: Mesh, axis_name: str = "x",
-                      halo_impl: str = "permute", wind_stress=None):
+                      halo_impl: str = "permute", wind_stress=None,
+                      post_phase=None):
     """Build a jittable sharded step: (sharded ModelState, t, dt) -> state.
 
     The same pure stepper used on a single device runs inside shard_map on
     each local mesh; its `halo` callback is the ICI exchange
     (halo_impl: 'permute' = per-neighbor ppermute rings, 'allgather').
-    """
+
+    post_phase: optional (fn, aux) pair applied per shard AFTER the
+    stepper (the driver's p-star redistribution phase): `aux` is a
+    pytree whose leaves are stacked (S, ...) local-row arrays, and
+    `fn(local_mesh, state, aux_local)` -> state runs inside shard_map.
+    The phase is column-local with an edge radius of 1 (the 2-cell-mean
+    edge thickness), so halo rows out to width-1-less-than-the-exchange
+    stay exact — the driver bumps Decomp.HaloWidth accordingly."""
     pspec = P(axis_name)
     smesh_specs = jax.tree.map(lambda _: pspec, smesh)
     state_specs = ModelState(h=pspec, u=pspec, tracers=pspec)
+    phase_fn, phase_aux = post_phase if post_phase is not None \
+        else (None, None)
+    phase_specs = (P() if phase_aux is None
+                   else jax.tree.map(lambda _: pspec, phase_aux))
 
     S = smesh.nshards
     if halo_impl == "permute":
@@ -211,7 +223,7 @@ def make_sharded_step(smesh: ShardedMesh, cfg: ModelConfig, stepper,
               else tuple(pspec for _ in wind_stress))
 
     def local_step(sm_stacked, cell_d, edge_d, state_stacked, wind_stacked,
-                   t, dt):
+                   phase_stacked, t, dt):
         sm = jax.tree.map(lambda a: a[0], sm_stacked)
         st = jax.tree.map(lambda a: a[0], state_stacked)
         if halo_impl == "permute":
@@ -225,6 +237,9 @@ def make_sharded_step(smesh: ShardedMesh, cfg: ModelConfig, stepper,
         wind = (None if wind_stacked is None
                 else tuple(w[0] for w in wind_stacked))
         out = stepper(sm.mesh, cfg, st, t, dt, halo_fn, wind_stress=wind)
+        if phase_fn is not None:
+            out = phase_fn(sm.mesh, out,
+                           jax.tree.map(lambda a: a[0], phase_stacked))
         return jax.tree.map(lambda a: a[None], out)
 
     sharded = jax.shard_map(
@@ -232,12 +247,13 @@ def make_sharded_step(smesh: ShardedMesh, cfg: ModelConfig, stepper,
         in_specs=(smesh_specs,
                   tuple(pspec for _ in cell_data),
                   tuple(pspec for _ in edge_data),
-                  state_specs, wspecs, P(), P()),
+                  state_specs, wspecs, phase_specs, P(), P()),
         out_specs=state_specs)
 
     def step(state, t, dt, wind=None):
         return sharded(smesh, cell_data, edge_data, state,
-                       wind_stress if wind is None else wind, t, dt)
+                       wind_stress if wind is None else wind, phase_aux,
+                       t, dt)
 
     step.scatter_wind = scatter_wind
     return step

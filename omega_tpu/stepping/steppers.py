@@ -208,29 +208,34 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
     if (stepper is forward_backward_step and halo is _identity
             and isinstance(dt, (int, float))):
         from omega_tpu.ops import megastep, patch_megastep
-        if patch_megastep.enabled() and patch_megastep.supported(mesh, cfg):
+        if patch_megastep.enabled() and patch_megastep.supported(
+                mesh, cfg, framed=True):
             # persistent-frame fast path (sphere): the patch frames are
             # the scan carry, so a step is one kernel + the tiny pole
             # submesh step + the in-frame halo refresh — no per-step
             # frame assembly / paste-back scatters. Wind planes are
-            # built once per segment.
+            # built once per segment. FCT configs run the two-stage
+            # Zalesak driver (fct_patch_megastep_framed).
             h, _, tr = state
             K, L = h.shape[-1], tr.shape[0]
             carry = patch_megastep.stack_frames(mesh, cfg, state)
             pwind = patch_megastep.make_wind(mesh, cfg, wind_stress,
                                              h.dtype)
+            pstep = (patch_megastep.fct_patch_megastep_framed
+                     if cfg.flux_tracer_type == "fct"
+                     else patch_megastep.fb_patch_megastep_framed)
 
             def pbody(c, _):
                 cr, t = c
-                cr = patch_megastep.fb_patch_megastep_framed(
-                    mesh, cfg, cr, t, dt, K=K, L=L, wind=pwind)
+                cr = pstep(mesh, cfg, cr, t, dt, K=K, L=L, wind=pwind)
                 return (cr, t + dt), None
 
             (carry, _), _ = jax.lax.scan(
                 pbody, (carry, jnp.asarray(t0, h.dtype)), None,
                 length=nsteps)
-            return patch_megastep.unstack_frames(mesh, carry, K, L,
-                                                 type(state))
+            return patch_megastep.unstack_frames(
+                mesh, carry, K, L, type(state),
+                fct=cfg.flux_tracer_type == "fct")
         if megastep.enabled() and megastep.supported(mesh, cfg):
             # stacked fast path: keep the mega-step kernel's single
             # (CH, ny, nx, K128) array as the scan carry so each step is

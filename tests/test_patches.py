@@ -520,3 +520,45 @@ def test_patch_megastep_pool_mode_exact(pmesh, monkeypatch):
         b = np.asarray(getattr(ref, fld))
         scale = np.max(np.abs(b)) + 1e-300
         assert np.max(np.abs(a - b)) / scale < 1e-12, fld
+
+
+def test_fct_patch_megastep_matches_composed(pmesh, monkeypatch):
+    """The two-stage fused Zalesak FCT driver (ops/patch_megastep.
+    fct_patch_megastep_framed: stage A emits h_new/u_new + the
+    provisional and diffusion-accumulated tracer fields, an in-frame
+    refresh on the FCT persist maps re-establishes the margins, stage B
+    runs the limiter) equals the composed FB stepper with
+    FluxTracerType 'fct' to rounding, and its tracers obey the Zalesak
+    monotonicity contract."""
+    from omega_tpu.ops import patch_megastep
+
+    K = 3
+    cfg = ModelConfig(nvertlayers=K, ntracers=2, flux_tracer_type="fct",
+                      tendencies=TendencyConfig(visc_del2=1.0e3,
+                                                visc_del4=1.0e9))
+    assert patch_megastep.supported(pmesh, cfg, framed=True)
+    assert not patch_megastep.supported(pmesh, cfg)   # one-shot: composed
+    state = _initial_state(pmesh, K, 2)
+    rng = np.random.default_rng(11)
+    u0 = 0.1 * rng.standard_normal((pmesh.nedges, K))
+    u0 *= np.asarray(pmesh.edge_mask)[:, None]
+    tr0 = jnp.asarray(rng.uniform(0.0, 1.0, (2, pmesh.ncells, K)))
+    state = ModelState(h=state.h, u=jnp.asarray(u0), tracers=tr0)
+
+    monkeypatch.setenv("OMEGA_PATCH_MEGA", "1")
+    on = run_steps(pmesh, cfg, state, 0.0, 60.0, 3)
+    monkeypatch.setenv("OMEGA_PATCH_MEGA", "0")
+    off = run_steps(pmesh, cfg, state, 0.0, 60.0, 3)
+    for fld in ("h", "u", "tracers"):
+        a, b = np.asarray(getattr(on, fld)), np.asarray(getattr(off, fld))
+        scale = np.max(np.abs(b)) + 1e-300
+        assert np.max(np.abs(a - b)) / scale < 1e-11, fld
+        assert np.all(np.isfinite(a)), fld
+    # volume conservation + the monotone-advection contract (diffusion
+    # at these coefficients stays inside rounding of the bounds)
+    area = np.asarray(pmesh.area_cell)[:, None]
+    v0 = float(np.sum(np.asarray(state.h) * area))
+    v1 = float(np.sum(np.asarray(on.h) * area))
+    assert abs(v1 - v0) / v0 < 1e-13
+    assert np.asarray(on.tracers).min() >= -1e-9
+    assert np.asarray(on.tracers).max() <= 1.0 + 1e-9

@@ -522,6 +522,66 @@ def test_driver_pstar_run_conserves(tmp_path):
     np.testing.assert_allclose(tmass1, tmass0, rtol=1e-11)
 
 
+def test_driver_pstar_sharded_matches_single(tmp_path):
+    """Sharded p-star (make_sharded_step post_phase: the phase runs per
+    shard on scattered ref/mask rows, with one extra halo ring for its
+    edge-radius-1 remap) matches the single-shard run on owned rows and
+    conserves volume and tracer mass."""
+    import yaml
+
+    from omega_tpu.driver import ocn_finalize, ocn_init, ocn_run
+
+    def doc_for(nshards):
+        d = {"Omega": {
+            "TimeIntegration": {
+                "CalendarType": "No Leap",
+                "TimeStepper": "Forward-Backward",
+                "TimeStep": "0000_00:00:30",
+                "StartTime": "0001-01-01_00:00:00",
+                "StopTime": "0001-01-01_00:05:00", "RunDuration": "none"},
+            "Mesh": {"Generate": {"Kind": "planar", "Nx": 12, "Ny": 12,
+                                  "Dc": 5000.0, "F0": 1.0e-4,
+                                  "BottomDepth": 1000.0}},
+            "VertCoord": {"NVertLayers": 4, "PStarEnable": True,
+                          "MovementWeightType": "Uniform"},
+            "SshFormulation": "Column",
+            "Tracers": {"Base": ["Temperature", "Salinity"]},
+            "Tendencies": {"ViscDel2": 1.0e3,
+                           "VelHyperDiffTendencyEnable": False,
+                           "TracerDiffTendencyEnable": False,
+                           "TracerHyperDiffTendencyEnable": False},
+            "IOStreams": {}}}
+        if nshards > 1:
+            d["Omega"]["Decomp"] = {"NShards": nshards, "Method": "sfc"}
+        return d
+
+    outs = {}
+    for ns in (1, 4):
+        tmp = str(tmp_path / f"s{ns}")
+        import os
+        os.makedirs(tmp, exist_ok=True)
+        p = f"{tmp}/omega.yml"
+        with open(p, "w") as f:
+            yaml.safe_dump(doc_for(ns), f)
+        m = ocn_init(config_file=p, directory=tmp)
+        x = np.asarray(m.mesh.x_cell)
+        bump = 0.5 * np.exp(-((x - x.mean()) / 20e3) ** 2)
+        h = np.asarray(m.state.h) + bump[:, None] / 4
+        m.state = dataclasses_replace_state(m.state, h=jnp.asarray(h))
+        area = np.asarray(m.mesh.area_cell)
+        vol0 = float((area[:, None] * h).sum())
+        m = ocn_run(m)
+        outs[ns] = (ocn_finalize(m), vol0, area)
+
+    (st1, vol0, area), (st4, _, _) = outs[1], outs[4]
+    for fld in ("h", "u", "tracers"):
+        a = np.asarray(getattr(st4, fld))
+        b = np.asarray(getattr(st1, fld))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-10 * np.abs(b).max())
+    vol1 = float((area[:, None] * np.asarray(st4.h)).sum())
+    assert abs(vol1 - vol0) < 1e-9 * vol0
+
+
 def dataclasses_replace_state(st, **kw):
     import dataclasses as _dc
     try:
