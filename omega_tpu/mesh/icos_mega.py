@@ -456,12 +456,15 @@ def _const_planes(mesh, content):
 
 def _pre_ops(uw_h=False, uw_tr=False):
     if uw_h or uw_tr:
-        ops = [("h0", "st", "c0", "h"), ("h1", "st", "c1", "h"),
-               ("mean_h", "ew", "mean2", "h0", "h1")]
+        # named hp0/hp1, NOT h0/h1: "h0" is the rk2b/rk4 stage
+        # chains' ORIGINAL-STATE input block name, and a reassignment
+        # here would silently corrupt their base-state update
+        ops = [("hp0", "st", "c0", "h"), ("hp1", "st", "c1", "h"),
+               ("mean_h", "ew", "mean2", "hp0", "hp1")]
     else:
         ops = [("mean_h", "st", "cmean", "h")]
     if uw_h:
-        ops += [("flux_h", "ew", "upwind", "u", "h0", "h1")]
+        ops += [("flux_h", "ew", "upwind", "u", "hp0", "hp1")]
     else:
         ops += [("flux_h", "ew", "copy", "mean_h")]
     return ops + [
@@ -480,8 +483,8 @@ def _tracer_tend_ops(l: int, uw_tr=False):
         adv_ops = [
             (f"t0{l}", "st", "c0", t),
             (f"t1{l}", "st", "c1", t),
-            (f"htre{l}", "ew", "upwind_prod", "u", "h0", f"t0{l}",
-             "h1", f"t1{l}"),
+            (f"htre{l}", "ew", "upwind_prod", "u", "hp0", f"t0{l}",
+             "hp1", f"t1{l}"),
         ]
     else:
         adv_ops = [
@@ -722,8 +725,8 @@ def fct_stage_b_chain(L: int, uw_h=False):
     (4) -> edge picks of R (6) -> corrected-flux divergence (8) == the
     MH=8 margin exactly."""
     if uw_h:
-        ops = [("h0", "st", "c0", "h"), ("h1", "st", "c1", "h"),
-               ("flux_h", "ew", "upwind", "u", "h0", "h1")]
+        ops = [("hp0", "st", "c0", "h"), ("hp1", "st", "c1", "h"),
+               ("flux_h", "ew", "upwind", "u", "hp0", "hp1")]
     else:
         ops = [("mean_h", "st", "cmean", "h"),
                ("flux_h", "ew", "copy", "mean_h")]
@@ -879,7 +882,7 @@ CLASS_OF = {"h": "cell", "u": "edge", "u_m": "edge",
             "vd4": "edge", "du": "edge", "u_new": "edge",
             "kee": "edge", "he_new": "edge",
             "sshc": "cell", "du_out": "edge",
-            "h0": "edge", "h1": "edge", "hn0": "edge", "hn1": "edge",
+            "hp0": "edge", "hp1": "edge", "hn0": "edge", "hn1": "edge",
             "flux_h": "edge", "flux_hn": "edge",
             "duv": "edge", "dze": "cell", "n2c": "cell", "dzee": "edge",
             "du2": "edge", "keduv": "cell", "kapc": "cell",

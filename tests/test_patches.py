@@ -189,18 +189,23 @@ def test_patch_megastep_matches_composed(pmesh, monkeypatch, knobs):
     assert abs(v1 - v0) / v0 < 1e-13
 
 
-def test_rk2_patch_megastep_matches_composed(pmesh):
+@pytest.mark.parametrize("flux", ["center", "upwind"])
+def test_rk2_patch_megastep_matches_composed(pmesh, flux):
     """The two-stage RK2 patch kernel pair (ops/patch_megastep.
     rk2_patch_megastep_framed: stage A emits the midpoint, an in-frame
     refresh re-establishes the margins, stage B reads (mid, orig)
     channel blocks) equals the composed rk2_step to rounding, with the
-    pole rows advanced on the wider rk2 fix submesh."""
+    pole rows advanced on the wider rk2 fix submesh.  The upwind
+    parametrization pins the regression where _pre_ops' thickness picks
+    were named h0/h1 and silently shadowed the stage chains'
+    original-state block (4% h error before the hp0/hp1 rename)."""
     from omega_tpu.core.state import ModelState as MS
     from omega_tpu.ops import patch_megastep
     from omega_tpu.stepping.steppers import rk2_step
 
     K, L = 3, 2
     cfg = ModelConfig(nvertlayers=K, ntracers=L,
+                      flux_thickness_type=flux, flux_tracer_type=flux,
                       tendencies=TendencyConfig(visc_del2=1.0e3,
                                                 visc_del4=1.0e9))
     state = _initial_state(pmesh, K, L)
@@ -522,18 +527,21 @@ def test_patch_megastep_pool_mode_exact(pmesh, monkeypatch):
         assert np.max(np.abs(a - b)) / scale < 1e-12, fld
 
 
-def test_fct_patch_megastep_matches_composed(pmesh, monkeypatch):
+@pytest.mark.parametrize("h_flux", ["center", "upwind"])
+def test_fct_patch_megastep_matches_composed(pmesh, monkeypatch, h_flux):
     """The two-stage fused Zalesak FCT driver (ops/patch_megastep.
     fct_patch_megastep_framed: stage A emits h_new/u_new + the
     provisional and diffusion-accumulated tracer fields, an in-frame
     refresh on the FCT persist maps re-establishes the margins, stage B
     runs the limiter) equals the composed FB stepper with
     FluxTracerType 'fct' to rounding, and its tracers obey the Zalesak
-    monotonicity contract."""
+    monotonicity contract.  Parametrized over the thickness flux (the
+    FCT mass flux must follow it for compatibility)."""
     from omega_tpu.ops import patch_megastep
 
     K = 3
     cfg = ModelConfig(nvertlayers=K, ntracers=2, flux_tracer_type="fct",
+                      flux_thickness_type=h_flux,
                       tendencies=TendencyConfig(visc_del2=1.0e3,
                                                 visc_del4=1.0e9))
     assert patch_megastep.supported(pmesh, cfg, framed=True)
