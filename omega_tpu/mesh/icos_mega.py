@@ -674,6 +674,36 @@ def split_post_chain(L: int):
     return ops
 
 
+def fb2_stage_a_chain(L: int, uw_h=False, uw_tr=False):
+    """Staged FB, stage A: the thickness + tracer sections of fb_chain
+    verbatim (h_new + trn{l}).  Stage B (fb2_stage_b_chain) runs the
+    velocity section from the refreshed h_new.  Splitting the chain in
+    two roughly halves the largest straight-line kernel body, which is
+    what Mosaic's register-allocator spill slots scale with (r5 queue
+    measurements) — the VMEM lever that unlocks bigger tiles when
+    op-level knobs are exhausted."""
+    pre = _pre_ops(uw_h, uw_tr)
+    nsplit = len(pre) - 1
+    ops = pre[:nsplit] + [
+        ("h_new", "ew", "axpy", "h", -1.0, "dh"),
+    ] + pre[nsplit:]
+    for l in range(L):
+        ops += _tracer_tend_ops(l, uw_tr) + [
+            (f"trn{l}", "ew", "tracer_update", f"tr{l}", "h", f"dtr{l}",
+             "h_new"),
+        ]
+    return ops
+
+
+def fb2_stage_b_chain(L: int, wind=False, drag=False, uw_h=False):
+    """Staged FB, stage B: the velocity section of fb_chain verbatim,
+    reading the REFRESHED h_new through an extra input channel."""
+    ops = _vel_tend_ops("h_new", uw_h=uw_h) + _phys_ops(wind, drag) + [
+        ("u_new", "ew", "axpy_m", "u", 1.0, "du", "$edge_mask"),
+    ]
+    return ops
+
+
 def fct_stage_a_chain(L: int, wind=False, drag=False, uw_h=False):
     """FCT stage A (of two; see ops/patch_megastep.fct_patch_megastep_
     framed): the full FB thickness + velocity sections, plus per tracer

@@ -1077,6 +1077,18 @@ def _chain_setup(chain_kind, L, phys):
         out_map = dict({"h_new": 0}, **{f"trn{l}": 1 + l
                                         for l in range(L)})
         outputs = list(out_map)
+    elif chain_kind == "fb2a":
+        from omega_tpu.mesh.icos_mega import fb2_stage_a_chain
+        chain_ops = fb2_stage_a_chain(L, uw_h, uw_tr)
+        out_map = dict({"h_new": 0}, **{f"trn{l}": 1 + l
+                                        for l in range(L)})
+        outputs = list(out_map)
+    elif chain_kind == "fb2b":
+        from omega_tpu.mesh.icos_mega import fb2_stage_b_chain
+        chain_ops = fb2_stage_b_chain(L, wind, drag, uw_h)
+        out_map = {"u_new": 0}
+        outputs = ["u_new"]
+        in_layout = [("h_new", 1, 0), ("u", 3, 1)]
     elif chain_kind == "fcta":
         from omega_tpu.mesh.icos_mega import fct_stage_a_chain
         chain_ops = fct_stage_a_chain(L, wind, drag, uw_h)
@@ -1362,6 +1374,10 @@ def _call(frames, planes, block_class, *, class_lists, const_idx, consts,
         cho = 4 + 2 * L
     elif chain_kind == "fctb":
         cho = L
+    elif chain_kind == "fb2a":
+        cho = 1 + L
+    elif chain_kind == "fb2b":
+        cho = 3
     else:
         cho = 4 + L
     return pl.pallas_call(
@@ -1839,6 +1855,85 @@ def fct_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
     nf = frames.at[:, :, FR:FR + S, FR:FR + S].set(out_fin)
     return _refresh_frames(p, nf, nfix, K, Kp, L,
                            persist=p.fct_persist), nfix
+
+
+def fb2_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
+                              interpret=None, wind=None):
+    """One FB step as TWO staged kernels (OMEGA_PATCH_FB2=1): stage A =
+    the thickness + tracer sections (fb2_stage_a_chain), an in-frame
+    refresh of h_new, stage B = the velocity section reading the
+    refreshed h_new plus the original u channels.  Bit-equal chains to
+    the single-kernel FB split at an op boundary, so the standard
+    validity masks / persist maps / fix submesh apply unchanged.  This
+    halves the largest straight-line kernel body — the quantity
+    Mosaic's register-allocator spill slots scale with — to buy VMEM
+    headroom for bigger tiles."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    frames, fix = carry
+    p = _prep(mesh, frames.dtype)
+    Kp = frames.shape[-1]
+    S = p.S
+    from omega_tpu.core import tendencies as tend_mod
+
+    # ---- stage A kernel: h_new + trn ----
+    out_a = _run_kernel(p, cfg, frames, dt, L, interpret,
+                        chain_kind="fb2a", wind=wind)
+
+    # ---- composed stage A on the fix submesh ----
+    sub = p.sub_mesh
+    fc, fe = p.fix_cells_local, p.fix_edges_local
+    cflat = frames[0].reshape(-1, Kp)
+    eflat = frames[1:4].reshape(-1, Kp)
+    h0 = cflat[p.sub_cell_src][..., :K].at[fc].set(fix["h"])
+    u0 = eflat[p.sub_edge_src][..., :K].at[fe].set(fix["u"])
+    tr0 = jnp.stack([
+        frames[4 + l].reshape(-1, Kp)[p.sub_cell_src][..., :K]
+        for l in range(L)]).at[:, fc].set(fix["tr"])
+    wsub = None if wind is None else wind[1]
+    dh, thick_aux = tend_mod.compute_thickness_tendency(sub, cfg, h0,
+                                                        u0, t)
+    h_new_s = h0 + dt * dh
+    dtr, _ = tend_mod.compute_tracer_tendency(
+        sub, cfg, h0, u0, tr0, thick_aux.mean_h_edge, t,
+        h_new=h_new_s, dt=dt, flux_h_edge=thick_aux.flux_h_edge)
+    trn_s = (tr0 * h0[None] + dt * dtr) / h_new_s[None]
+
+    # ---- refreshed h_new mid frame ----
+    pc = p.persist["cell"]
+
+    def pad_rows(rows):
+        if Kp == K:
+            return rows
+        return jnp.pad(rows, ((0, 0), (0, Kp - K)))
+
+    fr = jnp.zeros((10, p.SS, p.SS, Kp), frames.dtype)
+    fr = fr.at[:, FR:FR + S, FR:FR + S].set(out_a[0])
+    flat = fr.reshape(-1, Kp)
+    flat = flat.at[pc["refill_pos"]].set(flat[pc["refill_src"]])
+    if pc["fix_pos"].size:
+        flat = flat.at[pc["fix_pos"]].set(
+            pad_rows(h_new_s[fc])[pc["fix_row"]])
+    if pc["zero_pos"].size:
+        flat = flat.at[pc["zero_pos"]].set(0.0)
+    mid_h = flat.reshape(fr.shape)
+
+    # ---- stage B kernel: u_new from (h_new, u) ----
+    out_b = _run_kernel(p, cfg,
+                        jnp.concatenate([mid_h[None], frames[1:4]]),
+                        dt, L, interpret, chain_kind="fb2b", wind=wind)
+
+    # ---- composed stage B (re-gathered refreshed h_new) ----
+    h_new_m = mid_h.reshape(-1, Kp)[p.sub_cell_src][..., :K].at[fc].set(
+        h_new_s[fc])
+    du, _ = tend_mod.compute_velocity_tendency(sub, cfg, h_new_m, u0,
+                                               t + dt, wsub)
+    u_new_s = u0 + dt * du
+    nfix = dict(h=h_new_s[fc], u=u_new_s[fe], tr=trn_s[:, fc])
+
+    out_fin = jnp.concatenate([out_a[:1], out_b, out_a[1:]], axis=0)
+    nf = frames.at[:, :, FR:FR + S, FR:FR + S].set(out_fin)
+    return _refresh_frames(p, nf, nfix, K, Kp, L), nfix
 
 
 

@@ -124,6 +124,13 @@ elif item.startswith("planar-split"):
 elif item.startswith("sphere-fb"):
     mesh, cfg, st = sphere_init()
     time_run(item, mesh, cfg, st, forward_backward_step)
+elif item.startswith("sphere-fct"):
+    # two-stage fused Zalesak FCT (fct_patch_megastep_framed via
+    # run_steps routing); timing comparable to sphere-fb
+    mesh, cfg, st = sphere_init()
+    import dataclasses
+    cfg = dataclasses.replace(cfg, flux_tracer_type="fct")
+    time_run(item, mesh, cfg, st, forward_backward_step)
 elif item.startswith("sphere-rk2"):
     mesh, cfg, st = sphere_init()
     time_run(item, mesh, cfg, st, rk2_step)

@@ -527,6 +527,33 @@ def test_patch_megastep_pool_mode_exact(pmesh, monkeypatch):
         assert np.max(np.abs(a - b)) / scale < 1e-12, fld
 
 
+def test_fb2_staged_patch_megastep_matches_single(pmesh, monkeypatch):
+    """OMEGA_PATCH_FB2=1 (staged two-kernel FB: thickness+tracers ->
+    h_new refresh -> velocity) matches the single-kernel framed FB to
+    rounding — the chains are fb_chain split at an op boundary, so only
+    fusion-order rounding may differ."""
+    K = 3
+    cfg = ModelConfig(nvertlayers=K, ntracers=1,
+                      tendencies=TendencyConfig(visc_del2=1.0e3,
+                                                visc_del4=1.0e9))
+    state = _initial_state(pmesh, K, 1)
+    rng = np.random.default_rng(23)
+    u0 = 0.1 * rng.standard_normal((pmesh.nedges, K))
+    u0 *= np.asarray(pmesh.edge_mask)[:, None]
+    state = ModelState(h=state.h, u=jnp.asarray(u0),
+                       tracers=state.tracers)
+    monkeypatch.setenv("OMEGA_PATCH_MEGA", "1")
+    monkeypatch.setenv("OMEGA_PATCH_FB2", "1")
+    on = run_steps(pmesh, cfg, state, 0.0, 60.0, 2)
+    monkeypatch.delenv("OMEGA_PATCH_FB2")
+    off = run_steps(pmesh, cfg, state, 0.0, 60.0, 2)
+    for fld in ("h", "u", "tracers"):
+        a, b = np.asarray(getattr(on, fld)), np.asarray(getattr(off, fld))
+        scale = np.max(np.abs(b)) + 1e-300
+        assert np.max(np.abs(a - b)) / scale < 1e-13, fld
+        assert np.all(np.isfinite(a)), fld
+
+
 @pytest.mark.parametrize("h_flux", ["center", "upwind"])
 def test_fct_patch_megastep_matches_composed(pmesh, monkeypatch, h_flux):
     """The two-stage fused Zalesak FCT driver (ops/patch_megastep.
