@@ -165,12 +165,14 @@ def test_megastep_matches_composed_fb_step():
                                                 visc_del4=1e9))
     assert supported(mesh, cfg)
     # unsupported configs must be detected (falls back to composed);
-    # upwind is fused since round 4, FCT stays composed
+    # upwind is fused since round 4, FCT since round 5 — but on the FB
+    # kernel only (the limiter needs the thickness-first update order)
     cfg_fct = ModelConfig(nvertlayers=3, ntracers=2,
                           flux_tracer_type="fct",
                           tendencies=TendencyConfig(visc_del2=1e3,
                                                     visc_del4=1e9))
-    assert not supported(mesh, cfg_fct)
+    assert supported(mesh, cfg_fct)
+    assert not supported(mesh, cfg_fct, kind="rk2")
 
     rng = np.random.default_rng(0)
     kx = 2 * np.pi / mesh.x_period
