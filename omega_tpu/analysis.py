@@ -184,7 +184,11 @@ class EnergeticsMonitor:
 
     def write_row(self, row: Dict[str, float], time_str: str) -> None:
         """Append one precomputed row (the sharded sampler's entry: the
-        scalars come off a shard_map'd reduction, no global gather)."""
+        scalars come off a shard_map'd reduction, no global gather).
+        Columns are canonicalized to sorted key order HERE so the
+        sharded sampler (which appends total_energy last) and the
+        single-device sample emit identical CSV schemas."""
+        row = dict(sorted(row.items()))
         mode = "a" if self._wrote_header else "w"
         with open(self.path, mode) as f:
             if not self._wrote_header:

@@ -56,12 +56,17 @@ def fct_provisional(mesh: HorzMesh, h_old, h_new, u, tracers, dt,
 
 
 def fct_limited_tendency(mesh: HorzMesh, h_new, u, tracers, tr_td, dt,
-                         flux_h_edge):
+                         flux_h_edge, fluxes=None):
     """The Zalesak limiter (steps 4-5) given the provisional field:
-    returns the monotone advective tendency -div(f_corr)."""
+    returns the monotone advective tendency -div(f_corr).  `fluxes`
+    optionally carries precomputed (f_lo, f_hi) so the composed
+    fct_tracer_tendency doesn't evaluate the edge fluxes twice."""
     eps = jnp.asarray(1e-30, h_new.dtype)
-    mass_flux = trisk.col(mesh, "edge_mask") * flux_h_edge * u
-    f_lo, f_hi = _edge_fluxes(mesh, mass_flux, u, tracers)
+    if fluxes is None:
+        mass_flux = trisk.col(mesh, "edge_mask") * flux_h_edge * u
+        f_lo, f_hi = _edge_fluxes(mesh, mass_flux, u, tracers)
+    else:
+        f_lo, f_hi = fluxes
 
     # admissible bounds: extrema of old and transported fields over the
     # cell and its neighbors (Zalesak eq. 17-18)
@@ -110,7 +115,9 @@ def fct_tracer_tendency(mesh: HorzMesh, h_old, h_new, u, tracers, dt,
 
     flux_h_edge: the FluxLayerThickEdge used in the thickness update, so
     that div(mass_flux) reproduces (h_old - h_new)/dt exactly."""
-    tr_td = fct_provisional(mesh, h_old, h_new, u, tracers, dt,
-                            flux_h_edge)
+    mass_flux = trisk.col(mesh, "edge_mask") * flux_h_edge * u
+    f_lo, f_hi = _edge_fluxes(mesh, mass_flux, u, tracers)
+    div_lo = trisk.div_cell(mesh, f_lo)
+    tr_td = (tracers * h_old[None] - dt * div_lo) / h_new[None]
     return fct_limited_tendency(mesh, h_new, u, tracers, tr_td, dt,
-                                flux_h_edge)
+                                flux_h_edge, fluxes=(f_lo, f_hi))

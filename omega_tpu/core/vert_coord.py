@@ -229,7 +229,6 @@ def make_pstar_phase(mesh, ref_thickness, weights, active_mask=None,
     w = jnp.asarray(weights)
     mask = (jnp.ones_like(ref) if active_mask is None
             else jnp.asarray(active_mask))
-    coe = jnp.asarray(mesh.cells_on_edge)
 
     def phase(state):
         h = state.h
@@ -238,8 +237,11 @@ def make_pstar_phase(mesh, ref_thickness, weights, active_mask=None,
         target = compute_target_thickness(p_int, ref, w, mask, rho0)
         tr_new = jax.vmap(lambda q: remap_piecewise_constant(h, target, q)
                           )(state.tracers)
-        he_old = 0.5 * (h[coe[:, 0]] + h[coe[:, 1]])
-        he_new = 0.5 * (target[coe[:, 0]] + target[coe[:, 1]])
+        # 2-cell edge mean via the streaming stencil path (row gathers
+        # of (N, K) fields are 10-15x slower; steppers._mix uses the
+        # same helper for the same quantity)
+        he_old = trisk.cell_mean_on_edge(mesh, h)
+        he_new = trisk.cell_mean_on_edge(mesh, target)
         u_new = remap_piecewise_constant(he_old, he_new, state.u)
         return type(state)(h=target, u=u_new, tracers=tr_new)
 

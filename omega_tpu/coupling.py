@@ -48,7 +48,6 @@ def reconstruct_cell_velocity(mesh, u):
     """
     import jax.numpy as jnp
 
-    from omega_tpu.mesh.horz_mesh import unclamped_connectivity
     from omega_tpu.ops import trisk
 
     ut = trisk.tangential_edge(mesh, u)
@@ -57,12 +56,9 @@ def reconstruct_cell_velocity(mesh, u):
     ve = u * jnp.cos(ang) - ut * jnp.sin(ang)
     vn = u * jnp.sin(ang) + ut * jnp.cos(ang)
 
-    eoc = np.asarray(unclamped_connectivity(mesh)["edges_on_cell"])
-    dc = np.asarray(mesh.dc_edge)
-    dv = np.asarray(mesh.dv_edge)
-    w = np.where(eoc >= 0, (dc * dv / 4.0)[np.maximum(eoc, 0)], 0.0)
+    w, idx_np = _cell_edge_avg_weights(mesh)
     wj = jnp.asarray(w)[:, :, None]                       # (C, M, 1)
-    idx = jnp.asarray(np.maximum(eoc, 0))
+    idx = jnp.asarray(idx_np)
     wsum = jnp.sum(wj, axis=1)
 
     def avg(x):

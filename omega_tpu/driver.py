@@ -385,7 +385,24 @@ def ocn_init(config: Optional[Config] = None, *, directory: str = ".",
                            np.int32) - 1
         if fields.get("BottomDepth").data is not None:
             bd = np.asarray(fields.get("BottomDepth").data, np.float64)
-            mesh = dataclasses.replace(mesh, bottom_depth=jnp.asarray(bd))
+            # the override must also refresh the STATIC fast-path
+            # metadata derived from bottom_depth: the uniform-scalar
+            # table (trisk.col reads depth through it on structured
+            # meshes — a stale entry would silently keep the old
+            # pressure gradient) and, if the values actually change,
+            # the patch registry key (its gdepth const planes bake the
+            # construction depth; dropping the key falls back to the
+            # exact general path)
+            scal = tuple((a, v) for a, v in mesh.structured_scalars
+                         if a != "bottom_depth")
+            if bd.size and np.ptp(bd) == 0.0:
+                scal += (("bottom_depth", float(bd.flat[0])),)
+            changed = not np.array_equal(
+                bd, np.asarray(mesh.bottom_depth, np.float64))
+            mesh = dataclasses.replace(
+                mesh, bottom_depth=jnp.asarray(bd),
+                structured_scalars=scal,
+                patch_key=0 if changed else mesh.patch_key)
             # refresh the default (rest) thickness if no state stream
             # replaced it
             if fields.get("LayerThickness").data is h0:

@@ -647,6 +647,13 @@ def test_initial_vert_coord_stream(tmp_path):
     np.testing.assert_array_equal(np.asarray(lb.max_cell), max_c - 1)
     # bottom depth overridden from the file
     np.testing.assert_allclose(np.asarray(m.mesh.bottom_depth), depth)
+    # ...INCLUDING the static fast-path metadata: the stale uniform-
+    # scalar entry used to keep trisk.col returning the construction
+    # depth (1000.0) on structured meshes — silently wrong ssh gradient
+    from omega_tpu.ops import trisk as _trisk
+    col = np.asarray(_trisk.col(m.mesh, "bottom_depth"))
+    col_arr = np.full(C, col.item()) if col.size == 1 else col.reshape(C)
+    np.testing.assert_allclose(col_arr, depth)
     # default rest state: depth/K on active layers, 0 on inactive
     h = np.asarray(m.state.h)
     np.testing.assert_allclose(h[20], 800.0 / K)   # full column
