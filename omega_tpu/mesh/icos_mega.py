@@ -695,12 +695,19 @@ def fb2_stage_a_chain(L: int, uw_h=False, uw_tr=False):
     return ops
 
 
-def fb2_stage_b_chain(L: int, wind=False, drag=False, uw_h=False):
+def fb2_stage_b_chain(L: int, wind=False, drag=False, uw_h=False,
+                      vmix=False, pp=None):
     """Staged FB, stage B: the velocity section of fb_chain verbatim,
-    reading the REFRESHED h_new through an extra input channel."""
+    reading the REFRESHED h_new through an extra input channel.  With
+    vmix the operator-split implicit-mixing tail runs here too (it
+    reads h_new/u_new/trn{l}, all available: trn rides extra input
+    channels and is re-emitted mixed) — the PP81 chain's scoped-VMEM
+    cost then sits in a kernel with half the FB body."""
     ops = _vel_tend_ops("h_new", uw_h=uw_h) + _phys_ops(wind, drag) + [
         ("u_new", "ew", "axpy_m", "u", 1.0, "du", "$edge_mask"),
     ]
+    if vmix:
+        ops += _vmix_ops(L, pp)
     return ops
 
 

@@ -85,11 +85,14 @@ def supported(mesh, cfg, kind="fb", framed=False) -> bool:
         return False        # the radius-7 vmix chain needs the full
         # margin AND worst-case validity masks (see icos_mega._build)
     if (_vmix_on(cfg) and cfg.vert_mix.scheme == "pp81"
-            and os.environ.get("OMEGA_PATCH_PP81", "0") != "1"):
+            and os.environ.get("OMEGA_PATCH_PP81", "0") != "1"
+            and not (framed
+                     and os.environ.get("OMEGA_PATCH_FB2") == "1")):
         # correct (tested) but the coefficient ops push the Mosaic
         # scoped stack to ~164M > the 128M VMEM at the icos48 defaults;
-        # opt in with OMEGA_PATCH_PP81=1 (e.g. smaller tiles), else the
-        # composed stepper carries PP81 on the sphere
+        # opt in with OMEGA_PATCH_PP81=1 (e.g. smaller tiles) or run the
+        # staged two-kernel FB (OMEGA_PATCH_FB2=1, vmix tail in stage
+        # B's half-size body), else the composed stepper carries PP81
         return False
     # FCT (Zalesak) tracer fluxes: the limiter chain's radius (10) needs
     # the two-stage fct_patch_megastep_framed driver (persistent frames
@@ -1085,10 +1088,19 @@ def _chain_setup(chain_kind, L, phys):
         outputs = list(out_map)
     elif chain_kind == "fb2b":
         from omega_tpu.mesh.icos_mega import fb2_stage_b_chain
-        chain_ops = fb2_stage_b_chain(L, wind, drag, uw_h)
-        out_map = {"u_new": 0}
-        outputs = ["u_new"]
-        in_layout = [("h_new", 1, 0), ("u", 3, 1)]
+        chain_ops = fb2_stage_b_chain(L, wind, drag, uw_h, vmix, pp)
+        if vmix:
+            # trn rides input channels and re-emits mixed
+            out_map = dict({"u_new": 0}, **{f"trn{l}": 3 + l
+                                            for l in range(L)})
+            outputs = list(out_map)
+            in_layout = ([("h_new", 1, 0)]
+                         + [(f"trn{l}", 1, 1 + l) for l in range(L)]
+                         + [("u", 3, 1 + L)])
+        else:
+            out_map = {"u_new": 0}
+            outputs = ["u_new"]
+            in_layout = [("h_new", 1, 0), ("u", 3, 1)]
     elif chain_kind == "fcta":
         from omega_tpu.mesh.icos_mega import fct_stage_a_chain
         chain_ops = fct_stage_a_chain(L, wind, drag, uw_h)
@@ -1377,7 +1389,7 @@ def _call(frames, planes, block_class, *, class_lists, const_idx, consts,
     elif chain_kind == "fb2a":
         cho = 1 + L
     elif chain_kind == "fb2b":
-        cho = 3
+        cho = 3 + (L if phys[2] else 0)    # vmix re-emits mixed trn
     else:
         cho = 4 + L
     return pl.pallas_call(
@@ -1899,7 +1911,9 @@ def fb2_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
         h_new=h_new_s, dt=dt, flux_h_edge=thick_aux.flux_h_edge)
     trn_s = (tr0 * h0[None] + dt * dtr) / h_new_s[None]
 
-    # ---- refreshed h_new mid frame ----
+    # ---- refreshed mid frames (h_new; + trn when vmix runs in B) ----
+    from omega_tpu.ops.megastep import _vmix_on
+    vmix = _vmix_on(cfg)
     pc = p.persist["cell"]
 
     def pad_rows(rows):
@@ -1907,21 +1921,30 @@ def fb2_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
             return rows
         return jnp.pad(rows, ((0, 0), (0, Kp - K)))
 
-    fr = jnp.zeros((10, p.SS, p.SS, Kp), frames.dtype)
-    fr = fr.at[:, FR:FR + S, FR:FR + S].set(out_a[0])
-    flat = fr.reshape(-1, Kp)
-    flat = flat.at[pc["refill_pos"]].set(flat[pc["refill_src"]])
-    if pc["fix_pos"].size:
-        flat = flat.at[pc["fix_pos"]].set(
-            pad_rows(h_new_s[fc])[pc["fix_row"]])
-    if pc["zero_pos"].size:
-        flat = flat.at[pc["zero_pos"]].set(0.0)
-    mid_h = flat.reshape(fr.shape)
+    def rfr(ch, rows):
+        fr = jnp.zeros((10, p.SS, p.SS, Kp), frames.dtype)
+        fr = fr.at[:, FR:FR + S, FR:FR + S].set(out_a[ch])
+        flat = fr.reshape(-1, Kp)
+        flat = flat.at[pc["refill_pos"]].set(flat[pc["refill_src"]])
+        if pc["fix_pos"].size:
+            flat = flat.at[pc["fix_pos"]].set(
+                pad_rows(rows)[pc["fix_row"]])
+        if pc["zero_pos"].size:
+            flat = flat.at[pc["zero_pos"]].set(0.0)
+        return flat.reshape(fr.shape)
 
-    # ---- stage B kernel: u_new from (h_new, u) ----
-    out_b = _run_kernel(p, cfg,
-                        jnp.concatenate([mid_h[None], frames[1:4]]),
-                        dt, L, interpret, chain_kind="fb2b", wind=wind)
+    mid_h = rfr(0, h_new_s[fc])
+    if vmix:
+        mid = jnp.concatenate(
+            [mid_h[None]]
+            + [rfr(1 + l, trn_s[l][fc])[None] for l in range(L)]
+            + [frames[1:4]])
+    else:
+        mid = jnp.concatenate([mid_h[None], frames[1:4]])
+
+    # ---- stage B kernel: u_new (+ mixed trn) ----
+    out_b = _run_kernel(p, cfg, mid, dt, L, interpret,
+                        chain_kind="fb2b", wind=wind)
 
     # ---- composed stage B (re-gathered refreshed h_new) ----
     h_new_m = mid_h.reshape(-1, Kp)[p.sub_cell_src][..., :K].at[fc].set(
@@ -1929,9 +1952,19 @@ def fb2_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
     du, _ = tend_mod.compute_velocity_tendency(sub, cfg, h_new_m, u0,
                                                t + dt, wsub)
     u_new_s = u0 + dt * du
+    if vmix:
+        from omega_tpu.core.state import ModelState as _MS
+        from omega_tpu.stepping.steppers import _mix
+        trn_m = jnp.stack([
+            mid[1 + l].reshape(-1, Kp)[p.sub_cell_src][..., :K]
+            for l in range(L)]).at[:, fc].set(trn_s[:, fc])
+        st_n = _mix(sub, cfg, _MS(h=h_new_s, u=u_new_s, tracers=trn_m),
+                    dt)
+        u_new_s, trn_s = st_n.u, st_n.tracers
     nfix = dict(h=h_new_s[fc], u=u_new_s[fe], tr=trn_s[:, fc])
 
-    out_fin = jnp.concatenate([out_a[:1], out_b, out_a[1:]], axis=0)
+    trn_fin = out_b[3:] if vmix else out_a[1:]
+    out_fin = jnp.concatenate([out_a[:1], out_b[:3], trn_fin], axis=0)
     nf = frames.at[:, :, FR:FR + S, FR:FR + S].set(out_fin)
     return _refresh_frames(p, nf, nfix, K, Kp, L), nfix
 

@@ -223,13 +223,11 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
                                              h.dtype)
             import os as _os
             # OMEGA_PATCH_FB2=1: staged two-kernel FB (VMEM headroom
-            # for big tiles); physics-off configs only — the staged
-            # chains carry no fused vmix tail
+            # for big tiles; the vmix tail runs in stage B)
             pstep = (patch_megastep.fct_patch_megastep_framed
                      if cfg.flux_tracer_type == "fct"
                      else patch_megastep.fb2_patch_megastep_framed
-                     if (_os.environ.get("OMEGA_PATCH_FB2") == "1"
-                         and not cfg.vert_mix.enabled)
+                     if _os.environ.get("OMEGA_PATCH_FB2") == "1"
                      else patch_megastep.fb_patch_megastep_framed)
 
             def pbody(c, _):

@@ -527,13 +527,22 @@ def test_patch_megastep_pool_mode_exact(pmesh, monkeypatch):
         assert np.max(np.abs(a - b)) / scale < 1e-12, fld
 
 
-def test_fb2_staged_patch_megastep_matches_single(pmesh, monkeypatch):
+@pytest.mark.parametrize("vmix", [False, True], ids=["inviscid", "pp81"])
+def test_fb2_staged_patch_megastep_matches_single(pmesh, monkeypatch,
+                                                  vmix):
     """OMEGA_PATCH_FB2=1 (staged two-kernel FB: thickness+tracers ->
-    h_new refresh -> velocity) matches the single-kernel framed FB to
+    h_new refresh -> velocity, with the implicit-vmix tail in stage B)
+    matches the single-kernel framed FB / the composed stepper to
     rounding — the chains are fb_chain split at an op boundary, so only
-    fusion-order rounding may differ."""
+    fusion-order rounding may differ.  The PP81 case is the un-gating
+    path for sphere state-dependent mixing (its scoped-VMEM cost moves
+    into a half-size kernel body)."""
+    from omega_tpu.core.config import VertMixConfig
     K = 3
-    cfg = ModelConfig(nvertlayers=K, ntracers=1,
+    vm = (VertMixConfig(enabled=True, scheme="pp81", method="pcr",
+                        kappa_tracer=1e-5, kappa_momentum=1e-5)
+          if vmix else VertMixConfig())
+    cfg = ModelConfig(nvertlayers=K, ntracers=1, vert_mix=vm,
                       tendencies=TendencyConfig(visc_del2=1.0e3,
                                                 visc_del4=1.0e9))
     state = _initial_state(pmesh, K, 1)
