@@ -122,19 +122,40 @@ def main():
 
     # warmup / compile (timed separately, like the reference's first-step
     # timer isolation, ocn/OceanRun.cpp:48-53)
+    def fetch(o):
+        # scalar device->host fetch: the only sync that has proven
+        # reliable through the tunnel (block_until_ready has been seen
+        # returning without blocking, and identical (executable, input)
+        # calls being short-circuited — round-5 session)
+        return float(np.asarray(jax.device_get(o.h[0, 0])))
+
     t0 = time.perf_counter()
-    out = jax.block_until_ready(stepn(state))
+    out = stepn(state)
+    fetch(out)
     compile_s = time.perf_counter() - t0
 
     # min over repetitions: the device is reached through a shared tunnel
     # whose latency/contention varies, and min is the contention-robust
-    # statistic for the device-side cost
+    # statistic for the device-side cost.  Each rep times k=3 vs k=1
+    # CHAINED segment calls terminated by a fetch; the difference
+    # cancels the constant fetch/dispatch overhead.
+    def timed(k, cur):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            cur = stepn(cur)
+        fetch(cur)
+        return time.perf_counter() - t0, cur
+
     reps = int(os.environ.get("OMEGA_BENCH_REPS", 5))
     elapsed = float("inf")
+    cur = out
     for _ in range(reps):
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(stepn(state))
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        t1, cur = timed(1, cur)
+        t3, cur = timed(3, cur)
+        d = (t3 - t1) / 2.0
+        if d / nsteps > 0.05e-3:          # ignore impossible readings
+            elapsed = min(elapsed, d)
+    out = cur
 
     assert bool(jnp.isfinite(out.h).all()), "benchmark produced non-finite h"
 

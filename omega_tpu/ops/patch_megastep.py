@@ -167,6 +167,33 @@ def _block_classes(p, pstack_sup):
     return jnp.asarray(block_class), tuple(class_lists)
 
 
+def attach_planes(mesh, dtype, fct=False):
+    """Return a mesh copy whose `patch_planes` LEAF carries the kernel's
+    lane-major weight-plane stack, so callers that pass the mesh as a
+    jit ARGUMENT move the stack out of the program and into a runtime
+    operand.  Embedded as an HLO literal it is 164 MB at icos48 and
+    ~530 MB at icos96 — past the axon remote-compile body limit (the
+    round-4 HTTP 413).  Opt-in: the default (closed-over mesh) path is
+    bit-identical and unaffected.
+
+    The prep key (env knobs + dtype + layout) rides along as static
+    metadata; if the knobs change between attach and use, the kernel
+    silently falls back to the constant stack."""
+    import dataclasses
+    p = _prep(mesh, dtype, fct=fct)
+    return dataclasses.replace(mesh, patch_planes=p.planes,
+                               patch_planes_key=p.key)
+
+
+def _planes_of(p, mesh):
+    """The kernel's weight-plane stack: the mesh-leaf operand when one
+    was attached under the current prep key, else the prep constant."""
+    if (mesh is not None and getattr(mesh, "patch_planes", None) is not None
+            and getattr(mesh, "patch_planes_key", ()) == p.key):
+        return mesh.patch_planes
+    return p.planes
+
+
 def _prep(mesh, dtype, fct=False):
     # env knobs are part of the key so an in-process A/B rebuilds; the
     # compile-time-eval scope keeps every cached jnp array CONCRETE
@@ -239,6 +266,7 @@ def _persist_map(p, mesh, mg, grp, keep, fixg):
 def _prep_build(mesh, dtype, key, fct=False):
     mg = imx.ensure_mega(mesh)
     p = _Prep()
+    p.key = key
     p.mg = mg
     p.fct = fct
     n, S, by = mg.n, mg.S, mg.by
@@ -1443,7 +1471,7 @@ def _assemble_frames(p, state, L, K, Kp, dtype):
 
 
 def _run_kernel(p, cfg, frames, dt, L, interpret, chain_kind="fb",
-                wind=None):
+                wind=None, mesh=None):
     """`wind` is a make_wind bundle; its planes array (the const stack
     with the reserved wind lanes filled) replaces p.planes."""
     from omega_tpu.ops.megastep import _vmix_on
@@ -1478,7 +1506,7 @@ def _run_kernel(p, cfg, frames, dt, L, interpret, chain_kind="fb",
         pool_nbuf = _pool_plan(chain_kind, L, phys,
                                _hashable(p.const_idx), consts,
                                p.entry_lists)
-    return _call(frames, p.planes if wind is None else wind[0],
+    return _call(frames, _planes_of(p, mesh) if wind is None else wind[0],
                  p.block_class,
                  class_lists=_hashable(p.class_lists),
                  const_idx=_hashable(p.const_idx),
@@ -1513,7 +1541,7 @@ def make_wind(mesh, cfg, wind_stress, dtype):
     fr = fr.reshape(-1, 1).at[pos].set(stress[src][:, None]) \
         .reshape(3, 10, SS, SS)
     j0 = p.wind_lanes
-    planes = p.planes
+    planes = _planes_of(p, mesh)
     for tt in range(3):
         planes = planes.at[..., j0 + tt].set(fr[tt])
     mg = p.mg
@@ -1538,7 +1566,8 @@ def fb_patch_megastep(mesh, cfg, state, t, dt, interpret=None,
 
     frames = _assemble_frames(p, state, L, K, Kp, dtype)
     wb = make_wind(mesh, cfg, wind_stress, dtype)
-    out = _run_kernel(p, cfg, frames, dt, L, interpret, wind=wb)
+    out = _run_kernel(p, cfg, frames, dt, L, interpret, wind=wb,
+                      mesh=mesh)
     if Kp != K:
         out = out[..., :K]
 
@@ -1649,7 +1678,8 @@ def fb_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
     p = _prep(mesh, frames.dtype)
     Kp = frames.shape[-1]
 
-    out = _run_kernel(p, cfg, frames, dt, L, interpret, wind=wind)
+    out = _run_kernel(p, cfg, frames, dt, L, interpret, wind=wind,
+                      mesh=mesh)
 
     # ---- submesh state from the (fully refreshed) current frames ----
     from omega_tpu.core.state import ModelState
@@ -1716,7 +1746,7 @@ def rk2_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
     wsub = None if wind is None else wind[1]
     # ---- stage A: midpoint ----
     out_a = _run_kernel(p, cfg, frames, dt, L, interpret,
-                        chain_kind="rk2a", wind=wind)
+                        chain_kind="rk2a", wind=wind, mesh=mesh)
     h0, u0, tr0 = sub_state(frames, fix)
     k1 = tend_mod.compute_all_tendencies(p.sub_mesh, cfg,
                                          h0, u0, tr0, t, wsub)
@@ -1730,7 +1760,7 @@ def rk2_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
 
     # ---- stage B: full step from the original state ----
     out_b = _run_kernel(p, cfg, jnp.concatenate([mid, frames]), dt, L,
-                        interpret, chain_kind="rk2b", wind=wind)
+                        interpret, chain_kind="rk2b", wind=wind, mesh=mesh)
     h_m2, u_m2, tr_m2 = sub_state(mid, mid_fix)
     k2 = tend_mod.compute_all_tendencies(p.sub_mesh, cfg,
                                          h_m2, u_m2, tr_m2,
@@ -1790,7 +1820,7 @@ def fct_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
 
     # ---- stage A kernel ----
     out_a = _run_kernel(p, cfg, frames, dt, L, interpret,
-                        chain_kind="fcta", wind=wind)
+                        chain_kind="fcta", wind=wind, mesh=mesh)
 
     # ---- composed stage A on the FCT fix submesh ----
     sub = p.fct_sub_mesh
@@ -1844,7 +1874,7 @@ def fct_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
 
     # ---- stage B kernel (mid block + original frames) ----
     out_b = _run_kernel(p, cfg, jnp.concatenate([mid, frames]), dt, L,
-                        interpret, chain_kind="fctb", wind=wind)
+                        interpret, chain_kind="fctb", wind=wind, mesh=mesh)
 
     # ---- composed stage B on the fix submesh (from the REFRESHED mid
     # fields, like the RK2 stage boundary re-gather) ----
@@ -1890,7 +1920,7 @@ def fb2_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
 
     # ---- stage A kernel: h_new + trn ----
     out_a = _run_kernel(p, cfg, frames, dt, L, interpret,
-                        chain_kind="fb2a", wind=wind)
+                        chain_kind="fb2a", wind=wind, mesh=mesh)
 
     # ---- composed stage A on the fix submesh ----
     sub = p.sub_mesh
@@ -1944,7 +1974,7 @@ def fb2_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
 
     # ---- stage B kernel: u_new (+ mixed trn) ----
     out_b = _run_kernel(p, cfg, mid, dt, L, interpret,
-                        chain_kind="fb2b", wind=wind)
+                        chain_kind="fb2b", wind=wind, mesh=mesh)
 
     # ---- composed stage B (re-gathered refreshed h_new) ----
     h_new_m = mid_h.reshape(-1, Kp)[p.sub_cell_src][..., :K].at[fc].set(
@@ -2015,7 +2045,7 @@ def rk4_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
 
     # ---- stage 1: k1 at the original state ----
     out = _run_kernel(p, cfg, frames, dt, L, interpret,
-                      chain_kind="rk4s1", wind=wind)
+                      chain_kind="rk4s1", wind=wind, mesh=mesh)
     k = tend_mod.compute_all_tendencies(p.sub_mesh, cfg, h0, u0, tr0,
                                         t, wsub)
     ha = h0 + _RKB[0] * dt * k.dh
@@ -2033,7 +2063,7 @@ def rk4_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
     for stage in (2, 3, 4):
         stacked = jnp.concatenate([prov, frames, acc])
         out = _run_kernel(p, cfg, stacked, dt, L, interpret,
-                          chain_kind=f"rk4s{stage}", wind=wind)
+                          chain_kind=f"rk4s{stage}", wind=wind, mesh=mesh)
         hp, up, trp = sub_state(prov, prov_fix)
         ha, ua, tra = sub_state(acc, acc_fix)
         k = tend_mod.compute_all_tendencies(
@@ -2142,7 +2172,7 @@ def split_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
 
     # ---- 1. splitpre kernel: du_full ----
     du_fr = _run_kernel(p, cfg, frames, dt, L, interpret,
-                        chain_kind="splitpre")
+                        chain_kind="splitpre", mesh=mesh)
     # the kernel emits the UNGATED du accumulation; the composed path
     # masks every term (mask in {0,1}: mask*sum == sum of masked terms
     # bit-exactly), and dead seam-slot edges must read as 0, not as a
@@ -2199,7 +2229,7 @@ def split_patch_megastep_framed(mesh, cfg, carry, t, dt, K, L,
     # ---- 3. splitpost kernel: h/tracer advance with u_trans ----
     ut_fr = _edge_frames(p, u_trans, K, Kp, dtype)
     out = _run_kernel(p, cfg, frames.at[1:4].set(ut_fr), dt, L,
-                      interpret, chain_kind="splitpost")
+                      interpret, chain_kind="splitpost", mesh=mesh)
 
     # pole-fix rows: composed advance on the submesh with the GLOBAL
     # transport velocity (the subcycles are global, so sub rows reuse

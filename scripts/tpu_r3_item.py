@@ -35,33 +35,65 @@ NSTEPS = int(os.environ.get("OMEGA_TIME_NSTEPS", 20))
 REPS = int(os.environ.get("OMEGA_TIME_REPS", 4))
 
 
-def time_run(tag, mesh, cfg, st, stepper, dt=30.0):
-    stepn = jax.jit(lambda s: run_steps(mesh, cfg, s, 0.0, dt, NSTEPS,
-                                        stepper=stepper))
+def measure(tag, stepn, st, fetch):
+    """Fetch-terminated differenced timing.
+
+    Round 5: the tunneled runtime has been seen returning from
+    block_until_ready WITHOUT blocking (whole reps "complete" in 20 us),
+    on top of the earlier short-circuiting of identical calls.  Chained
+    calls terminated by a scalar device->host FETCH are the only sync
+    that has proven reliable; timing k=3 vs k=1 chained segments and
+    differencing cancels the constant fetch/dispatch overhead."""
     t0 = time.perf_counter()
-    out = jax.block_until_ready(stepn(st))
+    out = stepn(st)
+    fetch(out)
     comp = time.perf_counter() - t0
-    # chain the output into the next input: the tunneled runtime has
-    # been seen short-circuiting identical (executable, input) calls
-    # (spurious ~0 timings); chaining forces real execution every rep
+
+    def timed(k, cur):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            cur = stepn(cur)
+        fetch(cur)
+        return time.perf_counter() - t0, cur
+
     el = float("inf")
     cur = out
-    reps = []
+    pairs = []
     for _ in range(REPS):
-        t0 = time.perf_counter()
-        cur = jax.block_until_ready(stepn(cur))
-        rep = time.perf_counter() - t0
-        reps.append(rep * 1e3 / NSTEPS)
-        if rep * 1e3 / NSTEPS > 0.05:     # ignore impossible readings
-            el = min(el, rep)
-    out = cur
-    ok = bool(jnp.isfinite(out.h).all())
+        t1, cur = timed(1, cur)
+        t3, cur = timed(3, cur)
+        pairs.append((round(t1, 4), round(t3, 4)))
+        d = (t3 - t1) / 2.0
+        if d * 1e3 / NSTEPS > 0.05:       # ignore impossible readings
+            el = min(el, d)
     env = {k: os.environ[k] for k in
-           ("OMEGA_PATCH_TILE", "OMEGA_PATCH_K", "OMEGA_PATCH_YSHRINK",
-            "OMEGA_MEGA_PARITY", "OMEGA_PATCH_WSLICE") if k in os.environ}
+           ("OMEGA_PATCH_TILE", "OMEGA_PATCH_K", "OMEGA_PATCH_FB2",
+            "OMEGA_PATCH_XROLL", "OMEGA_PATCH_POOL", "OMEGA_PATCH_PP81",
+            "OMEGA_MEGA_PARITY", "OMEGA_PLANES_ARG") if k in os.environ}
     print(f"[timing] {tag}: {el / NSTEPS * 1e3:.2f} ms/step "
-          f"(compile {comp:.0f}s, finite={ok}, env={env}, "
-          f"reps_ms={[round(r, 3) for r in reps]})", flush=True)
+          f"(compile {comp:.0f}s, env={env}, "
+          f"pairs_s={pairs})", flush=True)
+    return cur
+
+
+def time_run(tag, mesh, cfg, st, stepper, dt=30.0):
+    if os.environ.get("OMEGA_PLANES_ARG") == "1":
+        # weight-plane stack as a runtime operand (mesh passed as a jit
+        # ARG): keeps the program body under the axon remote-compile
+        # size limit at icos96 (round-4 HTTP 413)
+        from omega_tpu.ops import patch_megastep as _pm
+        mesh = _pm.attach_planes(mesh, dtype,
+                                 fct=cfg.flux_tracer_type == "fct")
+        stepn_ = jax.jit(lambda s, m: run_steps(m, cfg, s, 0.0, dt,
+                                                NSTEPS, stepper=stepper))
+        stepn = lambda s: stepn_(s, mesh)  # noqa: E731
+    else:
+        stepn = jax.jit(lambda s: run_steps(mesh, cfg, s, 0.0, dt,
+                                            NSTEPS, stepper=stepper))
+    out = measure(tag, stepn, st,
+                  lambda o: float(np.asarray(jax.device_get(o.h[0, 0]))))
+    print(f"[check] {tag}: finite={bool(jnp.isfinite(out.h).all())}",
+          flush=True)
 
 
 def planar_init(nx=256, K=100, L=2, seed=0):
@@ -159,18 +191,9 @@ elif item.startswith("planar-phys"):
     stepn = jax.jit(lambda s: run_steps(mesh, cfg, s, 0.0, 30.0, NSTEPS,
                                         stepper=forward_backward_step,
                                         wind_stress=wind))
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(stepn(st))
-    comp = time.perf_counter() - t0
-    el, cur = float("inf"), out
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        cur = jax.block_until_ready(stepn(cur))
-        rep = time.perf_counter() - t0
-        if rep * 1e3 / NSTEPS > 0.05:
-            el = min(el, rep)
-    print(f"[timing] {item}: {el / NSTEPS * 1e3:.2f} ms/step "
-          f"(compile {comp:.0f}s, finite={bool(jnp.isfinite(cur.h).all())})",
+    cur = measure(item, stepn, st,
+                  lambda o: float(np.asarray(jax.device_get(o.h[0, 0]))))
+    print(f"[check] {item}: finite={bool(jnp.isfinite(cur.h).all())}",
           flush=True)
 elif item.startswith("sphere-phys"):
     from omega_tpu.core import VertMixConfig
@@ -186,18 +209,9 @@ elif item.startswith("sphere-phys"):
     stepn = jax.jit(lambda s: run_steps(mesh, cfg, s, 0.0, 30.0, NSTEPS,
                                         stepper=forward_backward_step,
                                         wind_stress=wind))
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(stepn(st))
-    comp = time.perf_counter() - t0
-    el, cur = float("inf"), out
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        cur = jax.block_until_ready(stepn(cur))
-        rep = time.perf_counter() - t0
-        if rep * 1e3 / NSTEPS > 0.05:
-            el = min(el, rep)
-    print(f"[timing] {item}: {el / NSTEPS * 1e3:.2f} ms/step "
-          f"(compile {comp:.0f}s, finite={bool(jnp.isfinite(cur.h).all())})",
+    cur = measure(item, stepn, st,
+                  lambda o: float(np.asarray(jax.device_get(o.h[0, 0]))))
+    print(f"[check] {item}: finite={bool(jnp.isfinite(cur.h).all())}",
           flush=True)
 elif item.startswith("sphere-pp81"):
     # Richardson-number vmix (PP81) — fused when OMEGA_PATCH_PP81=1
@@ -217,18 +231,9 @@ elif item.startswith("sphere-pp81"):
     stepn = jax.jit(lambda s: run_steps(mesh, cfg, s, 0.0, 30.0, NSTEPS,
                                         stepper=forward_backward_step,
                                         wind_stress=wind))
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(stepn(st))
-    comp = time.perf_counter() - t0
-    el, cur = float("inf"), out
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        cur = jax.block_until_ready(stepn(cur))
-        rep = time.perf_counter() - t0
-        if rep * 1e3 / NSTEPS > 0.05:
-            el = min(el, rep)
-    print(f"[timing] {item}: {el / NSTEPS * 1e3:.2f} ms/step "
-          f"(compile {comp:.0f}s, finite={bool(jnp.isfinite(cur.h).all())})",
+    cur = measure(item, stepn, st,
+                  lambda o: float(np.asarray(jax.device_get(o.h[0, 0]))))
+    print(f"[check] {item}: finite={bool(jnp.isfinite(cur.h).all())}",
           flush=True)
 elif item.startswith("sphere-upwind"):
     mesh, _, st = sphere_init()

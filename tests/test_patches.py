@@ -606,3 +606,42 @@ def test_fct_patch_megastep_matches_composed(pmesh, monkeypatch, h_flux):
     assert abs(v1 - v0) / v0 < 1e-13
     assert np.asarray(on.tracers).min() >= -1e-9
     assert np.asarray(on.tracers).max() <= 1.0 + 1e-9
+
+
+def test_attach_planes_operand_path_bitexact(pmesh, monkeypatch):
+    """attach_planes moves the kernel's lane-major weight-plane stack
+    onto the mesh pytree so it rides the jit boundary as a runtime
+    OPERAND instead of a program constant (164 MB at icos48, ~530 MB at
+    icos96 — past the axon remote-compile body limit).  Same stack,
+    same kernel: results must be BITWISE identical to the closed-over
+    default, and a stale planes key must fall back to the constant."""
+    from omega_tpu.ops import patch_megastep
+    K = 3
+    cfg = ModelConfig(nvertlayers=K, ntracers=1,
+                      tendencies=TendencyConfig(visc_del2=1.0e3,
+                                                visc_del4=1.0e9))
+    state = _initial_state(pmesh, K, 1)
+    rng = np.random.default_rng(31)
+    u0 = 0.1 * rng.standard_normal((pmesh.nedges, K))
+    u0 *= np.asarray(pmesh.edge_mask)[:, None]
+    state = ModelState(h=state.h, u=jnp.asarray(u0),
+                       tracers=state.tracers)
+    monkeypatch.setenv("OMEGA_PATCH_MEGA", "1")
+    dtype = state.h.dtype
+    ref = jax.jit(lambda s: run_steps(pmesh, cfg, s, 0.0, 60.0, 2))(state)
+
+    am = patch_megastep.attach_planes(pmesh, dtype)
+    assert am.patch_planes is not None and am.patch_planes_key
+    out = jax.jit(lambda s, m: run_steps(m, cfg, s, 0.0, 60.0, 2))(
+        state, am)
+    for fld in ("h", "u", "tracers"):
+        a, b = np.asarray(getattr(out, fld)), np.asarray(getattr(ref, fld))
+        assert np.array_equal(a, b), fld
+
+    # stale key (env knobs changed since attach) -> constant fallback,
+    # still bitwise identical
+    import dataclasses
+    stale = dataclasses.replace(am, patch_planes_key=("stale",))
+    out2 = jax.jit(lambda s, m: run_steps(m, cfg, s, 0.0, 60.0, 2))(
+        state, stale)
+    assert np.array_equal(np.asarray(out2.h), np.asarray(ref.h))
