@@ -68,6 +68,12 @@ def main():
         # in-repo analogue (5,762 cells). Same sphere path below.
         os.environ.setdefault("OMEGA_BENCH_SUBDIV", "24")
         mesh_kind = "sphere"
+    if mesh_kind == "icos96":
+        # 92k-cell global mesh; needs the weight-plane stack as a
+        # runtime operand to stay under the remote-compile body limit
+        os.environ.setdefault("OMEGA_BENCH_SUBDIV", "96")
+        os.environ.setdefault("OMEGA_PLANES_ARG", "1")
+        mesh_kind = "sphere"
     if mesh_kind == "sphere":
         # global icos mesh — the QU240-style configuration. Default:
         # patch-structured layout (streaming per-rhombus stencils,
@@ -117,8 +123,21 @@ def main():
 
     dt = 30.0
 
-    stepn = jax.jit(lambda s: run_steps(mesh, cfg, s, 0.0, dt, nsteps,
-                                        stepper=forward_backward_step))
+    if (mesh_kind == "sphere"
+            and os.environ.get("OMEGA_PLANES_ARG") == "1"):
+        # pass the mesh as a jit ARGUMENT with the kernel weight-plane
+        # stack attached as a leaf: keeps the program body small enough
+        # for the tunneled remote compile at icos96 (see
+        # ops/patch_megastep.attach_planes; bit-exact vs closed-over)
+        from omega_tpu.ops import patch_megastep as _pm
+        mesh = _pm.attach_planes(mesh, dtype)
+        _stepn = jax.jit(lambda s, m: run_steps(m, cfg, s, 0.0, dt,
+                                                nsteps,
+                                                stepper=forward_backward_step))
+        stepn = lambda s: _stepn(s, mesh)  # noqa: E731
+    else:
+        stepn = jax.jit(lambda s: run_steps(mesh, cfg, s, 0.0, dt, nsteps,
+                                            stepper=forward_backward_step))
 
     # warmup / compile (timed separately, like the reference's first-step
     # timer isolation, ocn/OceanRun.cpp:48-53)
@@ -149,12 +168,18 @@ def main():
     reps = int(os.environ.get("OMEGA_BENCH_REPS", 5))
     elapsed = float("inf")
     cur = out
+    diffs = []
     for _ in range(reps):
         t1, cur = timed(1, cur)
         t3, cur = timed(3, cur)
-        d = (t3 - t1) / 2.0
-        if d / nsteps > 0.05e-3:          # ignore impossible readings
-            elapsed = min(elapsed, d)
+        diffs.append((t3 - t1) / 2.0)
+        if diffs[-1] / nsteps > 0.05e-3:  # ignore impossible readings
+            elapsed = min(elapsed, diffs[-1])
+    if elapsed == float("inf"):
+        # every diff fell under the floor (tiny debug meshes run
+        # faster than 50 us/step): min positive diff is the best guess
+        pos = [d for d in diffs if d > 0]
+        elapsed = min(pos) if pos else float("inf")
     out = cur
 
     assert bool(jnp.isfinite(out.h).all()), "benchmark produced non-finite h"
@@ -172,7 +197,8 @@ def main():
     # counted; see _roofline_estimate NOTE)
     xla_bytes = None
     try:
-        ca = stepn.lower(state).compile().cost_analysis()
+        ca = (_stepn.lower(state, mesh) if "_stepn" in dir()
+              else stepn.lower(state)).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         xla_bytes = float(ca.get("bytes accessed", float("nan"))) / nsteps
     except Exception:
