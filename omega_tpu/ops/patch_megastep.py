@@ -86,13 +86,15 @@ def supported(mesh, cfg, kind="fb", framed=False) -> bool:
         # margin AND worst-case validity masks (see icos_mega._build)
     if (_vmix_on(cfg) and cfg.vert_mix.scheme == "pp81"
             and os.environ.get("OMEGA_PATCH_PP81", "0") != "1"
-            and not (framed
-                     and os.environ.get("OMEGA_PATCH_FB2") == "1")):
-        # correct (tested) but the coefficient ops push the Mosaic
-        # scoped stack to ~164M > the 128M VMEM at the icos48 defaults;
-        # opt in with OMEGA_PATCH_PP81=1 (e.g. smaller tiles) or run the
-        # staged two-kernel FB (OMEGA_PATCH_FB2=1, vmix tail in stage
-        # B's half-size body), else the composed stepper carries PP81
+            and not (framed and kind == "fb"
+                     and os.environ.get("OMEGA_PATCH_FB2") != "0")):
+        # single-kernel PP81 pushes the Mosaic scoped stack to ~164M >
+        # the 128M VMEM at the icos48 defaults, but the framed FB path
+        # auto-routes PP81 through the staged two-kernel FB (vmix tail
+        # in stage B's half-size body: fits, 32.02 ms/step measured at
+        # icos48).  Elsewhere (RK chains, non-framed single steps) the
+        # composed stepper carries PP81 unless OMEGA_PATCH_PP81=1
+        # opts in (e.g. at smaller tiles).
         return False
     # FCT (Zalesak) tracer fluxes: the limiter chain's radius (10) needs
     # the two-stage fct_patch_megastep_framed driver (persistent frames

@@ -222,12 +222,25 @@ def run_steps(mesh: HorzMesh, cfg: ModelConfig, state: ModelState,
             pwind = patch_megastep.make_wind(mesh, cfg, wind_stress,
                                              h.dtype)
             import os as _os
-            # OMEGA_PATCH_FB2=1: staged two-kernel FB (VMEM headroom
-            # for big tiles; the vmix tail runs in stage B)
+            # Staged two-kernel FB (OMEGA_PATCH_FB2; the vmix tail runs
+            # in stage B).  AUTO-ON for the configs whose single-kernel
+            # chain exceeds the 128M scoped VMEM at the icos48 defaults
+            # (BENCH_NOTES round-5): PP81's coefficient sweep (fits
+            # staged: 32.02 ms/step measured) and the upwind pair
+            # tables (fit staged at the default K=4: 25.48 ms/step;
+            # single-kernel needed OMEGA_PATCH_K=6).  OMEGA_PATCH_FB2=0
+            # forces the single kernel, =1 forces staging everywhere.
+            _fb2env = _os.environ.get("OMEGA_PATCH_FB2")
+            _fb2 = (_fb2env == "1"
+                    or (_fb2env != "0"
+                        and ((cfg.vert_mix.enabled
+                              and cfg.vert_mix.scheme == "pp81")
+                             or cfg.flux_thickness_type == "upwind"
+                             or cfg.flux_tracer_type == "upwind")))
             pstep = (patch_megastep.fct_patch_megastep_framed
                      if cfg.flux_tracer_type == "fct"
                      else patch_megastep.fb2_patch_megastep_framed
-                     if _os.environ.get("OMEGA_PATCH_FB2") == "1"
+                     if _fb2
                      else patch_megastep.fb_patch_megastep_framed)
 
             def pbody(c, _):
